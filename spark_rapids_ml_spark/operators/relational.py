@@ -1,0 +1,234 @@
+"""Flagship analytical queries (TPC-H-style) over the star schema.
+
+These are the headline end-to-end queries: scan → filter → join →
+aggregate → sort, written declaratively so Catalyst supplies predicate
+pushdown, column pruning, partial aggregation and join planning.
+
+Scale notes (100 TB):
+- q1: single scan + hash agg on low-cardinality keys (≤6 groups) —
+  partial aggregation makes the shuffle a few KB regardless of input
+  size; the only full pass is the parquet scan with a pushed-down
+  date filter.
+- q3/q5: fact-fact joins shuffle on join keys; region/nation are
+  broadcast (bounded size by schema), larger dims left to AQE which
+  will broadcast when the runtime size is under the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.functions.portable import davg, dsum, sql_davg, sql_dsum
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+Q1_CUTOFF = "1998-09-01"
+
+
+@register(
+    "q1_pricing_summary",
+    tags=("relational", "agg"),
+    bench=True,
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice', 'sum_base_price')},
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  {sql_davg('l_quantity', 'avg_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  {sql_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report.
+
+    Reference parity note: the reference engine has no relational
+    surface (SURVEY.md §2.A) — this query anchors the declared
+    relational contract (§2.B: scan, filter pushdown, group-by agg,
+    exact decimal arithmetic, total order).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                d("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                * (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    tags=("relational", "join", "agg"),
+    bench=True,
+    oracle="""
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue.
+
+    Scale: customer(filtered) joins orders then lineitem; AQE picks
+    broadcast for the filtered customer side when small, else
+    shuffle-hash on the key. Top-k via global sort+limit — Spark
+    executes this as TakeOrderedAndProject (no full sort at scale).
+    """
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    tags=("relational", "join", "agg"),
+    bench=True,
+    oracle="""
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by supplier nation within a region.
+
+    Scale: region/nation are explicitly broadcast (bounded
+    cardinality); the fact-fact joins shuffle on orderkey/suppkey.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    tags=("relational", "filter", "agg"),
+    oracle="""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — the pushdown showcase.
+
+    All four predicates reach the parquet reader (PushedFilters);
+    only 4 columns are read (ReadSchema). Global agg returns 1 row.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Declared-query registry: the engine's correctness contract.
+
+Every operator the engine claims (SURVEY.md §2.B) registers here as a
+named query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus —
+whenever SQL-expressible — an equivalent ANSI-SQL string a DuckDB
+oracle can run on the same parquet tables. ``__spark_entry__.py``
+simply re-exports this registry to the driver.
+
+Determinism contract (FIXTURES.md): total ORDER BY on a unique key,
+doubles rounded via round(x, 6) (exact-decimal formulations where
+cross-engine FP drift could exceed 1e-6), output columns restricted
+to string / bigint / double, identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclasses.dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: declare a named query with an optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from spark_rapids_ml_spark.operators import (  # noqa: F401
+        aggregates,
+        arrays_json,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        scalar_funcs,
+        setops,
+        similarity,
+        subqueries,
+        textstats,
+        windows,
+    )
+    from spark_rapids_ml_spark import ml_queries  # noqa: F401
+    from spark_rapids_ml_spark.streaming import stream_queries  # noqa: F401
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    load_all_modules()
+    return dict(QUERIES)

@@ -1,0 +1,54 @@
+"""Table catalog over the driver-generated testdata.
+
+Loads the ten synthetic tables (TESTDATA.md) as DataFrames and/or
+temp views. All reads are plain ``spark.read.parquet`` so Catalyst
+keeps predicate pushdown, column pruning, and partition pruning —
+at 100 TB these tables would be directories of many files (possibly
+partitioned by date); nothing here assumes single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always safe to broadcast (bounded size even
+# at 100 TB scale-factor: region=5 rows, nation=25 rows).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
