@@ -1,0 +1,298 @@
+"""Aggregation surface: group-by stats, distinct, moments, rollup/cube/
+grouping sets, having, pivot, approx-distinct.
+
+Scale notes (100 TB): every query here relies on Spark's automatic
+partial (map-side) aggregation — the shuffle carries one row per
+(partition, group), so low-cardinality group-bys cost ~nothing beyond
+the scan. Moment-based stats (stddev/var/corr) are formulated as exact
+decimal power sums, which are commutative-associative and therefore
+shuffle-safe AND bit-identical to the DuckDB oracle. COUNT(DISTINCT)
+expands to a two-phase agg planned by Catalyst; approx_count_distinct
+is the HLL-sketch alternative for the 100 TB path (rows-only check +
+bounded-error pytest, since sketches are not cross-engine stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.functions.portable import davg, dsum
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "agg_group_stats",
+    tags=("agg",),
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_cust,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+  CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.min(F.col("c_acctbal").cast("double")).alias("min_bal"),
+            F.max(F.col("c_acctbal").cast("double")).alias("max_bal"),
+            dsum("c_acctbal", "sum_bal"),
+            davg("c_acctbal", "avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_moments_exact",
+    tags=("agg", "stats"),
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       ROUND((s2 - s1*s1/n) / (n - 1), 2) AS var_samp_price,
+       ROUND(SQRT((s2 - s1*s1/n) / (n - 1)), 4) AS stddev_samp_price
+FROM m
+ORDER BY o_orderpriority
+""",
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var_samp/stddev_samp via exact decimal power sums.
+
+    Formulated as sum/sum-of-squares so the distributed aggregation is
+    exact (decimal) and the only FP ops are the final few — identical
+    in both engines. (Spark's builtin var_samp uses a streaming merge
+    whose FP drift vs DuckDB can exceed round-6; this formulation is
+    the shuffle-safe, hash-stable equivalent.)
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(var, 2).alias("var_samp_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_samp_price"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_corr",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(CORR(l_discount, l_tax), 6) AS corr_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin corr — O(1) magnitude output so round(6) absorbs the
+    cross-engine FP merge drift."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg",),
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS rf,
+       COALESCE(l_linestatus, '<all>') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg",),
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS st,
+       COALESCE(o_orderpriority, '<all>') AS pri,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY st, pri
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("pri"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("st", "pri")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg", "sql"),
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS rf,
+       COALESCE(l_linestatus, '<all>') AS ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY rf, ls
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS rf,
+               COALESCE(l_linestatus, '<all>') AS ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls
+        """
+    )
+
+
+@register(
+    "agg_having",
+    tags=("agg",),
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 20 AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+ORDER BY o_custkey
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum_dec"),
+        )
+        .where((F.col("n_orders") >= 20) & (F.col("_sum_dec") > 1000000))
+        .select("o_custkey", "n_orders", F.col("_sum_dec").cast("double").alias("total_spent"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("agg",),
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a known-value set. Scale: pinning the pivot values
+    avoids the extra distinct-values job Spark otherwise runs."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").cast("double").alias("qty_A"),
+        F.col("N").cast("double").alias("qty_N"),
+        F.col("R").cast("double").alias("qty_R"),
+    ).orderBy("l_linestatus")
+
+
+@register("agg_approx_count_distinct", tags=("agg", "approx"), oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct-count — the 100 TB path for distincts.
+
+    Not cross-engine hash-stable (sketch internals differ), so the
+    driver records a rows-only check; tests/test_aggregates.py bounds
+    the relative error vs the exact count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_count_distinct_multi",
+    tags=("agg",),
+    oracle="""
+SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_orderkey <= 5000
+""",
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 5000)
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,278 @@
+"""Join operator surface: inner/outer/semi/anti/cross/theta/composite.
+
+Scale notes (100 TB): equi-joins shuffle on their keys and are what
+AQE optimizes best (broadcast conversion, skew splitting). The
+explicit ``F.broadcast`` hints mark sides that are bounded by schema
+(region/nation) or by a selective filter. The theta join is written
+with an equi-key conjunct so Spark plans SortMergeJoin with the range
+as a post-condition instead of a cartesian BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "join_inner_basic",
+    tags=("join",),
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 300000
+ORDER BY o.o_orderkey
+""",
+)
+def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", F.col("o_totalprice").cast("double"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey <= 500
+ORDER BY c.c_custkey, o.o_orderkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", F.col("o_totalprice").cast("double"))
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    tags=("join",),
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_name
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+RIGHT JOIN (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .select("o_orderkey", "c_custkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join",),
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal > 9900),
+     sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000)
+SELECT CAST(cn.k AS BIGINT) AS cust_nation, CAST(sn.k AS BIGINT) AS supp_nation
+FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+ORDER BY cust_nation NULLS LAST, supp_nation NULLS LAST
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("bigint").alias("k2"))
+        .distinct()
+    )
+    return (
+        cn.join(sn, cn.k == sn.k2, "full")
+        .select(F.col("k").alias("cust_nation"), F.col("k2").alias("supp_nation"))
+        .orderBy(F.col("cust_nation").asc_nulls_last(), F.col("supp_nation").asc_nulls_last())
+    )
+
+
+@register(
+    "join_left_semi",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000
+)
+ORDER BY c_custkey
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    tags=("join",),
+    oracle="""
+SELECT s1.s_suppkey, COUNT(*) AS n_richer_same_nation
+FROM supplier s1
+JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey AND s2.s_acctbal > s1.s_acctbal
+GROUP BY s1.s_suppkey
+ORDER BY s1.s_suppkey
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join with an equi conjunct.
+
+    Scale: the nationkey equi-conjunct lets Spark hash-partition both
+    sides; the range predicate is evaluated post-match — avoids the
+    O(n^2) nested-loop a pure theta join would force.
+    """
+    s1 = load(spark, sf_dir, "supplier").alias("s1")
+    s2 = load(spark, sf_dir, "supplier").alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s2.s_acctbal") > F.col("s1.s_acctbal")),
+        )
+        .groupBy(F.col("s1.s_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_richer_same_nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    tags=("join",),
+    bench=True,
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA','EUROPE')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of bounded dimension tables (no shuffle of the
+    fact side at any scale — map-side hash join)."""
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE")))
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_composite_key_argmax",
+    tags=("join", "agg"),
+    oracle="""
+WITH mx AS (
+  SELECT l_orderkey, MAX(l_quantity) AS max_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem l
+JOIN mx ON l.l_orderkey = mx.l_orderkey AND l.l_quantity = mx.max_qty
+WHERE l.l_orderkey <= 2000
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def join_composite_key_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key self-join (argmax-per-group via join-back).
+
+    Scale: both sides share the l_orderkey partitioning, so the join
+    reuses the aggregation's shuffle (no extra exchange under AQE).
+    """
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    mx = (
+        l.groupBy("l_orderkey")
+        .agg(F.max("l_quantity").alias("max_qty"))
+        .withColumnRenamed("l_orderkey", "mx_orderkey")
+    )
+    return (
+        l.join(
+            mx,
+            (F.col("l_orderkey") == F.col("mx_orderkey"))
+            & (F.col("l_quantity") == F.col("max_qty")),
+        )
+        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -1,0 +1,196 @@
+"""Scalar-function surface: string, regexp, date/time, math,
+conditional/null handling.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, never Python UDFs — so they cost the same as
+native SQL at any scale and vectorize inside the parquet scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "scalar_string_funcs",
+    tags=("scalar", "string"),
+    oracle="""
+SELECT
+  c_custkey,
+  UPPER(c_name) AS name_upper,
+  LOWER(c_mktsegment) AS seg_lower,
+  LENGTH(c_name) AS name_len,
+  SUBSTR(c_name, 1, 8) AS name_prefix,
+  CONCAT(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+  TRIM('  ' || c_mktsegment || ' ') AS seg_trim,
+  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+  STRPOS(c_name, '0') AS pos_zero,
+  CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+  REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+  REVERSE(c_mktsegment) AS seg_rev
+FROM customer
+WHERE c_custkey <= 400
+ORDER BY c_custkey
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.instr("c_name", "0").cast("bigint").alias("pos_zero"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).cast("bigint").alias("has_one"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("name_replaced"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "scalar_regexp_funcs",
+    tags=("scalar", "string"),
+    oracle="""
+SELECT
+  p_partkey,
+  regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_tokens,
+  CASE WHEN regexp_matches(p_type, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+""",
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        (F.length("p_name") - F.length(F.replace("p_name", F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.when(F.col("p_type").rlike("^[a-z]+ "), 1).otherwise(0).cast("bigint").alias("starts_word"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_date_funcs",
+    tags=("scalar", "date"),
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dy,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+  CAST(datediff('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT) AS days_to_end,
+  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dy"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d.cast("date")).cast("bigint").alias("days_to_end"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_math_funcs",
+    tags=("scalar", "math"),
+    oracle="""
+SELECT
+  s_suppkey,
+  ROUND(ABS(s_acctbal - 5000), 6) AS abs_centered,
+  CAST(FLOOR(s_acctbal) AS BIGINT) AS bal_floor,
+  CAST(CEIL(s_acctbal) AS BIGINT) AS bal_ceil,
+  ROUND(SQRT(ABS(s_acctbal)), 6) AS bal_sqrt,
+  ROUND(POW(s_acctbal / 1000, 2), 6) AS bal_pow,
+  ROUND(LN(ABS(s_acctbal) + 1), 6) AS bal_ln,
+  ROUND(LOG10(ABS(s_acctbal) + 1), 6) AS bal_log10,
+  ROUND(EXP(s_acctbal / 10000), 6) AS bal_exp,
+  CAST(SIGN(s_acctbal - 5000) AS BIGINT) AS bal_sign,
+  CAST(s_suppkey % 7 AS BIGINT) AS key_mod,
+  ROUND(GREATEST(s_acctbal, 5000.0), 6) AS bal_hi,
+  ROUND(LEAST(s_acctbal, 5000.0), 6) AS bal_lo
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    b = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs(b - 5000), 6).alias("abs_centered"),
+        F.floor(b).cast("bigint").alias("bal_floor"),
+        F.ceil(b).cast("bigint").alias("bal_ceil"),
+        F.round(F.sqrt(F.abs(b)), 6).alias("bal_sqrt"),
+        F.round(F.pow(b / 1000, 2), 6).alias("bal_pow"),
+        F.round(F.log(F.abs(b) + 1), 6).alias("bal_ln"),
+        F.round(F.log10(F.abs(b) + 1), 6).alias("bal_log10"),
+        F.round(F.exp(b / 10000), 6).alias("bal_exp"),
+        F.signum(b - 5000).cast("bigint").alias("bal_sign"),
+        (F.col("s_suppkey") % 7).cast("bigint").alias("key_mod"),
+        F.round(F.greatest(b, F.lit(5000.0)), 6).alias("bal_hi"),
+        F.round(F.least(b, F.lit(5000.0)), 6).alias("bal_lo"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "scalar_conditional_null",
+    tags=("scalar", "conditional"),
+    oracle="""
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'debt'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_band,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<masked>') AS seg_masked,
+  CAST(COALESCE(NULLIF(c_nationkey, 0), -1) AS BIGINT) AS nation_or_neg1,
+  CASE WHEN isnan(c_acctbal / NULLIF(c_nationkey, c_nationkey)) THEN 1 ELSE 0 END AS div_null_isnan,
+  CAST(IF(c_acctbal > 5000, 1, 0) AS BIGINT) AS above_5k
+FROM customer
+WHERE c_custkey <= 400
+ORDER BY c_custkey
+""",
+)
+def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("<masked>")).alias("seg_masked"),
+        F.coalesce(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).cast("bigint").alias("nation_or_neg1"),
+        # x / NULL is NULL (not NaN) in both engines -> isnan(NULL) is
+        # NULL -> CASE falls through to 0
+        F.when(F.isnan(bal / F.nullif(F.col("c_nationkey"), F.col("c_nationkey"))), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("div_null_isnan"),
+        F.when(bal > 5000, 1).otherwise(0).cast("bigint").alias("above_5k"),
+    ).orderBy("c_custkey")

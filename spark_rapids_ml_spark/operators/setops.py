@@ -1,0 +1,109 @@
+"""Set operations: UNION ALL / UNION / INTERSECT / EXCEPT / distinct.
+
+Scale notes (100 TB): UNION ALL is free (plan concatenation, no
+shuffle). The distinct-flavored ops all shuffle on the full row; at
+scale prefer pre-aggregated keys (as these queries do — they operate
+on projected key columns, not whole fact rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+def _cust_nations(spark, sf_dir) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+    )
+
+
+def _supp_nations(spark, sf_dir) -> DataFrame:
+    return (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+    )
+
+
+_CUST_SQL = "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer WHERE c_acctbal > 9000"
+_SUPP_SQL = "SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier WHERE s_acctbal > 5000"
+
+
+@register(
+    "setop_union_all",
+    tags=("setop",),
+    oracle=f"""
+SELECT nationkey, COUNT(*) AS n
+FROM ({_CUST_SQL} UNION ALL {_SUPP_SQL})
+GROUP BY nationkey ORDER BY nationkey
+""",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _cust_nations(spark, sf_dir).unionAll(_supp_nations(spark, sf_dir))
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")).orderBy("nationkey")
+
+
+@register(
+    "setop_union_distinct",
+    tags=("setop",),
+    oracle=f"SELECT nationkey FROM ({_CUST_SQL} UNION {_SUPP_SQL}) ORDER BY nationkey",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cust_nations(spark, sf_dir)
+        .union(_supp_nations(spark, sf_dir))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "setop_intersect",
+    tags=("setop",),
+    oracle=f"SELECT nationkey FROM ({_CUST_SQL} INTERSECT {_SUPP_SQL}) ORDER BY nationkey",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersect(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "setop_except",
+    tags=("setop",),
+    oracle=f"SELECT nationkey FROM ({_CUST_SQL} EXCEPT {_SUPP_SQL}) ORDER BY nationkey",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # multiplicity differences, which is a different operator.
+    return (
+        _cust_nations(spark, sf_dir)
+        .subtract(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "setop_distinct_rows",
+    tags=("setop",),
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def setop_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

@@ -1,0 +1,151 @@
+"""Subquery surface: scalar, IN, correlated EXISTS / NOT EXISTS.
+
+Expressed in Spark SQL so Catalyst's subquery decorrelation rewrites
+them into joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery)
+— at scale these execute as broadcast or shuffle joins, never
+per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "subquery_scalar",
+    tags=("subquery",),
+    oracle="""
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2)) FROM customer) * 1.8
+ORDER BY c_custkey
+""",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold computed in exact decimal so both engines filter on the
+    # identical constant
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+              (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2)) FROM customer) * 1.8
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    tags=("subquery",),
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+  AND o_totalprice > 350000
+ORDER BY o_orderkey
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+          AND o_totalprice > 350000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_exists_correlated",
+    tags=("subquery",),
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+)
+ORDER BY s_suppkey
+""",
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "subquery_not_exists_correlated",
+    tags=("subquery",),
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+""",
+)
+def subquery_not_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "subquery_correlated_scalar_agg",
+    tags=("subquery",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+FROM orders o
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+""",
+)
+def subquery_correlated_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM orders o
+        WHERE o_orderkey <= 1000
+        ORDER BY o_orderkey
+        """
+    )

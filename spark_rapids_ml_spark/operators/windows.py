@@ -1,0 +1,212 @@
+"""Window-function surface: ranking, lag/lead, running aggregates,
+row/range frames, first/last, top-k per group.
+
+Scale notes (100 TB): a window = one shuffle on partitionBy keys +
+per-partition sort. All queries here partition on mid-cardinality
+keys (custkey, mktsegment) so no single partition exceeds executor
+memory; skewed partition keys would need pre-aggregation or AQE skew
+handling. Every ORDER BY inside a window ends with a unique tiebreak
+column — rank functions are only deterministic with total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "window_rank_family",
+    tags=("window",),
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WHERE c_custkey <= 600
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+""",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 600)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "window_lag_lead",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+       CAST(LEAD(o_totalprice, 1, -1.0) OVER w AS DOUBLE) AS next_price,
+       CAST(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS DOUBLE) AS delta
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        p.cast("double").alias("price"),
+        F.lag(p).over(w).cast("double").alias("prev_price"),
+        F.lead(p, 1, -1.0).over(w).cast("double").alias("next_price"),
+        (p - F.coalesce(F.lag(p).over(w), p)).cast("double").alias("delta"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_running_sum",
+    tags=("window",),
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(MIN(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_min,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+FROM orders
+WHERE o_custkey <= 300
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+        F.min("o_totalprice").over(w).cast("double").alias("running_min"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_range_frame",
+    tags=("window",),
+    oracle="""
+SELECT s_suppkey,
+       CAST(s_acctbal AS DOUBLE) AS bal,
+       COUNT(*) OVER (ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_within_500,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (
+         ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS DOUBLE) AS band_sum
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween over a numeric ordering (value-based frame).
+
+    Scale: a global (unpartitioned) window is a single-reducer sort —
+    fine for a bounded dimension like supplier, never for a fact
+    table; fact-scale range frames should partition first.
+    """
+    s = load(spark, sf_dir, "supplier")
+    w1 = Window.orderBy("s_acctbal").rangeBetween(-500, Window.currentRow)
+    w2 = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return s.select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("bal"),
+        F.count(F.lit(1)).over(w1).alias("n_within_500"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(w2).cast("double").alias("band_sum"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "window_first_last",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       LAST_VALUE(o_orderkey) OVER w AS last_ok,
+       CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price
+FROM orders
+WHERE o_custkey <= 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 150)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_topk_per_group",
+    tags=("window",),
+    bench=True,
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_name,
+         CAST(c_acctbal AS DOUBLE) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_name, bal, rn
+FROM ranked WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the canonical window+filter pattern.
+
+    Scale: Catalyst pushes the rn<=k filter into the window sort as a
+    group-limit (WindowGroupLimit), so each partition keeps only k
+    rows before shuffle — this stays cheap at any scale.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )

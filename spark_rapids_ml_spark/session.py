@@ -47,6 +47,9 @@ def get_spark(
         # timestamps: keep parquet int96-free, stable TZ
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # events.parquet uses timestamp[ns]; Spark reads it as raw nanos
+        # (bigint) and sources.catalog converts to timestamp[us]
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local-mode hygiene
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -41,7 +41,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # parquet stores ts as timestamp[ns], which Spark reads as raw
+        # nanos (legacy.parquet.nanosAsLong); surface as timestamp[us]
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
