@@ -1,0 +1,40 @@
+"""Text expression helpers shared by dedup/textstats operators.
+
+All builders come in (pyspark Column, DuckDB SQL string) pairs so the
+same shingling/tokenization is computed in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+SQL_TOKENS = "string_split(text, ' ')"
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct n-token shingles; docs shorter than n yield one
+    whole-text shingle (both engines agree on this degenerate case)."""
+    t = tokens(col)
+    core = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, core).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def sql_shingle_rows(n: int = 3, table: str = "documents", where: str = "TRUE") -> str:
+    """DuckDB CTE body producing (doc_id, shingle) distinct rows."""
+    return f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(g.i AS INT):CAST(least(g.i + {n - 1}, len(toks)) AS INT)], ' ') AS shingle
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM {table} WHERE {where}) t
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1)))) g(i)
+"""

@@ -1,0 +1,358 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all first-class queries:
+
+- exact dedup            (hash group-by on content)
+- MinHash + LSH near-dup (shingle → 16 minhashes → 4 bands → bucket join)
+- SimHash near-dup       (token-hash bit voting → 32-bit signature)
+- n-gram Jaccard         (exact pairwise similarity over shared shingles)
+- embedding cosine       (near-dup by vector similarity)
+
+Every hash is the *portable 60-bit md5 hash* (functions.portable) so
+MinHash/SimHash signatures are bit-identical in the DuckDB oracle —
+the approximate algorithms themselves are checked exactly, and their
+*recall* against brute-force Jaccard is checked in tests/test_dedup.py.
+
+Scale notes (100 TB): exact dedup and MinHash are single-shuffle
+group-bys on content-derived keys (no pairwise work). LSH candidate
+generation joins on (band, band_key) buckets — output is bounded by
+bucket collisions, never the n^2 pair space. The exact Jaccard
+operator is the *verification* stage one runs on LSH candidates only;
+here it is bounded to a key range for the declared query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------- exact
+
+@register(
+    "dedup_exact_text",
+    tags=("dedup",),
+    bench=True,
+    oracle="""
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+ORDER BY keep_doc_id
+""",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: one shuffle on the text hash, keep the
+    smallest id as the canonical representative (deterministic, unlike
+    dropDuplicates' arbitrary row pick)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("keep_doc_id", "n_copies", "n_chars")
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_exact_all_columns",
+    tags=("dedup",),
+    oracle="""
+SELECT COUNT(*) AS n_unique
+FROM (SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents)
+""",
+)
+def dedup_exact_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.distinct().agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+# ------------------------------------------------------------- minhash
+
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{N-1}): minimum portable hash per seed over the
+    doc's distinct 3-shingles. One explode + one group-by — linear."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
+    aggs = [F.min(hash60("shingle", seed)).alias(f"mh{seed}") for seed in range(N_MINHASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_cte() -> str:
+    mins = ",\n         ".join(
+        f"MIN({sql_hash60('shingle', seed)}) AS mh{seed}" for seed in range(N_MINHASH)
+    )
+    return f"""
+sh AS ({sql_shingle_rows()}),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    tags=("dedup", "minhash"),
+    oracle=f"""
+WITH {_sql_minhash_cte()}
+SELECT doc_id, {', '.join(f'mh{i}' for i in range(N_MINHASH))}
+FROM mh
+WHERE doc_id <= 100
+ORDER BY doc_id
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw MinHash signature matrix (cross-engine bit-identical)."""
+    return (
+        _minhash_df(spark, sf_dir)
+        .where(F.col("doc_id") <= 100)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    tags=("dedup", "minhash"),
+    bench=True,
+    oracle=f"""
+WITH {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+      f'''SELECT doc_id, {b} AS band,
+          {sql_hash60("(" + " || '_' || ".join(f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)) + ")")} AS band_key
+          FROM mh'''
+      for b in range(N_BANDS)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs.
+
+    16 minhashes → 4 bands of 4; docs sharing any band bucket become a
+    candidate pair. Scale: the pair join runs on (band, band_key)
+    buckets so cost tracks actual collisions; the n^2 space is never
+    materialized. Threshold ≈ (1/b)^(1/r) ≈ 0.71 Jaccard.
+    """
+    mh = _minhash_df(spark, sf_dir)
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_rows.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                hash60(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionAll(extra)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def _simhash_bit_sql(bit: int) -> str:
+    h = sql_hash60("token", 7)
+    return f"CASE WHEN ((h >> {bit}) & 1) = 1 THEN cnt ELSE -cnt END"
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+th AS (
+  SELECT doc_id, cnt, {sql_hash60('token', 7)} AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"(CASE WHEN SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) > 0 THEN 1 ELSE 0 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"b{i} * {1 << i}" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bits
+WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature: per-token portable hash, bit-weighted
+    vote by term frequency, sign → bit. Near-dups then differ in few
+    bits (Hamming); the signature itself is cross-engine exact.
+
+    Scale: explode → two group-bys, all linear; signature join for
+    near-dup candidates is a single equi-join on simhash prefix bands.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    th = tok.select("doc_id", "cnt", hash60("token", 7).alias("h"))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_aggs)
+    acc = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        acc = acc + F.col(f"b{i}") * F.lit(1 << i)
+    return (
+        bits.select("doc_id", acc.cast("bigint").alias("simhash"))
+        .where(F.col("doc_id") <= 200)
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- exact jaccard
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    tags=("dedup", "jaccard"),
+    oracle=f"""
+WITH sh AS ({sql_shingle_rows(where="doc_id <= 150")}),
+card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN card ca ON c.doc_a = ca.doc_id
+JOIN card cb ON c.doc_b = cb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for pairs sharing a shingle.
+
+    Scale: this is the verification stage for LSH candidates; run
+    standalone it joins on the shingle posting list, so cost is
+    sum(df^2) over shingles — bounded here to a doc range. At 100 TB,
+    feed it dedup_minhash_lsh_pairs instead of the raw corpus.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    tags=("dedup", "vector"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) > 0.8
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.8), vector math via
+    JVM higher-order functions (no Python in the loop).
+
+    Scale: the pairwise form is quadratic — it exists as the exactness
+    oracle. The scale path is sim_lsh_bucketed_topk (similarity.py),
+    which buckets by random-hyperplane signature first.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") > 0.8)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
