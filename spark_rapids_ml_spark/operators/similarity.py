@@ -1,0 +1,286 @@
+"""Similarity search over the embedding column (array<float>, 64-d).
+
+Three tiers, mirroring how an ANN system scales:
+
+- sim_bruteforce_topk   exact cosine top-k (the recall baseline)
+- sim_lsh_bucketed_topk random-hyperplane LSH buckets (sub-linear
+                        candidate sets; Rademacher planes are integer
+                        literals so the bucketing is FP-exact in both
+                        engines)
+- sim_ivf_topk          IVF-style: coarse centroids (per label),
+                        probe the nprobe nearest cells, search within
+
+All vector math is JVM-side higher-order functions (zip_with /
+aggregate) — no Python UDF in the hot path. tests/test_similarity.py
+checks recall of the approximate tiers against brute force.
+
+Scale notes (100 TB): brute force is O(Q·N) and exists as oracle and
+for small Q re-ranking; LSH/IVF prune candidates by equi-joining on
+bucket/cell keys, which shuffles only matching buckets. At cluster
+scale the bucket key becomes the shuffle partition key, so each
+executor sees one slice of the index — same plan shape, 1000x data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
+TOP_K = 5
+N_PLANES = 8
+LSH_SEED = 123
+DIM = 64
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """<a, b> in float64 via zip_with + aggregate (codegen'd, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(c: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+_SQL_E = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+
+@register(
+    "sim_bruteforce_topk",
+    tags=("similarity",),
+    bench=True,
+    oracle=f"""
+WITH e AS ({_SQL_E}),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    The rank key is the *rounded* cosine (+vec_id tiebreak) so ranking
+    is deterministic and cross-engine stable.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+        )
+    )
+    scored = (
+        q.join(e, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+def _hyperplanes() -> np.ndarray:
+    """Fixed Rademacher (+1/-1) hyperplanes — integer-valued, so dot
+    products are exact in float64 in both engines."""
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.choice([-1.0, 1.0], size=(N_PLANES, DIM))
+
+
+def _bucket_expr(emb: Column | str) -> Column:
+    planes = _hyperplanes()
+    acc = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot_expr(emb, lit) > 0, 1).otherwise(0)
+        acc = acc + bit * F.lit(1 << p)
+    return acc.cast("bigint")
+
+
+def _sql_bucket(emb: str) -> str:
+    planes = _hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(float(v)) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}, {lit}) > 0 THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "sim_lsh_bucketed_topk",
+    tags=("similarity", "lsh"),
+    bench=True,
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, emb, {_sql_bucket('emb')} AS bucket
+  FROM ({_SQL_E})
+),
+q AS (SELECT vec_id AS qid, emb AS qemb, bucket FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    random-hyperplane bucket, then exact cosine re-rank.
+
+    Scale: the candidate join is an equi-join on the bucket id — the
+    sub-linear ANN path. Recall vs brute force is asserted in tests.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        q.join(e, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    tags=("similarity", "ivf"),
+    oracle=f"""
+WITH e AS ({_SQL_E}),
+elem AS (
+  SELECT label, u.pos, u.val
+  FROM e CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(emb))), unnest(emb)
+  ) u(pos, val)
+),
+cent AS (
+  SELECT label, list(avgv ORDER BY pos) AS cemb
+  FROM (SELECT label, pos, AVG(val) AS avgv FROM elem GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.label) AS prk
+    FROM q CROSS JOIN cent c
+  ) WHERE prk <= 2
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN e ON e.label = p.label AND e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = label groups, cell centroid =
+    elementwise mean, probe the 2 nearest cells, exact re-rank within.
+
+    Scale: centroids are a tiny broadcastable table (n_cells rows);
+    the candidate join equi-joins on the cell id so only probed cells
+    shuffle. Swap `label` for a k-means assignment to get classic IVF —
+    the plan shape (centroid broadcast + cell equi-join) is identical.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    elem = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent_rows = (
+        elem.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("avgv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avgv"))), lambda s: s.avgv
+            ).alias("cemb")
+        )
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent_rows.withColumnRenamed("label", "clabel")))
+        .select(
+            "qid",
+            "clabel",
+            F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"),
+        )
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("clabel"))
+            ),
+        )
+        .where(F.col("prk") <= 2)
+        .select("qid", F.col("clabel").alias("plabel"))
+    )
+    scored = (
+        q.join(probe, "qid")
+        .join(e, (F.col("label") == F.col("plabel")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )

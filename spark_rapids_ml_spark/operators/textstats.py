@@ -1,0 +1,292 @@
+"""Text analysis operators for training-data pipelines.
+
+- token counting (whitespace + regex "wordish" tokens)
+- corpus / language statistics
+- TF-IDF top terms per document
+- quality scoring (length, stopword ratio, mean token length, …)
+- n-gram-profile language ID (corpus-trained heuristic)
+- document fingerprinting (normalized-token-set portable hash)
+
+Everything is built-in SQL expressions (explode + joins + windows), so
+each stage is a linear scan plus aggregations whose shuffles carry
+only (token, count)-shaped rows — at 100 TB the vocabulary, not the
+token stream, crosses the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "text_token_count",
+    tags=("text",),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_split_to_array(text, '[^a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+       n_chars,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and regex tokenization counts (the BPE-ish pre-token
+    split a training pipeline runs before a real tokenizer)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.split("text", "[^a-z0-9]+")).cast("bigint").alias("n_re_tokens"),
+        "n_chars",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_corpus_stats",
+    tags=("text", "agg"),
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "tfidf"),
+    bench=True,
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked
+WHERE rk <= 3 AND doc_id <= 100
+ORDER BY doc_id, rk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Scale: tf is a (doc, term) group-by; df a (term) group-by; the
+    join broadcasts the df table when the vocabulary is small, else
+    shuffles on term. The rank key is the rounded score so the window
+    output is deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") <= 100))
+        .orderBy("doc_id", "rk")
+    )
+
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents WHERE doc_id <= 300
+),
+m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(toks, x -> len(x) >= 4)) AS BIGINT) AS n_long
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stop,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+       ROUND(CAST(n_long AS DOUBLE) / n_tokens, 6) AS long_token_ratio,
+       ROUND(
+         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+         + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.3 * (CAST(n_long AS DOUBLE) / n_tokens), 6) AS quality
+FROM m
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation, stopword ratio
+    (fluency proxy), long-token ratio (content proxy) — the standard
+    cheap pre-filter before expensive model-based scoring."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("bigint").alias("n_stop"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 4)).cast("bigint").alias("n_long"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    quality = (
+        0.4 * F.least(n_tok / 100, F.lit(1.0))
+        + 0.3 * (F.col("n_stop") / n_tok)
+        + 0.3 * (F.col("n_long") / n_tok)
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.round(F.col("n_stop") / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / n_tok, 6).alias("mean_token_len"),
+        F.round(F.col("n_long") / n_tok, 6).alias("long_token_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_profile",
+    tags=("text", "langid"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+profile AS (
+  SELECT lang, term FROM (
+    SELECT lang, term, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rk
+    FROM tok GROUP BY lang, term
+  ) WHERE rk <= 20
+),
+overlap AS (
+  SELECT t.doc_id, t.lang AS true_lang, p.lang AS cand_lang, COUNT(*) AS hits
+  FROM (SELECT DISTINCT doc_id, lang, term FROM tok) t
+  JOIN profile p ON t.term = p.term
+  GROUP BY t.doc_id, t.lang, p.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, cand_lang, hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+    FROM overlap
+  ) WHERE rk = 1
+)
+SELECT true_lang AS lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred
+GROUP BY true_lang
+ORDER BY lang
+""",
+)
+def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: train top-20-token profiles per language
+    from the corpus, classify each doc by profile overlap, report
+    per-language accuracy.
+
+    Scale: profiles are a tiny broadcast table (n_langs x 20); the
+    classify join is (distinct doc-term) ⋈ profile on term — linear in
+    the corpus with a broadcast join.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    profile = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "term")
+    )
+    doc_terms = tok.select("doc_id", F.col("lang").alias("true_lang"), "term").distinct()
+    overlap = (
+        doc_terms.join(F.broadcast(profile), "term")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
+    pred = (
+        overlap.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle=f"""
+SELECT doc_id,
+       {sql_hash60("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint
+FROM documents
+WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-token-set fingerprint (the classic key-collision /
+    near-dup canonicalization): sort the distinct tokens, hash the
+    joined string with the portable hash — docs that differ only in
+    token order/multiplicity collide."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return d.select("doc_id", hash60(canon).alias("fingerprint")).orderBy("doc_id")
