@@ -1,0 +1,123 @@
+"""Declared queries for the ML (PCA) surface.
+
+The covariance matrix and mean vector are SQL-expressible, so the
+distributed linear-algebra path is cross-checked against DuckDB
+(covar_samp / avg over unnested vector elements) — the strongest
+check available for the reference-parity core. The eigen-stage
+outputs (components, explained variance) are rows-only here and
+verified against a numpy oracle in tests/test_pca.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from spark_rapids_ml_spark.ml.pca import PCA, compute_covariance
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+_SQL_ELEM = """
+  SELECT vec_id, u.pos, u.val
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings) e
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(emb))), unnest(emb)
+  ) u(pos, val)
+"""
+
+
+@register(
+    "pca_mean_vector",
+    tags=("ml", "pca"),
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM})
+SELECT CAST(pos - 1 AS BIGINT) AS dim, ROUND(AVG(val), 6) AS mean_val
+FROM elem GROUP BY pos ORDER BY dim
+""",
+)
+def pca_mean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's distributed column-mean (pass 1 of PCA fit,
+    parity with Statistics.colStats, RapidsRowMatrix.scala:152-166)."""
+    e = load(spark, sf_dir, "embeddings")
+    _cov, mean, _n = compute_covariance(e, "embedding", mean_centering=True)
+    rows = [(int(i), float(round(v, 6))) for i, v in enumerate(mean)]
+    schema = StructType(
+        [StructField("dim", LongType()), StructField("mean_val", DoubleType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "pca_covariance_matrix",
+    tags=("ml", "pca"),
+    bench=True,
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM})
+SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+       ROUND(covar_samp(a.val, b.val), 6) AS cov
+FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+ORDER BY i, j
+""",
+)
+def pca_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance (mapInPandas Gram partials + distributed
+    sum) vs DuckDB covar_samp over every element pair — the direct
+    correctness gate for the reference's computeCovariance
+    (RapidsRowMatrix.scala:149-257). Upper triangle only (symmetric).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cov, _mean, _n = compute_covariance(e, "embedding", mean_centering=True)
+    n = cov.shape[0]
+    rows = [
+        (int(i), int(j), float(round(cov[i, j], 6)))
+        for i in range(n)
+        for j in range(i, n)
+    ]
+    schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("cov", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register("pca_explained_variance", tags=("ml", "pca"), oracle=None)
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 explained-variance ratios (eigen stage; numpy-oracle in
+    tests/test_pca.py — not SQL-expressible)."""
+    e = load(spark, sf_dir, "embeddings")
+    model = PCA(k=8, input_col="embedding").fit(e)
+    rows = [
+        (int(i), float(round(v, 6)), float(round(r, 6)))
+        for i, (v, r) in enumerate(
+            zip(model.explained_variance, model.explained_variance_ratio)
+        )
+    ]
+    schema = StructType(
+        [
+            StructField("component", LongType()),
+            StructField("variance", DoubleType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register("pca_transform_topk", tags=("ml", "pca"), bench=True, oracle=None)
+def pca_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit k=8 PCA on embeddings and project every vector (batched
+    pandas_udf GEMM); output the first two sign-stable components.
+    Rows-only check here; exact numpy parity in tests/test_pca.py."""
+    e = load(spark, sf_dir, "embeddings")
+    model = PCA(k=8, input_col="embedding", output_col="proj").fit(e)
+    out = model.transform(e)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("proj", 1), 4).alias("pc1"),
+        F.round(F.element_at("proj", 2), 4).alias("pc2"),
+    ).orderBy("vec_id")
