@@ -1,0 +1,291 @@
+"""Structured Streaming surface over the events table.
+
+Each declared query actually runs a streaming pipeline — readStream
+from the parquet source, trigger(availableNow), in-memory sink — and
+returns the materialized result. The DuckDB oracle is the equivalent
+*batch* query, i.e. every entry is a stream-vs-batch equivalence
+check (the strongest determinism oracle streaming admits).
+
+Scale notes: these pipelines run unchanged against a real unbounded
+source (kafka/files): watermarks bound state, window aggregations
+shuffle on (window, key), and applyInPandasWithState keeps per-key
+state in the state store. availableNow is the backfill trigger one
+would use for reprocessing 100 TB of history with the same code.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load, table_path
+
+_CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file-stream source requires a *directory*; expose the single
+    events.parquet through a symlinked dir under the repo's .tmp."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/root/repo/.tmp/stream_src/{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events parquet with the batch-inferred schema; ts
+    arrives as raw nanos (see sources.catalog) → timestamp[us]."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute with trigger(availableNow) into a memory sink; block
+    until all available data is processed; return the result table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    tags=("streaming",),
+    bench=True,
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts + sums with a 1h watermark —
+    stream output must equal the batch date_trunc aggregation."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    tags=("streaming",),
+    oracle="""
+WITH starts AS (
+  SELECT event_id, value,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM starts
+GROUP BY ws
+ORDER BY window_start
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h window, 1h slide: every event lands in 2 windows;
+    batch oracle materializes both window starts per event."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "avg_value",
+    ).orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    tags=("streaming",),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         -- Spark's session window end is exclusive: a gap of exactly
+         -- 30min starts a NEW session, hence >= not >
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — the stateful merging
+    window operator; batch oracle is the classic lag/cumsum islands
+    rewrite. Session semantics: a session extends while consecutive
+    events are <= gap apart."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (event_type, user_id) then count —
+    state-store dedup must equal batch DISTINCT."""
+    s = _read_stream(spark, sf_dir)
+    dedup = s.select("event_type", "user_id").dropDuplicates(["event_type", "user_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
+    res = _run_to_memory(agg, "complete")
+    return res.orderBy("event_type")
+
+
+@register(
+    "stream_stateful_user_stats",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(MAX(value), 6) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id <= 50
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, max, sum) kept in the state store; final state
+    must equal the batch aggregation.
+
+    Scale: state is O(distinct users); the state store shuffles on
+    user_id and checkpoints incrementally — the standard pattern for
+    billions-of-keys running aggregates.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("total_value_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", DoubleType()),
+            StructField("tot_cents", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx, tot_cents = state.get if state.exists else (0, float("-inf"), 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                # exact money arithmetic in integer cents (mirrors the
+                # engine-wide decimal discipline)
+                tot_cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, mx, tot_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "total_value_cents": [tot_cents],
+            }
+        )
+
+    s = _read_stream(spark, sf_dir).where(F.col("user_id") <= 50)
+    stateful = s.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    res = _run_to_memory(stateful, "update")
+    # keep the latest state per user (update mode appends each revision)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("max_value", 6).alias("max_value"),
+            (F.col("total_value_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
