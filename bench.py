@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set is every registry entry flagged bench=True — one per
+operator family (scan+agg, join, window, dedup, LSH, TF-IDF, PCA,
+streaming) — executed once after a warm-up query so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_rapids_ml_spark.registry import all_queries
+from spark_rapids_ml_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+
+    # warm-up: JVM + Arrow + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # full materialization
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,17 @@ def tokens(col: str = "text") -> Column:
 SQL_TOKENS = "string_split(text, ' ')"
 
 
-def shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct n-token shingles; docs shorter than n yield one
-    whole-text shingle (both engines agree on this degenerate case)."""
-    t = tokens(col)
+def shingles(toks_col: str = "toks", n: int = 3) -> Column:
+    """Distinct n-token shingles over a *materialized* token-array
+    column; docs shorter than n yield one whole-text shingle (both
+    engines agree on this degenerate case).
+
+    IMPORTANT: pass a column that already holds the token array (e.g.
+    ``F.split(text).alias("toks")`` in a prior select). Inlining the
+    split sub-expression here would re-evaluate it per array element
+    inside the transform lambda — O(tokens²) per document.
+    """
+    t = F.col(toks_col)
     core = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),

@@ -33,24 +33,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 MAX_COLS = 65535  # RapidsRowMatrix.scala:147 — O(n²) driver matrix bound
-
-_PARTIAL_SCHEMA = StructType(
-    [
-        StructField("n", LongType()),
-        StructField("colsum", ArrayType(DoubleType())),
-        StructField("gram", ArrayType(DoubleType())),
-    ]
-)
-
 
 def _as_matrix(series: pd.Series) -> np.ndarray:
     """Stack an Arrow list column into a dense float64 matrix — the
@@ -58,10 +43,9 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.vstack(series.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
 
 
-def _partials(df: DataFrame, input_col: str, mean: np.ndarray | None) -> DataFrame:
-    """One (n, colsum, gram) partial per partition; gram is centered
-    when a mean vector is supplied."""
-    mean_b = None if mean is None else mean.copy()
+def _partials(df: DataFrame, input_col: str) -> DataFrame:
+    """One flat partial per partition: [n, colsum(n), gram(n²)] packed
+    into a single array so the whole reduction is ONE aggregation job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -71,44 +55,37 @@ def _partials(df: DataFrame, input_col: str, mean: np.ndarray | None) -> DataFra
             if len(pdf) == 0:
                 continue
             x = _as_matrix(pdf[input_col])
-            if mean_b is not None:
-                x = x - mean_b
             n += x.shape[0]
             cs = x.sum(axis=0)
             gr = x.T @ x  # the per-batch GEMM (reference: cuBLAS dgemm)
             s = cs if s is None else s + cs
             g = gr if g is None else g + gr
         if n > 0:
-            yield pd.DataFrame(
-                {"n": [n], "colsum": [s.tolist()], "gram": [g.ravel().tolist()]}
-            )
+            packed = np.concatenate(([float(n)], s, g.ravel()))
+            yield pd.DataFrame({"packed": [packed.tolist()]})
 
-    return df.select(input_col).mapInPandas(run, _PARTIAL_SCHEMA)
+    return df.select(input_col).mapInPandas(
+        run, StructType([StructField("packed", ArrayType(DoubleType()))])
+    )
 
 
 def _sum_partials(partials: DataFrame, n_cols: int) -> tuple[int, np.ndarray, np.ndarray]:
-    """Distributed elementwise sum of the partials via posexplode +
-    group-by — Spark's partial+final aggregation is the treeReduce."""
-    total_n = partials.agg(F.sum("n")).collect()[0][0]
-    summed = (
-        partials.select(F.posexplode("gram").alias("idx", "val"))
+    """Distributed elementwise sum of the packed partials via
+    posexplode + group-by — Catalyst's partial+final aggregation is
+    the treeReduce (RapidsRowMatrix.scala:201), in one job."""
+    rows = (
+        partials.select(F.posexplode("packed").alias("idx", "val"))
         .groupBy("idx")
         .agg(F.sum("val").alias("s"))
         .collect()
     )
-    gram = np.zeros(n_cols * n_cols)
-    for row in summed:
-        gram[row["idx"]] = row["s"]
-    csum = (
-        partials.select(F.posexplode("colsum").alias("idx", "val"))
-        .groupBy("idx")
-        .agg(F.sum("val").alias("s"))
-        .collect()
-    )
-    colsum = np.zeros(n_cols)
-    for row in csum:
-        colsum[row["idx"]] = row["s"]
-    return int(total_n), colsum, gram.reshape(n_cols, n_cols)
+    flat = np.zeros(1 + n_cols + n_cols * n_cols)
+    for row in rows:
+        flat[row["idx"]] = row["s"]
+    n = int(round(flat[0]))
+    colsum = flat[1 : 1 + n_cols]
+    gram = flat[1 + n_cols :].reshape(n_cols, n_cols)
+    return n, colsum, gram
 
 
 def sign_flip(pc: np.ndarray) -> np.ndarray:
@@ -125,9 +102,14 @@ def sign_flip(pc: np.ndarray) -> np.ndarray:
 
 
 def compute_covariance(df: DataFrame, input_col: str, mean_centering: bool = True):
-    """Distributed sample covariance (ddof=1). Two passes mirroring the
-    reference: colStats mean (RapidsRowMatrix.scala:152-166) then a
-    centered Gram (GEMM path, RapidsRowMatrix.scala:168-201).
+    """Distributed sample covariance (ddof=1) in a SINGLE scan.
+
+    The reference runs two jobs (colStats mean, then centered Gram,
+    RapidsRowMatrix.scala:152-201); here the raw moments (n, Σx, ΣxxᵀT)
+    are gathered in one pass and centered algebraically on the driver:
+    Σ(x−μ)(x−μ)ᵀ = Σxxᵀ − n·μμᵀ (exact identity; float64 is ample for
+    data whose mean/σ ratio is sane — at 100 TB one fewer full scan
+    halves the fit cost).
 
     Returns (cov: n×n ndarray, mean: n ndarray, n_rows: int).
     """
@@ -138,22 +120,15 @@ def compute_covariance(df: DataFrame, input_col: str, mean_centering: bool = Tru
     if n_cols > MAX_COLS:
         raise ValueError(f"n_cols {n_cols} exceeds bound {MAX_COLS}")
 
-    if mean_centering:
-        p1 = _partials(df, input_col, mean=None)
-        n_rows, colsum, _gram_unused = _sum_partials(
-            p1.select("n", "colsum", F.array(F.lit(0.0)).alias("gram")), n_cols
-        )
-        mean = colsum / n_rows
-    else:
-        mean = np.zeros(n_cols)
-        n_rows = None
-
-    p2 = _partials(df, input_col, mean=mean if mean_centering else None)
-    n_rows2, _cs, gram = _sum_partials(p2, n_cols)
-    n_rows = n_rows2 if n_rows is None else n_rows
+    n_rows, colsum, gram = _sum_partials(_partials(df, input_col), n_cols)
     if n_rows < 2:
         raise ValueError("need at least 2 rows")
-    cov = gram / (n_rows - 1)
+    mean = colsum / n_rows
+    if mean_centering:
+        cov = (gram - n_rows * np.outer(mean, mean)) / (n_rows - 1)
+    else:
+        cov = gram / (n_rows - 1)
+        mean = np.zeros(n_cols)
     return cov, mean, n_rows
 
 

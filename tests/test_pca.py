@@ -63,9 +63,16 @@ def test_covariance_matches_numpy(spark, small_df):
 def test_fit_small_matches_numpy(spark, small_df):
     model = PCA(k=3, input_col="features").fit(small_df)
     pc, var, ratio = numpy_pca(SMALL, 3)
-    np.testing.assert_allclose(model.pc, pc, atol=ABS_TOL)
+    # 3 samples → rank-2 covariance: components 1-2 are determined and
+    # must match exactly (incl. sign); component 3 spans the null space
+    # (eigenvalue ~0) where any orthonormal basis vector is valid.
+    np.testing.assert_allclose(model.pc[:, :2], pc[:, :2], atol=ABS_TOL)
     np.testing.assert_allclose(model.explained_variance, var, atol=ABS_TOL)
     np.testing.assert_allclose(model.explained_variance_ratio, ratio, atol=ABS_TOL)
+    cov = np.cov(SMALL.T, ddof=1)
+    v3 = model.pc[:, 2]
+    np.testing.assert_allclose(cov @ v3, np.zeros(5), atol=ABS_TOL)  # null vector
+    np.testing.assert_allclose(model.pc.T @ model.pc, np.eye(3), atol=ABS_TOL)
 
 
 def test_transform_small_matches_numpy(spark, small_df):
