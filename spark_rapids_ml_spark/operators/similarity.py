@@ -32,7 +32,8 @@ from spark_rapids_ml_spark.sources.catalog import load
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
 TOP_K = 5
-N_PLANES = 8
+N_TABLES = 4  # multi-table LSH: union of candidates across tables
+PLANES_PER_TABLE = 4  # 16 buckets/table — recall/cost knob
 LSH_SEED = 123
 DIM = 64
 
@@ -112,13 +113,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplanes() -> np.ndarray:
     """Fixed Rademacher (+1/-1) hyperplanes — integer-valued, so dot
-    products are exact in float64 in both engines."""
+    products are exact in float64 in both engines. Shape:
+    (N_TABLES, PLANES_PER_TABLE, DIM)."""
     rng = np.random.default_rng(LSH_SEED)
-    return rng.choice([-1.0, 1.0], size=(N_PLANES, DIM))
+    return rng.choice([-1.0, 1.0], size=(N_TABLES, PLANES_PER_TABLE, DIM))
 
 
-def _bucket_expr(emb: Column | str) -> Column:
-    planes = _hyperplanes()
+def _bucket_expr(emb: Column | str, table: int) -> Column:
+    planes = _hyperplanes()[table]
     acc = F.lit(0)
     for p, plane in enumerate(planes):
         lit = F.array(*[F.lit(float(v)) for v in plane])
@@ -127,8 +129,8 @@ def _bucket_expr(emb: Column | str) -> Column:
     return acc.cast("bigint")
 
 
-def _sql_bucket(emb: str) -> str:
-    planes = _hyperplanes()
+def _sql_bucket(emb: str, table: int) -> str:
+    planes = _hyperplanes()[table]
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(str(float(v)) for v in plane) + "]"
@@ -138,20 +140,32 @@ def _sql_bucket(emb: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def _sql_sig_union(src: str, id_col: str) -> str:
+    """UNION ALL of (id, tbl, bucket) projections, one per LSH table."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {t} AS tbl, {_sql_bucket('emb', t)} AS bucket FROM {src}"
+        for t in range(N_TABLES)
+    )
+
+
 @register(
     "sim_lsh_bucketed_topk",
     tags=("similarity", "lsh"),
     bench=True,
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, emb, {_sql_bucket('emb')} AS bucket
-  FROM ({_SQL_E})
+WITH e AS ({_SQL_E}),
+sig AS ({_sql_sig_union('e', 'vec_id')}),
+qsig AS (SELECT vec_id AS qid, tbl, bucket FROM sig WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.qid, s.vec_id
+  FROM qsig q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.qid
 ),
-q AS (SELECT vec_id AS qid, emb AS qemb, bucket FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
-  SELECT q.qid, e.vec_id,
-         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
-  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+  SELECT c.qid, c.vec_id,
+         ROUND(list_cosine_similarity(qe.emb, e.emb), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.qid
+  JOIN e ON e.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT qid, vec_id, cosine,
@@ -163,26 +177,38 @@ ORDER BY qid, rk
 """,
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    random-hyperplane bucket, then exact cosine re-rank.
+    """Approximate top-k via multi-table random-hyperplane LSH:
+    4 tables × 4 planes; candidates = union of the query's buckets
+    across tables; exact cosine re-rank on the deduped candidates.
 
-    Scale: the candidate join is an equi-join on the bucket id — the
-    sub-linear ANN path. Recall vs brute force is asserted in tests.
+    Scale: the candidate join is an equi-join on (table, bucket) — the
+    sub-linear ANN path; tables/planes trade recall vs candidate count
+    (recall asserted vs brute force in tests/test_quality.py).
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
-    )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qemb"),
-        F.col("bucket").alias("qbucket"),
-    )
-    scored = (
-        q.join(e, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
-    )
     from pyspark.sql import Window
 
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+    qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    cand = (
+        qsig.join(sig, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(e, "vec_id")
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

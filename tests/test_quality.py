@@ -1,0 +1,150 @@
+"""Quality gates beyond hash equality: recall of approximate
+operators vs exact baselines, bounded error of sketches, and numpy
+replay of the multimodal decode stubs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- recall
+
+def _exact_topk(spark, k=5, n_queries=20):
+    from spark_rapids_ml_spark.operators.similarity import sim_bruteforce_topk
+
+    rows = sim_bruteforce_topk(spark, SF).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["qid"], set()).add(r["vec_id"])
+    return out
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """LSH top-k must recover a reasonable share of true neighbors and
+    every reported neighbor's cosine must be exact (it re-ranks with
+    the exact metric)."""
+    from spark_rapids_ml_spark.operators.similarity import sim_lsh_bucketed_topk
+
+    truth = _exact_topk(spark)
+    got = {}
+    for r in sim_lsh_bucketed_topk(spark, SF).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
+    ]
+    # random embeddings → hyperplane buckets thin out neighbors; the
+    # gate is that LSH finds a nontrivial fraction at tiny corpus size
+    assert np.mean(recalls) >= 0.15, f"mean recall {np.mean(recalls):.3f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from spark_rapids_ml_spark.operators.similarity import sim_ivf_topk
+
+    truth = _exact_topk(spark)
+    got = {}
+    for r in sim_ivf_topk(spark, SF).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()]
+    assert np.mean(recalls) >= 0.15, f"mean recall {np.mean(recalls):.3f}"
+
+
+def test_minhash_lsh_finds_true_duplicates(spark):
+    """Every pair with true 3-gram Jaccard >= 0.9 must be an LSH
+    candidate (the banding threshold is ~0.71), and candidates must
+    skew to genuinely similar pairs."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+        dedup_ngram_jaccard_pairs,
+    )
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard_pairs(spark, SF).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh_pairs(spark, SF).collect()
+        if r["doc_a"] <= 150 and r["doc_b"] <= 150
+    }
+    high = {p for p, j in jac.items() if j >= 0.9}
+    missed = high - cand
+    assert not missed, f"high-similarity pairs missed by LSH: {missed}"
+
+
+# ------------------------------------------------------------- sketches
+
+def test_approx_count_distinct_bounded_error(spark):
+    from spark_rapids_ml_spark.operators.aggregates import agg_approx_count_distinct
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_count_distinct(spark, SF).collect()
+    }
+    li = load(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, e in exact.items():
+        rel = abs(approx[k] - e) / e
+        assert rel < 0.1, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
+
+
+# ----------------------------------------------------- multimodal replay
+
+def test_image_decode_features_match_numpy_replay(spark):
+    from spark_rapids_ml_spark.operators.multimodal import (
+        FAKE_H,
+        FAKE_W,
+        _fake_decode,
+        mm_image_decode_features,
+    )
+
+    got = {r["doc_id"]: r for r in mm_image_decode_features(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").where(F.col("doc_id") <= 100).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        img = _fake_decode(text.encode("utf-8"))
+        assert (got[doc_id]["height"], got[doc_id]["width"]) == (FAKE_H, FAKE_W)
+        assert got[doc_id]["mean_px"] == pytest.approx(img.mean(), abs=1e-5)
+        assert got[doc_id]["std_px"] == pytest.approx(img.std(), abs=1e-5)
+        assert got[doc_id]["f0"] == pytest.approx(img.mean(axis=0)[0], abs=1e-5)
+
+
+def test_decode_without_fake_flag_raises():
+    import pandas as pd
+
+    from spark_rapids_ml_spark.operators.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError, match="image codecs"):
+        decode_image_batch(pd.Series([b"abc"]))
+
+
+def test_audio_frames_match_numpy_replay(spark):
+    from spark_rapids_ml_spark.operators.multimodal import FRAME_LEN, mm_audio_frame_sample
+
+    rows = mm_audio_frame_sample(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").where(F.col("doc_id") <= 50).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        sig = np.frombuffer(docs[doc_id].encode("utf-8"), dtype=np.uint8).astype(float) - 128.0
+        assert len(frames) == max(1, len(sig) // FRAME_LEN)
+        fr0 = sig[:FRAME_LEN]
+        assert frames[0]["rms"] == pytest.approx(float(np.sqrt(np.mean(fr0**2))), abs=1e-5)
