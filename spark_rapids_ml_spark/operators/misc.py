@@ -1,0 +1,105 @@
+"""Remaining declared-surface rows: map columns, null-ordered sorts,
+limit/offset pagination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "map_funcs",
+    tags=("map",),
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         map(['lang', 'src'], [lang, source]) AS meta,
+         map(['chars'], [n_chars]) AS stats
+  FROM documents WHERE doc_id <= 100
+)
+SELECT doc_id,
+       meta['lang'][1] AS lang_val,
+       meta['src'][1] AS src_val,
+       CAST(stats['chars'][1] AS BIGINT) AS chars_val,
+       array_to_string(list_sort(map_keys(meta)), ',') AS meta_keys,
+       CAST(len(map_values(meta)) AS BIGINT) AS n_vals
+FROM m
+ORDER BY doc_id
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType columns: build, element access, map_keys/map_values."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    m = d.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+        ).alias("meta"),
+        F.create_map(F.lit("chars"), F.col("n_chars")).alias("stats"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("meta")["lang"].alias("lang_val"),
+        F.col("meta")["src"].alias("src_val"),
+        F.col("stats")["chars"].cast("bigint").alias("chars_val"),
+        F.array_join(F.array_sort(F.map_keys("meta")), ",").alias("meta_keys"),
+        F.size(F.map_values("meta")).cast("bigint").alias("n_vals"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sort_nulls_ordering",
+    tags=("sort",),
+    oracle="""
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       CAST(c_acctbal AS DOUBLE) AS bal
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY seg_or_null ASC NULLS FIRST, bal DESC, c_custkey
+""",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement (NULLS FIRST) and a
+    unique tiebreak key — total order, so even the row *order* is the
+    same cross-engine (the harness also re-sorts, but plans relying on
+    sorted output get the real contract)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).orderBy(
+        F.col("seg_or_null").asc_nulls_first(),
+        F.col("bal").desc(),
+        F.col("c_custkey"),
+    )
+
+
+@register(
+    "limit_offset_page",
+    tags=("sort", "limit"),
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: total ORDER BY + OFFSET/LIMIT (page 3 of 20).
+
+    Scale: Spark executes sort+limit as TakeOrderedAndProject for
+    small limits — no global sort materialization.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )

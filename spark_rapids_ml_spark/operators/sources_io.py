@@ -1,0 +1,134 @@
+"""Source/sink surface beyond parquet scans: CSV and JSON read/write
+round-trips, parquet sink re-read, in-memory createDataFrame.
+
+Each declared query writes a derived dataset to the repo-local .tmp
+sink area, reads it back through the matching source, and returns a
+result the DuckDB oracle reproduces from the *original* table — so
+the check covers serialization fidelity (types, timestamps, quoting),
+not just the transform.
+
+Scale notes: writes go through df.write (distributed, one file per
+partition); .repartition(1) appears only to keep the tiny test sinks
+tidy — a real 100 TB sink would keep the natural partitioning and/or
+partitionBy() on a date column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+SINK_ROOT = "/root/repo/.tmp/sinks"
+
+
+def _sink(name: str, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(SINK_ROOT, tag, name)
+
+
+@register(
+    "source_parquet_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > 7000
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def source_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink → source round-trip: filter, write, re-read, agg."""
+    path = _sink("customer_hot_parquet", sf_dir)
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 7000)
+    c.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+SELECT n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_name
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema-explicit CSV read (header, explicit types —
+    never inferSchema in production paths)."""
+    path = _sink("nation_csv", sf_dir)
+    n = load(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name", "n_regionkey").repartition(1).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(path)
+    )
+    return back.select("n_name", F.col("n_regionkey").cast("bigint")).orderBy("n_name")
+
+
+@register(
+    "source_json_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+SELECT r_name, CAST(r_regionkey AS BIGINT) AS r_regionkey
+FROM region
+ORDER BY r_regionkey
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema-explicit JSON read."""
+    path = _sink("region_json", sf_dir)
+    r = load(spark, sf_dir, "region")
+    r.repartition(1).write.mode("overwrite").json(path)
+    back = spark.read.schema("r_regionkey INT, r_name STRING").json(path)
+    return back.select("r_name", F.col("r_regionkey").cast("bigint")).orderBy("r_regionkey")
+
+
+@register(
+    "source_inmemory_createdataframe",
+    tags=("source",),
+    oracle="""
+SELECT b.band, COUNT(*) AS n
+FROM customer c
+JOIN (VALUES ('low', 0.0, 3000.0), ('mid', 3000.0, 7000.0), ('high', 7000.0, 100000.0))
+     b(band, lo, hi)
+  ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+)
+def source_inmemory_createdataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side literal table (createDataFrame) joined to a scan —
+    the broadcast-a-config-table pattern (banding, mappings)."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 3000.0), ("mid", 3000.0, 7000.0), ("high", 7000.0, 100000.0)],
+        ["band", "lo", "hi"],
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(bands),
+            (c.c_acctbal >= bands.lo) & (c.c_acctbal < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )

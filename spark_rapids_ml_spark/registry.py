@@ -59,11 +59,13 @@ def load_all_modules() -> None:
         arrays_json,
         dedup,
         joins,
+        misc,
         multimodal,
         relational,
         scalar_funcs,
         setops,
         similarity,
+        sources_io,
         subqueries,
         textstats,
         windows,

@@ -1,0 +1,121 @@
+"""Physical-plan assertions — the 100 TB safety checks.
+
+Correct results are necessary but not sufficient: these tests pin the
+*plan shapes* that make the queries scale — predicate pushdown into
+the parquet scan, column pruning, broadcast joins for dimensions,
+map-side partial aggregation, window group-limit pushdown, and
+whole-stage codegen on the hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    """Q6's predicates must reach the parquet reader and the scan must
+    read only the 4 referenced columns."""
+    from spark_rapids_ml_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF)
+    txt = formatted(df)
+    assert "PushedFilters: [" in txt
+    assert "l_shipdate" in txt.split("PushedFilters:")[1][:400]
+    read_schema = txt.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in read_schema, f"column {col} not pruned"
+
+
+def test_broadcast_join_for_dimensions(spark):
+    """q5's region/nation joins must be broadcast (no shuffle of the
+    fact side for bounded dims)."""
+    from spark_rapids_ml_spark.operators.relational import q5_local_supplier_volume
+
+    assert "BroadcastHashJoin" in plan_of(q5_local_supplier_volume(spark, SF))
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q1 must plan two-phase hash aggregation (partial map-side, then
+    final after exchange) — the property that makes low-cardinality
+    group-bys O(bytes-scanned) at any scale."""
+    from spark_rapids_ml_spark.operators.relational import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_window_group_limit(spark):
+    """The rn<=5 filter must push into the window sort as a group
+    limit so each partition keeps k rows pre-shuffle."""
+    from spark_rapids_ml_spark.operators.windows import window_topk_per_group
+
+    assert "WindowGroupLimit" in plan_of(window_topk_per_group(spark, SF))
+
+
+def test_global_sort_limit_is_take_ordered(spark):
+    """ORDER BY + LIMIT must not materialize a global sort."""
+    from spark_rapids_ml_spark.operators.relational import q3_shipping_priority
+
+    assert "TakeOrderedAndProject" in plan_of(q3_shipping_priority(spark, SF))
+
+
+def test_whole_stage_codegen_on_scan_agg(spark):
+    from spark_rapids_ml_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF)
+    txt = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "Found" in txt and "WholeStageCodegen subtrees" in txt
+    assert not txt.startswith("Found 0")
+
+
+def test_semi_anti_joins_planned_as_joins(spark):
+    """EXISTS/NOT EXISTS must decorrelate to semi/anti joins, never
+    per-row subquery re-execution."""
+    from spark_rapids_ml_spark.operators.subqueries import (
+        subquery_exists_correlated,
+        subquery_not_exists_correlated,
+    )
+
+    assert "LeftSemi" in plan_of(subquery_exists_correlated(spark, SF))
+    assert "LeftAnti" in plan_of(subquery_not_exists_correlated(spark, SF))
+
+
+def test_theta_join_not_nested_loop(spark):
+    """The equi-conjunct must make the range join a hash/sort-merge
+    join, not BroadcastNestedLoopJoin."""
+    from spark_rapids_ml_spark.operators.joins import join_theta_range
+
+    plan = plan_of(join_theta_range(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_join_is_equi(spark):
+    """The LSH candidate join must be an equi-join on (tbl, bucket) —
+    the sub-linear property — not a cross join."""
+    from spark_rapids_ml_spark.operators.similarity import sim_lsh_bucketed_topk
+
+    plan = plan_of(sim_lsh_bucketed_topk(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_struct_schema_pruning(spark):
+    """Nested-struct access must prune to the referenced leaves."""
+    from spark_rapids_ml_spark.operators.multimodal import mm_struct_bundle
+
+    txt = formatted(mm_struct_bundle(spark, SF))
+    read_schema = txt.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema  # body is used (length)
+    assert "doc_id" in read_schema
