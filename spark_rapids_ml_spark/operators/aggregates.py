@@ -67,7 +67,11 @@ WITH m AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n,
-       ROUND((s2 - s1*s1/n) / (n - 1), 2) AS var_samp_price,
+       -- s2's scaled integer exceeds 2^53 at sf>=0.01, so the
+       -- decimal->double cast can differ by 1 ulp between engines
+       -- (~1e-5 absolute on var). Report variance in millions and
+       -- round: drift becomes ~1e-11 against a 1e-6 grid.
+       ROUND((s2 - s1*s1/n) / (n - 1) / 1000000, 6) AS var_samp_price_m,
        ROUND(SQRT((s2 - s1*s1/n) / (n - 1)), 4) AS stddev_samp_price
 FROM m
 ORDER BY o_orderpriority
@@ -93,7 +97,7 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderpriority",
         "n",
-        F.round(var, 2).alias("var_samp_price"),
+        F.round(var / 1_000_000, 6).alias("var_samp_price_m"),
         F.round(F.sqrt(var), 4).alias("stddev_samp_price"),
     ).orderBy("o_orderpriority")
 

@@ -291,7 +291,9 @@ common AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common), 6) AS jaccard
+       -- exact int ratio: unrounded (identical IEEE division; ROUND
+       -- tie-breaks differ cross-engine on exact boundaries)
+       CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) AS jaccard
 FROM common c
 JOIN card ca ON c.doc_a = ca.doc_id
 JOIN card cb ON c.doc_b = cb.doc_id
@@ -326,7 +328,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .where(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

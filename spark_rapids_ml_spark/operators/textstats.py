@@ -152,13 +152,15 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens, n_stop,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,
-       ROUND(CAST(n_long AS DOUBLE) / n_tokens, 6) AS long_token_ratio,
-       ROUND(
-         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+       -- rational ratios of identical ints: left unrounded — both
+       -- engines produce the identical IEEE double, while ROUND's
+       -- tie-break semantics differ on exact decimal boundaries
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len,
+       CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
+       0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
          + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
-         + 0.3 * (CAST(n_long AS DOUBLE) / n_tokens), 6) AS quality
+         + 0.3 * (CAST(n_long AS DOUBLE) / n_tokens) AS quality
 FROM m
 ORDER BY doc_id
 """,
@@ -187,10 +189,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_stop",
-        F.round(F.col("n_stop") / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.col("n_chars") / n_tok, 6).alias("mean_token_len"),
-        F.round(F.col("n_long") / n_tok, 6).alias("long_token_ratio"),
-        F.round(quality, 6).alias("quality"),
+        (F.col("n_stop") / n_tok).alias("stopword_ratio"),
+        (F.col("n_chars") / n_tok).alias("mean_token_len"),
+        (F.col("n_long") / n_tok).alias("long_token_ratio"),
+        quality.alias("quality"),
     ).orderBy("doc_id")
 
 

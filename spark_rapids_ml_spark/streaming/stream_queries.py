@@ -110,7 +110,10 @@ WITH starts AS (
 )
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+       -- NOT rounded: both engines compute the identical IEEE division
+       -- of the exact decimal sum; ROUND here is the cross-engine
+       -- hazard (tie-break semantics differ on exact .5 boundaries)
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM starts
 GROUP BY ws
 ORDER BY window_start
@@ -125,8 +128,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))
             ).alias("avg_value"),
         )
     )
