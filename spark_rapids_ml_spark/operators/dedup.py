@@ -175,22 +175,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized. Threshold ≈ (1/b)^(1/r) ≈ 0.71 Jaccard.
     """
     mh = _minhash_df(spark, sf_dir)
-    band_rows = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-            for r in range(ROWS_PER_BAND)
-        ]
-        band_rows.append(
-            mh.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                hash60(F.concat_ws("_", *cols)).alias("band_key"),
+    band_keys = [
+        hash60(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionAll(extra)
+        for b in range(N_BANDS)
+    ]
+    # one posexplode projection (NOT a 4-way union, which would
+    # re-evaluate the whole shingle+hash pipeline per band); cached
+    # because the self-join consumes it twice
+    bands = mh.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    ).cache()
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (

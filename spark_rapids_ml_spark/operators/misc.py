@@ -81,6 +81,38 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_safe_equality",
+    tags=("filter", "null"),
+    oracle="""
+WITH c2 AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_a,
+         NULLIF(c_mktsegment, 'MACHINERY') AS seg_b
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT c_custkey,
+       CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN 1 ELSE 0 END AS ns_eq,
+       CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS plain_eq
+FROM c2
+ORDER BY c_custkey
+""",
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = over
+    constructed nulls — NULL <=> NULL is true, NULL = NULL is null."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    c2 = c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_a"),
+        F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("seg_b"),
+    )
+    return c2.select(
+        "c_custkey",
+        F.when(F.col("seg_a").eqNullSafe(F.col("seg_b")), 1).otherwise(0).cast("bigint").alias("ns_eq"),
+        F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).cast("bigint").alias("plain_eq"),
+    ).orderBy("c_custkey")
+
+
+@register(
     "limit_offset_page",
     tags=("sort", "limit"),
     oracle="""

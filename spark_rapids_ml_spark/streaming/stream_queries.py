@@ -100,6 +100,39 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tumbling_append_watermark",
+    tags=("streaming", "watermark"),
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM events, mx
+GROUP BY date_trunc('hour', ts), mx.max_ts
+-- append mode emits only FINALIZED windows: window_end <= watermark
+-- (= max event time - 1h delay at end-of-stream)
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= MAX(mx.max_ts) - INTERVAL 1 HOUR
+ORDER BY window_start
+""",
+)
+def stream_tumbling_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation: only windows sealed by the
+    watermark (max_event_time − 1h) are emitted — the late-data
+    contract itself, checked against a batch oracle that replicates
+    the watermark cutoff. (complete-mode variant: stream_tumbling_window.)"""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = _run_to_memory(agg, "append")
+    return res.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    ).orderBy("window_start")
+
+
+@register(
     "stream_sliding_window",
     tags=("streaming",),
     oracle="""
