@@ -1,0 +1,93 @@
+"""Scale patterns as first-class, oracle-checked operators: salted
+(two-phase) aggregation for skewed keys, and partitioned writes with
+partition-pruned reads.
+
+These exist because at 100 TB the *pattern* is the operator: a skewed
+group-by or an unpartitioned date-range scan is the difference between
+a job that finishes and one that doesn't. Each pattern is verified to
+be semantically identical to its naive form via the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+N_SALTS = 16
+
+
+@register(
+    "salted_skew_aggregation",
+    tags=("agg", "scale"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally skewed)
+    key: phase 1 aggregates on (key, salt) spreading each hot key over
+    N_SALTS reducers; phase 2 merges the per-salt partials.
+
+    Must be bit-identical to the direct group-by (the oracle): the
+    per-phase aggregates (count→sum, decimal sum→sum, max→max) are
+    exact/commutative, so salting changes only the shuffle layout.
+    (Spark's own partial aggregation solves this case too; the salt
+    pattern is for when the *reduce* side itself is the bottleneck —
+    e.g. count-distinct-like states — and is exercised here for
+    contract coverage.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)))
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("psum"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_qty"),
+            F.max("pmax").cast("double").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "partitioned_write_pruned_read",
+    tags=("sink", "scale"),
+    oracle="""
+SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'es')
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink (partitionBy lang) and a read whose
+    lang filter is satisfied by *partition pruning* — directories for
+    other languages are never opened. tests/test_plans.py asserts the
+    PartitionFilters in the scan."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join("/root/repo/.tmp/sinks", tag, "documents_by_lang")
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).where(F.col("lang").isin("en", "es"))
+    return (
+        back.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("lang", "source")
+    )

@@ -1,0 +1,108 @@
+"""The full Arrow UDF surface as declared queries.
+
+The engine's UDF tiers (all Arrow-batched; never row-at-a-time Python):
+
+- scalar ``pandas_udf``          — PCA transform (ml/pca.py)
+- ``mapInPandas``                — PCA partials, multimodal decode
+- grouped-map ``applyInPandas``  — per-group z-score (here)
+- grouped-agg ``pandas_udf``     — weighted average (here)
+- ``applyInPandasWithState``     — streaming stateful (streaming/)
+
+The two queries here have *full SQL oracles*: the numpy code inside the
+UDF is formulated so every float op is the identical IEEE computation
+DuckDB performs (decimal-exact sums, single divisions), keeping
+value-hash parity even through Python.
+
+Scale notes: applyInPandas shuffles on the group key and needs each
+group to fit in one worker's memory — fine for per-language/segment
+groups, wrong for skewed billion-row groups (pre-aggregate or use the
+salted pattern in aggregates_salted instead).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "udf_grouped_map_zscore",
+    tags=("udf",),
+    oracle="""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS s1,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       ROUND((d.n_chars - s.s1 / s.n)
+             / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS zscore
+FROM documents d JOIN s ON d.lang = s.lang
+ORDER BY d.doc_id
+""",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via applyInPandas.
+
+    Each language group arrives as one pandas DataFrame; the UDF uses
+    integer sums (exact in float64) so mean/std match the SQL oracle
+    bit-for-bit. Rounded because SQRT output feeds a division whose
+    operand order differs from the oracle's — transcendental-ish, so
+    the tie risk is measure-zero.
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = float(len(pdf))
+        x = pdf["n_chars"].astype("float64")
+        s1 = float(x.sum())  # integer-valued: exact in float64
+        s2 = float((x * x).sum())
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        z = ((x - mean) / var**0.5).round(6)
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "zscore": z})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        d.groupBy("lang")
+        .applyInPandas(zscore, "doc_id long, lang string, zscore double")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "udf_grouped_agg_weighted_avg",
+    tags=("udf",),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * c_nationkey) AS DOUBLE)
+         / SUM(c_nationkey) AS weighted_bal
+FROM customer
+WHERE c_nationkey > 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-weighted account balance via a grouped-agg pandas_udf.
+
+    The UDF works in integer cents (exact) so the single final
+    division is the identical IEEE op the oracle performs.
+    """
+
+    @F.pandas_udf("double")
+    def weighted_avg(bal: pd.Series, w: pd.Series) -> float:
+        cents = (bal * 100).round().astype("int64")  # exact money
+        num = float((cents * w.astype("int64")).sum()) / 100.0
+        return num / float(w.sum())
+
+    c = load(spark, sf_dir, "customer").where(F.col("c_nationkey") > 0)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(weighted_avg("c_acctbal", "c_nationkey").alias("weighted_bal"))
+        .orderBy("c_mktsegment")
+    )

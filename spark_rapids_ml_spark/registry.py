@@ -63,11 +63,13 @@ def load_all_modules() -> None:
         multimodal,
         relational,
         scalar_funcs,
+        scale_patterns,
         setops,
         similarity,
         sources_io,
         subqueries,
         textstats,
+        udf_surface,
         windows,
     )
     from spark_rapids_ml_spark import ml_queries  # noqa: F401

@@ -112,6 +112,19 @@ def test_lsh_candidate_join_is_equi(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_partition_pruning_on_partitioned_sink(spark):
+    """The lang filter over a partitionBy(lang) sink must appear as
+    PartitionFilters (pruned directories), not a row-level filter."""
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        partitioned_write_pruned_read,
+    )
+
+    df = partitioned_write_pruned_read(spark, SF)
+    txt = formatted(df)
+    part = txt.split("PartitionFilters:")[1][:200]
+    assert "lang" in part
+
+
 def test_struct_schema_pruning(spark):
     """Nested-struct access must prune to the referenced leaves."""
     from spark_rapids_ml_spark.operators.multimodal import mm_struct_bundle
