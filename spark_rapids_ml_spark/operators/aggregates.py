@@ -266,6 +266,81 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_linestatus")
 
 
+@register(
+    "agg_percentiles_exact",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(median(o_totalprice), 6) AS med_price,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25_price,
+       ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Both engines use linear
+    interpolation between adjacent order statistics of 2-decimal money
+    values, so the true result has ≤4 decimals — round(6) absorbs the
+    ulp-level association difference in the interpolation formula.
+
+    Scale: exact percentile needs a per-group sort — fine for bounded
+    groups; the unbounded-cardinality path is agg_approx_percentile.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.90)"), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("agg_approx_percentile", tags=("agg", "approx"), oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch percentile — the unbounded-scale path (sketches
+    merge across partitions without a sort). Rows-only check here;
+    tests/test_quality.py bounds the rank error vs the exact value."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_med"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_collect_list_sorted",
+    tags=("agg", "collect"),
+    oracle="""
+SELECT c_nationkey,
+       array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments,
+       COUNT(*) AS n_cust
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort: list aggregation made deterministic
+    (raw collect_list order is partition-dependent — never expose it)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 @register("agg_approx_count_distinct", tags=("agg", "approx"), oracle=None)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct-count — the 100 TB path for distincts.

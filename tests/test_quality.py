@@ -99,6 +99,25 @@ def test_approx_count_distinct_bounded_error(spark):
         assert rel < 0.1, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
 
 
+def test_approx_percentile_bounded_error(spark):
+    from spark_rapids_ml_spark.operators.aggregates import agg_approx_percentile
+
+    approx = {
+        r["o_orderpriority"]: r["approx_med"]
+        for r in agg_approx_percentile(spark, SF).collect()
+    }
+    o = load(spark, SF, "orders")
+    exact = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for k, e in exact.items():
+        rel = abs(approx[k] - e) / e
+        assert rel < 0.05, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
+
+
 # ----------------------------------------------------- multimodal replay
 
 def test_image_decode_features_match_numpy_replay(spark):
