@@ -25,7 +25,7 @@ SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        toks[1] AS first_tok,
        toks[-1] AS last_tok,
-       CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS has_data,
+       CAST(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS BIGINT) AS has_data,
        array_to_string(toks[1:3], '|') AS first3,
        array_to_string(list_sort(toks[1:5]), ' ') AS sorted5
 FROM t

@@ -90,8 +90,8 @@ WITH c2 AS (
   FROM customer WHERE c_custkey <= 300
 )
 SELECT c_custkey,
-       CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN 1 ELSE 0 END AS ns_eq,
-       CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS plain_eq
+       CAST(CASE WHEN seg_a IS NOT DISTINCT FROM seg_b THEN 1 ELSE 0 END AS BIGINT) AS ns_eq,
+       CAST(CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS BIGINT) AS plain_eq
 FROM c2
 ORDER BY c_custkey
 """,

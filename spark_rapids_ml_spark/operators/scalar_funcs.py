@@ -29,7 +29,7 @@ SELECT
   TRIM('  ' || c_mktsegment || ' ') AS seg_trim,
   LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
   STRPOS(c_name, '0') AS pos_zero,
-  CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+  CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS BIGINT) AS has_one,
   REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
   REVERSE(c_mktsegment) AS seg_rev
 FROM customer
@@ -64,7 +64,7 @@ SELECT
   regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
   LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_tokens,
-  CASE WHEN regexp_matches(p_type, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word
+  CAST(CASE WHEN regexp_matches(p_type, '^[a-z]+ ') THEN 1 ELSE 0 END AS BIGINT) AS starts_word
 FROM part
 WHERE p_partkey <= 500
 ORDER BY p_partkey
@@ -171,7 +171,7 @@ SELECT
        ELSE 'high' END AS bal_band,
   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<masked>') AS seg_masked,
   CAST(COALESCE(NULLIF(c_nationkey, 0), -1) AS BIGINT) AS nation_or_neg1,
-  CASE WHEN isnan(c_acctbal / NULLIF(c_nationkey, c_nationkey)) THEN 1 ELSE 0 END AS div_null_isnan,
+  CAST(CASE WHEN isnan(c_acctbal / NULLIF(c_nationkey, c_nationkey)) THEN 1 ELSE 0 END AS BIGINT) AS div_null_isnan,
   CAST(IF(c_acctbal > 5000, 1, 0) AS BIGINT) AS above_5k
 FROM customer
 WHERE c_custkey <= 400

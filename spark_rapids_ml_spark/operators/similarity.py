@@ -105,7 +105,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
@@ -211,7 +211,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
@@ -306,7 +306,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )

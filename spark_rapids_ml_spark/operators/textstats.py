@@ -128,7 +128,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where((F.col("rk") <= 3) & (F.col("doc_id") <= 100))
         .orderBy("doc_id", "rk")
     )

@@ -39,10 +39,10 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     ).orderBy("c_custkey")
 
 
@@ -205,7 +205,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.col("c_acctbal").cast("double").alias("bal"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .where(F.col("rn") <= 5)
         .orderBy("c_mktsegment", "rn")
