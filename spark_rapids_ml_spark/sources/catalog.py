@@ -41,14 +41,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # parquet stores ts as timestamp[ns], which Spark reads as raw
-        # nanos (legacy.parquet.nanosAsLong); surface as timestamp[us]
+        # parquet stores ts as timestamp[ns]; Spark 4 rejects it unless
+        # nanos are read as raw longs. Set at runtime so this works on
+        # any caller-provided session, then surface as timestamp[us].
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
