@@ -1,0 +1,138 @@
+"""Distributed Lloyd's k-means over an array<float|double> column.
+
+Per iteration: broadcast the k×d centroid matrix into an Arrow
+mapInPandas stage; each batch assigns its rows to the nearest centroid
+(vectorized numpy distance matrix) and emits per-cluster (count, sum)
+partials; a groupBy(cluster) sum merges them; the driver updates
+centroids. Deterministic: init = the k rows with the smallest id
+column (no RNG), ties impossible on a unique id.
+
+Scale: each iteration is ONE linear scan; shuffle carries k×d doubles
+per partition. State on the driver is k×d. This is exactly the plan a
+1000-executor k-means runs; k-means|| init would replace the seed rule
+at real scale (kept id-deterministic here for oracle-ability).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+# per-partition, per-cluster partial: [count, sum_0 .. sum_{d-1}]
+# (count packed into the array so ONE explode+agg merges everything)
+_ASSIGN_SCHEMA = StructType(
+    [
+        StructField("cluster", LongType()),
+        StructField("packed", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.vstack(series.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+
+
+class KMeans:
+    def __init__(
+        self,
+        k: int,
+        feature_col: str = "features",
+        id_col: str = "id",
+        max_iter: int = 10,
+        tol: float = 1e-6,
+    ):
+        self.k = k
+        self.feature_col = feature_col
+        self.id_col = id_col
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def fit(self, df: DataFrame) -> "KMeansModel":
+        feat = self.feature_col
+        # deterministic init: rows with the k smallest ids
+        seed_rows = (
+            df.select(self.id_col, feat).orderBy(self.id_col).limit(self.k).collect()
+        )
+        centroids = np.vstack([np.asarray(r[feat], dtype=np.float64) for r in seed_rows])
+
+        data = df.select(F.col(feat).cast("array<double>").alias("v"))
+        for _ in range(self.max_iter):
+            c = centroids.copy()
+
+            def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                counts = np.zeros(len(c), dtype=np.int64)
+                sums = np.zeros_like(c)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    x = _as_matrix(pdf["v"])
+                    # pairwise squared distances via the Gram trick
+                    d2 = (
+                        (x * x).sum(axis=1)[:, None]
+                        - 2 * x @ c.T
+                        + (c * c).sum(axis=1)[None, :]
+                    )
+                    lab = d2.argmin(axis=1)
+                    for j in range(len(c)):
+                        m = lab == j
+                        counts[j] += int(m.sum())
+                        if m.any():
+                            sums[j] += x[m].sum(axis=0)
+                rows = [
+                    {
+                        "cluster": j,
+                        "packed": np.concatenate(([float(counts[j])], sums[j])).tolist(),
+                    }
+                    for j in range(len(c))
+                    if counts[j] > 0
+                ]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+            merged = (
+                data.mapInPandas(assign, _ASSIGN_SCHEMA)
+                .select("cluster", F.posexplode("packed").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )
+            new_c = centroids.copy()
+            cnts = np.zeros(self.k)
+            sums = np.zeros_like(centroids)
+            for r in merged:
+                if r["dim"] == 0:
+                    cnts[r["cluster"]] = r["s"]
+                else:
+                    sums[r["cluster"], r["dim"] - 1] = r["s"]
+            for j in range(self.k):
+                if cnts[j] > 0:
+                    new_c[j] = sums[j] / cnts[j]
+            shift = float(np.abs(new_c - centroids).max())
+            centroids = new_c
+            if shift < self.tol:
+                break
+        return KMeansModel(centroids, feat)
+
+
+class KMeansModel:
+    def __init__(self, centroids: np.ndarray, feature_col: str):
+        self.centroids = centroids
+        self.feature_col = feature_col
+
+    def transform(self, df: DataFrame, output_col: str = "cluster") -> DataFrame:
+        c = self.centroids.copy()
+
+        @F.pandas_udf(LongType())
+        def assign(series: pd.Series) -> pd.Series:
+            x = _as_matrix(series)
+            d2 = (
+                (x * x).sum(axis=1)[:, None] - 2 * x @ c.T + (c * c).sum(axis=1)[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+        return df.withColumn(output_col, assign(F.col(self.feature_col)))

@@ -86,6 +86,71 @@ def pca_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "linreg_slope_1d",
+    tags=("ml", "regression"),
+    oracle="""
+SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       COUNT(*) AS n
+FROM lineitem
+""",
+)
+def linreg_slope_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 1-feature least squares (normal equations over
+    Gram partials, ml/linreg.py) vs DuckDB's regr_slope/regr_intercept
+    — SQL-oracle coverage for the regression path; the multivariate
+    case is numpy-oracled in tests/test_ml_extra.py."""
+    from spark_rapids_ml_spark.ml.linreg import LinearRegression
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.array(F.col("l_quantity").cast("double")).alias("features"),
+        F.col("l_extendedprice").alias("label"),
+    )
+    n = li.count()
+    model = LinearRegression().fit(li)
+    row = (
+        float(round(model.coefficients[0], 4)),
+        float(round(model.intercept, 4)),
+        n,
+    )
+    schema = StructType(
+        [
+            StructField("slope", DoubleType()),
+            StructField("intercept", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema)
+
+
+@register("kmeans_embedding_clusters", tags=("ml", "kmeans"), oracle=None)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, deterministic smallest-id
+    init) on the embeddings table; outputs cluster sizes and centroid
+    norms. Rows-only check; numpy-replay oracle in tests/test_ml_extra.py."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = KMeans(k=4, max_iter=8, id_col="id").fit(e)
+    assigned = model.transform(e)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    norms = [float(np.linalg.norm(c)) for c in model.centroids]
+    norm_df = spark.createDataFrame(
+        [(int(j), float(round(norms[j], 6))) for j in range(len(norms))],
+        StructType([StructField("cluster", LongType()), StructField("centroid_norm", DoubleType())]),
+    )
+    return (
+        sizes.join(norm_df, "cluster")
+        .select("cluster", "n", "centroid_norm")
+        .orderBy("cluster")
+    )
+
+
 @register("pca_explained_variance", tags=("ml", "pca"), oracle=None)
 def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 explained-variance ratios (eigen stage; numpy-oracle in

@@ -1,0 +1,100 @@
+"""Oracle tests for the extended ML surface (linear regression,
+k-means) — numpy is the oracle, mirroring the PCA test strategy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_rapids_ml_spark.ml.kmeans import KMeans
+from spark_rapids_ml_spark.ml.linreg import LinearRegression
+
+
+@pytest.fixture(scope="module")
+def reg_data(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(500, 5))
+    beta = np.array([2.0, -1.5, 0.5, 3.0, -0.25])
+    y = x @ beta + 4.2 + rng.normal(scale=0.01, size=500)
+    df = spark.createDataFrame(
+        [(i, row.tolist(), float(y[i])) for i, row in enumerate(x)],
+        ["id", "features", "label"],
+    )
+    return x, y, df
+
+
+def test_linreg_matches_numpy_lstsq(spark, reg_data):
+    x, y, df = reg_data
+    model = LinearRegression().fit(df)
+    xi = np.hstack([x, np.ones((len(x), 1))])
+    expected, *_ = np.linalg.lstsq(xi, y, rcond=None)
+    np.testing.assert_allclose(model.coefficients, expected[:5], atol=1e-6)
+    assert model.intercept == pytest.approx(expected[5], abs=1e-6)
+
+
+def test_linreg_no_intercept(spark, reg_data):
+    x, y, df = reg_data
+    model = LinearRegression(fit_intercept=False).fit(df)
+    expected, *_ = np.linalg.lstsq(x, y, rcond=None)
+    np.testing.assert_allclose(model.coefficients, expected, atol=1e-6)
+    assert model.intercept == 0.0
+
+
+def test_linreg_transform_predictions(spark, reg_data):
+    x, y, df = reg_data
+    model = LinearRegression().fit(df)
+    preds = {
+        r["id"]: r["prediction"] for r in model.transform(df).select("id", "prediction").collect()
+    }
+    expected = x @ model.coefficients + model.intercept
+    for i in (0, 123, 499):
+        assert preds[i] == pytest.approx(expected[i], abs=1e-9)
+
+
+def numpy_lloyd(x: np.ndarray, k: int, max_iter: int, tol: float) -> np.ndarray:
+    """Driver-side replay of the exact same deterministic algorithm."""
+    c = x[:k].copy()
+    for _ in range(max_iter):
+        d2 = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
+        lab = d2.argmin(1)
+        new_c = c.copy()
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                new_c[j] = x[m].mean(axis=0)
+        shift = float(np.abs(new_c - c).max())
+        c = new_c
+        if shift < tol:
+            break
+    return c
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    rng = np.random.default_rng(5)
+    # three well-separated blobs
+    x = np.vstack(
+        [
+            rng.normal(loc=(0, 0, 0), scale=0.3, size=(100, 3)),
+            rng.normal(loc=(5, 5, 0), scale=0.3, size=(100, 3)),
+            rng.normal(loc=(0, 5, 5), scale=0.3, size=(100, 3)),
+        ]
+    )
+    order = rng.permutation(len(x))
+    x = x[order]
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], ["id", "features"]
+    )
+    model = KMeans(k=3, max_iter=15, id_col="id").fit(df)
+    expected = numpy_lloyd(x, 3, 15, 1e-6)
+    np.testing.assert_allclose(np.sort(model.centroids, axis=0), np.sort(expected, axis=0), atol=1e-6)
+    # blob separation: every point lands with its blob's majority
+    out = model.transform(df).select("id", "cluster").collect()
+    labs = np.empty(len(x), dtype=int)
+    for r in out:
+        labs[r["id"]] = r["cluster"]
+    # points from the same generative blob must share a cluster
+    inv = np.argsort(order)
+    for blob in range(3):
+        blob_labels = labs[inv[blob * 100 : (blob + 1) * 100]]
+        assert len(set(blob_labels.tolist())) == 1
