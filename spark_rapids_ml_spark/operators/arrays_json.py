@@ -138,6 +138,43 @@ def array_higher_order_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_set_ops",
+    tags=("array",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1:10] AS a,
+         string_split(text, ' ')[6:15] AS b
+  FROM documents WHERE doc_id <= 100
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS inter,
+       CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS union_size,
+       array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ',') AS a_minus_b,
+       array_to_string(flatten([a[1:2], b[1:2]]), ',') AS flat_heads
+FROM t
+ORDER BY doc_id
+""",
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect/union/except/flatten over token
+    slices (cross-engine: results canonicalized by sort+distinct)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    t = d.select(
+        "doc_id",
+        F.slice(F.split("text", " "), 1, 10).alias("a"),
+        F.slice(F.split("text", " "), 6, 10).alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.array_intersect("a", "b"))), ",").alias("inter"),
+        F.size(F.array_distinct(F.concat("a", "b"))).cast("bigint").alias("union_size"),
+        F.array_join(F.array_sort(F.array_distinct(F.array_except("a", "b"))), ",").alias("a_minus_b"),
+        F.array_join(F.flatten(F.array(F.slice("a", 1, 2), F.slice("b", 1, 2))), ",").alias("flat_heads"),
+    ).orderBy("doc_id")
+
+
+@register(
     "json_extract_events",
     tags=("json",),
     oracle="""

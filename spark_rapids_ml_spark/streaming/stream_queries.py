@@ -221,6 +221,34 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c_mktsegment, event_type
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events enrich against a static
+    dimension (customer) — the standard streaming-ETL enrichment shape.
+    The static side is re-planned per micro-batch; broadcast keeps the
+    stream side shuffle-free at any scale."""
+    s = _read_stream(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.orderBy("c_mktsegment", "event_type")
+
+
+@register(
     "stream_dedup",
     tags=("streaming", "dedup"),
     oracle="""
