@@ -68,22 +68,21 @@ def pca_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate for the reference's computeCovariance
     (RapidsRowMatrix.scala:149-257). Upper triangle only (symmetric).
     """
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
     cov, _mean, _n = compute_covariance(e, "embedding", mean_centering=True)
     n = cov.shape[0]
-    rows = [
-        (int(i), int(j), float(round(cov[i, j], 6)))
-        for i in range(n)
-        for j in range(i, n)
-    ]
-    schema = StructType(
-        [
-            StructField("i", LongType()),
-            StructField("j", LongType()),
-            StructField("cov", DoubleType()),
-        ]
+    iu = np.triu_indices(n)
+    pdf = pd.DataFrame(
+        {
+            "i": iu[0].astype("int64"),
+            "j": iu[1].astype("int64"),
+            "cov": np.round(cov[iu], 6),
+        }
     )
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(pdf)  # Arrow path — no py4j row loop
 
 
 @register(
