@@ -66,6 +66,55 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_no_shuffle",
+    tags=("join", "scale"),
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 150000
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are written bucketed
+    (+sorted) on the join key; the subsequent join needs NO exchange on
+    either side — at 100 TB this converts the dominant shuffle of every
+    fact-fact join into a local merge per bucket. The plan assertion
+    lives in tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    db = f"bucketdb_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    o_tbl, l_tbl = f"{db}.orders_b", f"{db}.lineitem_b"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for tbl, src, key in ((o_tbl, "orders", "o_orderkey"), (l_tbl, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            # the in-memory catalog is per-session; clear any stale
+            # managed-table directory left by a previous session
+            loc = os.path.join(warehouse, f"{db}.db", tbl.split(".")[1])
+            shutil.rmtree(loc, ignore_errors=True)
+            load(spark, sf_dir, src).write.bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+    o = spark.table(o_tbl).where(F.col("o_totalprice") > 150000)
+    l = spark.table(l_tbl)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "partitioned_write_pruned_read",
     tags=("sink", "scale"),
     oracle="""

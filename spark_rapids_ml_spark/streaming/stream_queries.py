@@ -249,6 +249,51 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_interval_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY a.user_id
+ORDER BY a.user_id
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with an event-time interval condition: errors
+    within 30 minutes after a click by the same user. Both sides are
+    watermarked so the state store can expire buffered rows — the
+    canonical funnel/attribution join.
+
+    Scale: state is bounded by watermark horizon × arrival rate per
+    key; the join shuffles both streams on user_id once.
+    """
+    s1 = _read_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    s2 = _read_stream(spark, sf_dir).where(F.col("event_type") == "error")
+    a = s1.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = s2.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    res = _run_to_memory(joined.select(F.col("a_user")), "append")
+    return (
+        res.groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@register(
     "stream_dedup",
     tags=("streaming", "dedup"),
     oracle="""

@@ -125,6 +125,34 @@ def test_partition_pruning_on_partitioned_sink(spark):
     assert "lang" in part
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Joining the two bucketed+sorted tables (same key, same bucket
+    count) must be a SortMergeJoin with NO exchange on either input —
+    the co-located fact-fact join pattern. Broadcast is disabled so the
+    bucketed path (what matters at 100 TB) is the one planned."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.scale_patterns import bucketed_join_no_shuffle
+
+    bucketed_join_no_shuffle(spark, SF)  # ensure tables exist
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("bucketdb_root_testdata_sf0_001.orders_b")
+        l = spark.table("bucketdb_root_testdata_sf0_001.lineitem_b")
+        j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
+            "o_orderkey", "l_quantity"
+        )
+        j.collect()
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_struct_schema_pruning(spark):
     """Nested-struct access must prune to the referenced leaves."""
     from spark_rapids_ml_spark.operators.multimodal import mm_struct_bundle
