@@ -69,6 +69,7 @@ def load_all_modules() -> None:
         sources_io,
         subqueries,
         textstats,
+        timeseries,
         udf_surface,
         windows,
     )
