@@ -37,10 +37,31 @@ from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 MAX_COLS = 65535  # RapidsRowMatrix.scala:147 — O(n²) driver matrix bound
 
-def _as_matrix(series: pd.Series) -> np.ndarray:
-    """Stack an Arrow list column into a dense float64 matrix — the
-    densify step (RapidsRowMatrix.scala:186) done by Arrow+numpy."""
-    return np.vstack(series.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+def _to_vec(v) -> np.ndarray:
+    """array<numeric> or ml.linalg Dense/SparseVector → float64 ndarray.
+    Sparse inputs densify per batch, exactly as the reference does
+    (RapidsRowMatrix.scala:186); dense and sparse rows must produce
+    identical results (PCASuite.scala:155-190). Inside Arrow batches a
+    VectorUDT arrives as its raw struct dict ({type,size,indices,values})."""
+    if hasattr(v, "toArray"):  # driver-side Dense/SparseVector
+        return v.toArray().astype(np.float64, copy=False)
+    if isinstance(v, dict):  # VectorUDT through Arrow
+        if v.get("type") == 1 or v.get("indices") is None:  # dense
+            return np.asarray(v["values"], dtype=np.float64)
+        out = np.zeros(int(v["size"]))
+        out[np.asarray(v["indices"], dtype=np.int64)] = v["values"]
+        return out
+    return np.asarray(v, dtype=np.float64)
+
+
+def _as_matrix(series) -> np.ndarray:
+    """Stack an Arrow list/vector column into a dense float64 matrix —
+    the densify step (RapidsRowMatrix.scala:186) done by Arrow+numpy.
+    A VectorUDT column reaches scalar pandas_udfs as a pd.DataFrame of
+    its struct fields; normalize that back to per-row dicts first."""
+    if isinstance(series, pd.DataFrame):
+        series = pd.Series(series.to_dict("records"))
+    return np.vstack(series.map(_to_vec).to_numpy())
 
 
 def _partials(df: DataFrame, input_col: str) -> DataFrame:

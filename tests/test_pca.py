@@ -115,6 +115,33 @@ def test_dense_sparse_parity(spark):
     np.testing.assert_allclose(m.pc, pc, atol=ABS_TOL)
 
 
+def test_vectorudt_dense_sparse_input(spark):
+    """pyspark.ml.linalg VectorUDT input (dense AND sparse rows) must
+    produce the same model and projections as the equivalent
+    array<double> input — full parity with PCASuite.scala:155-190."""
+    from pyspark.ml.linalg import Vectors
+
+    vec_df = spark.createDataFrame(
+        [
+            (0, Vectors.dense(SMALL[0].tolist())),
+            (1, Vectors.sparse(5, {1: 1.0, 3: 7.0})),
+            (2, Vectors.dense(SMALL[2].tolist())),
+        ],
+        ["id", "features"],
+    )
+    m = PCA(k=2, input_col="features").fit(vec_df)
+    pc, var, _ = numpy_pca(SMALL, 2)
+    np.testing.assert_allclose(m.pc, pc, atol=ABS_TOL)
+    np.testing.assert_allclose(m.explained_variance, var, atol=ABS_TOL)
+    got = {
+        r["id"]: np.array(r["pca_features"])
+        for r in m.transform(vec_df).select("id", "pca_features").collect()
+    }
+    expected = SMALL @ pc
+    for i in range(3):
+        np.testing.assert_allclose(got[i], expected[i], atol=ABS_TOL)
+
+
 def test_k_validation(spark, small_df):
     with pytest.raises(ValueError, match="k=9 > numFeatures=5"):
         PCA(k=9, input_col="features").fit(small_df)
