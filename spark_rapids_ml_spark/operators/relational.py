@@ -309,6 +309,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     tags=("relational", "subquery", "agg"),
+    bench=True,
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,

@@ -20,6 +20,7 @@ from spark_rapids_ml_spark.sources.catalog import load
 @register(
     "asof_join_latest_order",
     tags=("timeseries", "join"),
+    bench=True,
     oracle="""
 WITH o AS (
   -- unique (user, time) keys so the as-of match is well-defined

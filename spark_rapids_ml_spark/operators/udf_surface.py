@@ -75,6 +75,47 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_udtf_bigrams",
+    tags=("udf", "udtf"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 50)
+SELECT doc_id, CAST(u.g - 1 AS BIGINT) AS pos,
+       toks[CAST(u.g AS INT)] || ' ' || toks[CAST(u.g + 1 AS INT)] AS bigram
+FROM t CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(1, least(len(toks) - 1, 8)))
+) u(g)
+ORDER BY doc_id, pos
+""",
+)
+def udf_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N bigram rows.
+    Covers the UDTF surface (Spark 4 `udtf`); the SQL oracle is the
+    lateral-unnest equivalent. Row expansion happens in the Python
+    worker — appropriate for custom parsers that SQL can't express
+    (here deliberately SQL-expressible so the oracle can check it).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(min(len(toks) - 1, 8)):
+                yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    d.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.pos, b.bigram
+        FROM udtf_docs_in, LATERAL bigrams_udtf(doc_id, text) b
+        ORDER BY b.doc_id, b.pos
+        """
+    )
+
+
+@register(
     "udf_grouped_agg_weighted_avg",
     tags=("udf",),
     oracle="""
