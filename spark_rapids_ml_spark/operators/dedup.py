@@ -337,6 +337,75 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- embedding near-dup
 
+def _lazy_sim():
+    # local import to avoid a circular module dependency at load time
+    from spark_rapids_ml_spark.operators import similarity as sim
+
+    return sim
+
+
+def _sql_embedding_lsh_oracle() -> str:
+    sim = __import__(
+        "spark_rapids_ml_spark.operators.similarity", fromlist=["similarity"]
+    )
+    return f"""
+WITH e AS ({sim._SQL_E}),
+sig AS ({sim._sql_sig_union('e', 'vec_id')}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.emb, eb.emb) > 0.8
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    tags=("dedup", "vector", "lsh"),
+    oracle=_sql_embedding_lsh_oracle(),
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs from multi-table
+    hyperplane LSH buckets (equi-join, never n²), then exact cosine
+    filter at 0.8 — the linear-cost companion to
+    dedup_embedding_cosine_pairs (which is the quadratic exactness
+    oracle). Recall of this pipeline vs the exact pairs is gated in
+    tests/test_quality.py."""
+    sim = _lazy_sim()
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sim._bucket_expr("embedding", t) for t in range(sim.N_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+    a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = sim.cosine_expr("emb_a", "emb_b")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") > 0.8)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "dedup_embedding_cosine_pairs",
     tags=("dedup", "vector"),

@@ -70,24 +70,23 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "tag", "okey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = o_side.unionByName(e_side).withColumn(
-        "matched_okey", F.last("okey", ignorenulls=True).over(w)
+    # carry BOTH the order key and its timestamp through the window —
+    # no join-back needed (one shuffle total)
+    merged = (
+        o_side.unionByName(e_side)
+        .withColumn("matched_okey", F.last("okey", ignorenulls=True).over(w))
+        .withColumn(
+            "otime",
+            F.last(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True).over(w),
+        )
     )
     matched = merged.where(F.col("event_id").isNotNull() & F.col("matched_okey").isNotNull())
-    # join order time back for the lag output (broadcastable key map)
-    omap = o.select(
-        F.col("o_orderkey").alias("matched_okey"), F.col("o_orderdate").alias("otime")
-    )
-    return (
-        matched.join(omap, "matched_okey")
-        .select(
-            "event_id",
-            "user_id",
-            F.col("matched_okey").alias("o_orderkey"),
-            (F.unix_timestamp("t") - F.unix_timestamp("otime")).cast("bigint").alias("lag_seconds"),
-        )
-        .orderBy("event_id")
-    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.col("matched_okey").alias("o_orderkey"),
+        (F.unix_timestamp("t") - F.unix_timestamp("otime")).cast("bigint").alias("lag_seconds"),
+    ).orderBy("event_id")
 
 
 @register(

@@ -99,6 +99,25 @@ def test_approx_count_distinct_bounded_error(spark):
         assert rel < 0.1, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
 
 
+def test_embedding_lsh_dedup_recall(spark):
+    """The LSH near-dup path must recover a meaningful share of the
+    exact cosine>0.8 pairs, and report no false positives (it applies
+    the exact threshold after candidate generation)."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        dedup_embedding_cosine_pairs,
+        dedup_embedding_lsh_pairs,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine_pairs(spark, SF).collect()
+    }
+    lsh = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_lsh_pairs(spark, SF).collect()}
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.3, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
 def test_approx_percentile_bounded_error(spark):
     from spark_rapids_ml_spark.operators.aggregates import agg_approx_percentile
 
