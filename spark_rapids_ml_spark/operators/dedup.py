@@ -68,6 +68,33 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_by_hash",
+    tags=("dedup",),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {sql_hash60('text')} AS th FROM documents
+)
+SELECT th AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM h
+GROUP BY th
+ORDER BY keep_doc_id
+""",
+)
+def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the 60-bit content hash — the 100 TB shape
+    (the exchange carries 8-byte keys instead of document bodies; at
+    10⁹ docs the 60-bit collision expectation is ~0.4 pairs, and a
+    within-group text equality check resolves them when it matters)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", hash60("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
     "dedup_exact_all_columns",
     tags=("dedup",),
     oracle="""

@@ -1,0 +1,42 @@
+"""Partitioning-invariance: declared results must not depend on data
+layout — the property that makes them correct on a 1000-executor
+cluster where partitioning is whatever the scheduler produces.
+
+Each sampled query runs under a different shuffle-partition setting
+and must produce byte-identical normalized output. (Exact decimal
+aggregation, commutative merges, and total ordering are what make
+this hold; a float-sum formulation would fail here.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_rapids_ml_spark.harness import _normalize
+from spark_rapids_ml_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLED = [
+    "q1_pricing_summary",
+    "agg_moments_exact",
+    "dedup_minhash_signatures",
+    "asof_join_latest_order",
+    "window_topk_per_group",
+    "pca_covariance_matrix",
+    "udf_grouped_agg_weighted_avg",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLED)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    spec = all_queries()[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _normalize(spec.fn(spark, SF).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = _normalize(spec.fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a.equals(b), f"{name} result depends on partitioning"
