@@ -314,6 +314,54 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_sink",
+    tags=("streaming", "sink"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE value > 100
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch is written to a parquet area
+    keyed by batch id (the idempotent exactly-once pattern — a retry
+    overwrites its own batch directory); the query re-reads the sink
+    and aggregates, checked against batch SQL."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/root/repo/.tmp/sinks/{tag}/foreachbatch_events"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    s = _read_stream(spark, sf_dir).where(F.col("value") > 100)
+    q = (
+        s.select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/fb_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(f"{out_dir}/batch=*")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stream_stateful_user_stats",
     tags=("streaming", "stateful"),
     oracle="""

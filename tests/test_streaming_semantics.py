@@ -1,0 +1,142 @@
+"""Streaming semantics beyond the single-batch oracle checks:
+
+- multi-micro-batch incremental processing (maxFilesPerTrigger=1 over
+  a multi-file source) must converge to the batch answer;
+- append-mode watermarking must actually DROP late data that arrives
+  after the watermark has passed (constructed out-of-order files).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+TMP = "/root/repo/.tmp/stream_sem"
+
+
+def _write_parquet(pdf: pd.DataFrame, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if "ts" in pdf.columns:
+        # write microsecond timestamps: ns-precision parquet would read
+        # back as raw longs under the session's nanosAsLong setting
+        pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
+    pdf.to_parquet(path, index=False)
+
+
+@pytest.fixture()
+def multi_file_source(spark):
+    """events split over 4 files (by event_id range), timestamps in
+    microseconds to sidestep the ns issue."""
+    d = f"{TMP}/multi_{uuid.uuid4().hex[:8]}"
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    pdf = src.select("event_id", "ts", "user_id", "event_type", "value").toPandas()
+    for i in range(4):
+        _write_parquet(pdf[pdf.event_id % 4 == i], f"{d}/part{i}.parquet")
+    yield d, pdf
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_multibatch_equals_batch(spark, multi_file_source):
+    d, pdf = multi_file_source
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # forces 4 micro-batches
+        .parquet(d)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    got = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    expected = pdf.groupby("event_type").size().to_dict()
+    assert got == expected
+
+
+def test_watermark_drops_late_data(spark):
+    """file 1: events up to 12:00 (watermark advances to 11:00);
+    file 2: a late event at 09:00 → must be EXCLUDED from its window
+    in append mode, while a fresh event is included."""
+    d = f"{TMP}/late_{uuid.uuid4().hex[:8]}"
+    base = pd.Timestamp("2024-03-01 08:00:00")
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta("1h"), base + pd.Timedelta("4h")],  # 8,9,12
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            # late: 09:30 (watermark is 11:00 after file 1) / fresh: 12:30
+            "ts": [base + pd.Timedelta("1.5h"), base + pd.Timedelta("4.5h")],
+            "value": [10.0, 1.0],
+        }
+    )
+    _write_parquet(f1, f"{d}/f1.parquet")
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ for watermark
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # wait for file 1 to be processed, then drop file 2 in
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) >= 0 and p.get("batchId", -1) >= 1:
+                break
+            time.sleep(0.3)
+        _write_parquet(f2, f"{d}/f2.parquet")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = {
+                r["window"]["start"].hour: (r["n"], r["v"])
+                for r in spark.table(name).collect()
+            }
+            if 12 in rows:  # the 12:00 window finalized
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+    rows = {
+        r["window"]["start"].hour: (r["n"], r["v"]) for r in spark.table(name).collect()
+    }
+    # the 09:00 window must NOT contain the late event (v would be 11.0)
+    assert rows.get(9) == (1, 1.0), rows
+    assert rows.get(8) == (1, 1.0), rows
