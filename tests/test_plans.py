@@ -9,8 +9,6 @@ whole-stage codegen on the hot paths.
 
 from __future__ import annotations
 
-import pytest
-
 SF = "/root/testdata/sf0.001"
 
 
