@@ -178,11 +178,16 @@ class PCA:
         self.mean_centering = mean_centering
 
     def fit(self, df: DataFrame) -> "PCAModel":
+        # stage spans mirror the reference's NVTX ranges
+        # (RapidsRowMatrix.scala:78,88,153) via setJobDescription
+        from spark_rapids_ml_spark.plans.profiling import span
+
         first = df.select(self.input_col).first()
         n_features = len(first[0])
         if self.k > n_features:  # RapidsPCA.scala:117-119
             raise ValueError(f"k={self.k} > numFeatures={n_features}")
-        cov, mean, n_rows = compute_covariance(df, self.input_col, self.mean_centering)
+        with span(df.sparkSession, "pca.fit.covariance"):
+            cov, mean, n_rows = compute_covariance(df, self.input_col, self.mean_centering)
         # symmetric eigendecomposition — eigh is the numpy analogue of
         # the reference's raft eigDC on the PSD covariance
         eigvals, eigvecs = np.linalg.eigh(cov)

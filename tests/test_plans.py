@@ -12,12 +12,7 @@ from __future__ import annotations
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from spark_rapids_ml_spark.plans.explain import formatted, plan_of  # noqa: E402
 
 
 def test_q6_filter_pushdown_and_pruning(spark):
