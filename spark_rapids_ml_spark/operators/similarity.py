@@ -61,6 +61,17 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def with_unit_vector(df: DataFrame, emb_col: str, out_col: str) -> DataFrame:
+    """Add a pre-normalized copy of the embedding (norm computed ONCE
+    per row). Downstream pairwise cosine is then a plain dot product —
+    at Q·N pair scale this removes two norm evaluations per pair."""
+    normed = df.withColumn("_norm", norm_expr(emb_col))
+    return normed.withColumn(
+        out_col,
+        F.transform(emb_col, lambda x: x.cast("double") / F.col("_norm")),
+    ).drop("_norm")
+
+
 _SQL_E = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
 
 
@@ -91,15 +102,15 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank key is the *rounded* cosine (+vec_id tiebreak) so ranking
     is deterministic and cross-engine stable.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = with_unit_vector(load(spark, sf_dir, "embeddings"), "embedding", "unit")
     q = F.broadcast(
         e.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
         )
     )
     scored = (
         q.join(e, F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
     )
     from pyspark.sql import Window
 
@@ -203,11 +214,12 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    eu = with_unit_vector(e, "embedding", "unit")
+    qe = eu.select(F.col("vec_id").alias("qid"), F.col("unit").alias("qunit"))
     scored = (
         cand.join(F.broadcast(qe), "qid")
-        .join(e, "vec_id")
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+        .join(eu.select("vec_id", "unit"), "vec_id")
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
