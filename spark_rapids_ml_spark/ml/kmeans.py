@@ -124,6 +124,37 @@ class KMeansModel:
         self.centroids = centroids
         self.feature_col = feature_col
 
+    def save(self, spark, path: str) -> None:
+        """Persistence layout mirrors PCAModel (metadata.json + data/)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "class": "spark_rapids_ml_spark.ml.kmeans.KMeansModel",
+                    "feature_col": self.feature_col,
+                    "k": int(self.centroids.shape[0]),
+                    "dim": int(self.centroids.shape[1]),
+                },
+                f,
+            )
+        spark.createDataFrame(
+            [{"centroids": self.centroids.ravel().tolist()}]
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "data"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "KMeansModel":
+        import json
+        import os
+
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        row = spark.read.parquet(os.path.join(path, "data")).head()
+        c = np.array(row["centroids"]).reshape(meta["k"], meta["dim"])
+        return cls(c, meta["feature_col"])
+
     def transform(self, df: DataFrame, output_col: str = "cluster") -> DataFrame:
         c = self.centroids.copy()
 

@@ -65,6 +65,35 @@ class LinearRegressionModel:
         self.intercept = intercept
         self.feature_col = feature_col
 
+    def save(self, spark, path: str) -> None:
+        """Persistence layout mirrors PCAModel (metadata.json + data/)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "class": "spark_rapids_ml_spark.ml.linreg.LinearRegressionModel",
+                    "feature_col": self.feature_col,
+                    "intercept": self.intercept,
+                },
+                f,
+            )
+        spark.createDataFrame(
+            [{"coefficients": self.coefficients.tolist()}]
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "data"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LinearRegressionModel":
+        import json
+        import os
+
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        row = spark.read.parquet(os.path.join(path, "data")).head()
+        return cls(np.array(row["coefficients"]), meta["intercept"], meta["feature_col"])
+
     def transform(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import DoubleType

@@ -52,6 +52,34 @@ def test_linreg_transform_predictions(spark, reg_data):
         assert preds[i] == pytest.approx(expected[i], abs=1e-9)
 
 
+def test_linreg_model_roundtrip(spark, reg_data, tmp_path):
+    from spark_rapids_ml_spark.ml.linreg import LinearRegressionModel
+
+    _x, _y, df = reg_data
+    model = LinearRegression().fit(df)
+    path = str(tmp_path / "linreg")
+    model.save(spark, path)
+    loaded = LinearRegressionModel.load(spark, path)
+    np.testing.assert_array_equal(model.coefficients, loaded.coefficients)
+    assert model.intercept == loaded.intercept
+
+
+def test_kmeans_model_roundtrip(spark, tmp_path):
+    from spark_rapids_ml_spark.ml.kmeans import KMeansModel
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(60, 4))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], ["id", "features"]
+    )
+    model = KMeans(k=3, max_iter=3, id_col="id").fit(df)
+    path = str(tmp_path / "kmeans")
+    model.save(spark, path)
+    loaded = KMeansModel.load(spark, path)
+    np.testing.assert_array_equal(model.centroids, loaded.centroids)
+    assert loaded.feature_col == "features"
+
+
 def numpy_lloyd(x: np.ndarray, k: int, max_iter: int, tol: float) -> np.ndarray:
     """Driver-side replay of the exact same deterministic algorithm."""
     c = x[:k].copy()
