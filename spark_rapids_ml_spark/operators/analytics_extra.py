@@ -1,0 +1,190 @@
+"""Additional analytic operators: argmax/argmin aggregates, extended
+datetime functions, bitwise aggregates, fixed-bucket histograms, and
+time-series gap filling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+
+@register(
+    "agg_argmax_argmin",
+    tags=("agg",),
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_custkey, c_name,
+         -- unique, monotonic in (acctbal, custkey): deterministic argmax
+         CAST(c_acctbal * 100 AS BIGINT) * 100000 + c_custkey AS rank_key
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       arg_max(c_custkey, rank_key) AS richest_cust,
+       arg_min(c_custkey, rank_key) AS poorest_cust,
+       COUNT(*) AS n
+FROM c
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) with a composite unique rank
+    key — ties on the raw value would make argmax nondeterministic."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "rank_key",
+        (F.col("c_acctbal") * 100).cast("bigint") * 100000 + F.col("c_custkey"),
+    )
+    return (
+        c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.max_by("c_custkey", "rank_key").alias("richest_cust"),
+            F.min_by("c_custkey", "rank_key").alias("poorest_cust"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "scalar_datetime_extra",
+    tags=("scalar", "date"),
+    oracle="""
+SELECT o_orderkey,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders
+WHERE o_orderkey <= 800
+ORDER BY o_orderkey
+""",
+)
+def scalar_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended datetime surface. dow is normalized to DuckDB's
+    Sunday=0 convention (Spark's dayofweek is Sunday=1)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 800)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d.cast("date"), 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        (F.dayofweek(d) - 1).cast("bigint").alias("dow0"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_bitwise",
+    tags=("agg",),
+    oracle="""
+SELECT l_linestatus,
+       bit_and(CAST(l_orderkey % 256 AS BIGINT)) AS and_bits,
+       bit_or(CAST(l_orderkey % 256 AS BIGINT)) AS or_bits,
+       bit_xor(CAST(l_orderkey % 256 AS BIGINT)) AS xor_bits
+FROM lineitem
+WHERE l_orderkey <= 3000
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 3000)
+    bits = (F.col("l_orderkey") % 256).cast("bigint")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and(bits).alias("and_bits"),
+            F.bit_or(bits).alias("or_bits"),
+            F.bit_xor(bits).alias("xor_bits"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "histogram_fixed_buckets",
+    tags=("agg", "histogram"),
+    oracle="""
+SELECT CAST(LEAST(GREATEST(FLOOR(c_acctbal / 1000), -1), 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+FROM customer
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor bucketing (width_bucket without
+    engine-specific semantics) — partial-agg friendly at any scale."""
+    c = load(spark, sf_dir, "customer")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("c_acctbal") / 1000), F.lit(-1)), F.lit(10)
+    ).cast("bigint")
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "timeseries_gap_fill",
+    tags=("timeseries",),
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(a.n, 0) AS n,
+       CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM spine s LEFT JOIN agg a ON s.h = a.h
+ORDER BY hour
+""",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: generate the complete hourly spine between min and
+    max event time (sequence + explode), left-join the hourly counts,
+    zero-fill the holes — the densification step before any window
+    smoothing over sparse time series.
+
+    Scale: the spine is hours-between-bounds rows (tiny — broadcast);
+    the agg side is a partial-agg group-by. At 100 TB one would spine
+    per (entity, hour) via a cross join against a broadcast calendar.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(agg, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("bigint").alias("was_gap"),
+        )
+        .orderBy("hour")
+    )

@@ -56,6 +56,7 @@ def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_rapids_ml_spark.operators import (  # noqa: F401
         aggregates,
+        analytics_extra,
         arrays_json,
         dedup,
         joins,
