@@ -362,6 +362,105 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- duplicate-cluster closure
+
+def _sql_lsh_edges() -> str:
+    """CTE bodies producing the symmetric LSH candidate edge list."""
+    return f"""
+{_sql_minhash_cte()},
+bands AS (
+  SELECT doc_id, g.b AS band,
+         CASE g.b
+           {" ".join(
+               f"WHEN {b} THEN " + sql_hash60("(" + " || '_' || ".join(
+                   f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+               ) + ")")
+               for b in range(N_BANDS)
+           )}
+         END AS band_key
+  FROM mh CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1}))) g(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+)"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    tags=("dedup", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_sql_lsh_edges()},
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_rep,
+       CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM reach
+GROUP BY a
+ORDER BY doc_id
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation; each cluster
+    keeps its smallest doc_id as canonical (is_kept) — the final stage
+    of a near-dedup pipeline (pairs → clusters → keep one per cluster).
+
+    Scale: each iteration is one equi-join (labels ⋈ edges) + a
+    min-aggregate — label propagation converges in O(graph diameter)
+    passes; near-dup graphs are shallow (dups cluster tightly), so
+    2-4 iterations suffice. The DuckDB oracle computes the same
+    components by recursive transitive closure.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(20):  # diameter bound; converges far earlier
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("n_doc"))
+            .agg(F.min("label").alias("n_label"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.n_doc, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0).cast("bigint").alias("is_kept"),
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------- embedding near-dup
 
 def _lazy_sim():
