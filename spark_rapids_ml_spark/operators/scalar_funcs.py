@@ -84,6 +84,31 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regexp_extract_all",
+    tags=("scalar", "string"),
+    oracle="""
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*tion'), ','), '') AS tion_words,
+       CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_double_vowels
+FROM documents
+WHERE doc_id <= 150
+ORDER BY doc_id
+""",
+)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all → array of all matches (vs the first-match
+    variant in scalar_regexp_funcs)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    return d.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit("[a-z]*tion"), 0), ",").alias("tion_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]{2}"), 0)).cast("bigint").alias(
+            "n_double_vowels"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "scalar_date_funcs",
     tags=("scalar", "date"),
     oracle="""

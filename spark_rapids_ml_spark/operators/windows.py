@@ -47,6 +47,33 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_ranks",
+    tags=("window",),
+    oracle="""
+SELECT s_suppkey,
+       -- percent_rank/cume_dist are exact int ratios: unrounded
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_suppkey
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — distribution-position
+    functions (unique total order so every rank is deterministic)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    ).orderBy("s_suppkey")
+
+
+@register(
     "window_lag_lead",
     tags=("window",),
     oracle="""
