@@ -41,6 +41,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # declared queries define UTC semantics for every tz-dependent
+    # expression (unix_timestamp, date_format over converted event
+    # times); pin it so results don't depend on the caller's session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # parquet stores ts as timestamp[ns]; Spark 4 rejects it unless
         # nanos are read as raw longs. Set at runtime so this works on

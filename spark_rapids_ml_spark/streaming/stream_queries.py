@@ -44,6 +44,7 @@ def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events parquet with the batch-inferred schema; ts
     arrives as raw nanos (see sources.catalog) → timestamp[us]."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
