@@ -53,7 +53,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division, not `/1000 → cast(long)`: epoch-ns (~1.7e18)
+        # exceeds double's 2^53 exact range, so the double path rounds by
+        # up to ±128ns and truncation then lands 1µs low on ~1.6% of rows
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -47,7 +47,9 @@ def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division — see sources.catalog: double division loses
+    # precision above 2^53 and mis-lands 1µs low on ~1.6% of rows
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
