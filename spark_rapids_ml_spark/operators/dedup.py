@@ -462,6 +462,22 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------- embedding near-dup
+#
+# The raw testdata has NO pairs above cosine 0.8 (max observed ≈ 0.60),
+# so a threshold query over it verifies nothing. Instead both queries
+# run over a PLANTED CORPUS: the real embeddings plus deterministic
+# near-duplicate copies of every 7th vector, perturbed by a constant
+# per-vector shift delta = ((vec_id*2654435761) % 241)/1000.0 - 0.12.
+# The derivation uses only exact integer arithmetic + one correctly-
+# rounded division, so Spark and DuckDB build bit-identical vectors;
+# planted cosines span ~[0.67, 1.0] with no pair closer than 9e-4 to
+# the 0.8 threshold at any sf — the filter genuinely discriminates
+# (some planted pairs fall below threshold) and the oracle compares
+# non-empty result sets at every scale factor.
+
+PLANT_MOD = 7  # every 7th vector gets a planted near-duplicate
+PLANT_ID_OFFSET = 1_000_000  # planted copies get vec_id + this
+
 
 def _lazy_sim():
     # local import to avoid a circular module dependency at load time
@@ -470,12 +486,53 @@ def _lazy_sim():
     return sim
 
 
+# NB: the planted branch computes delta from the ORIGINAL vec_id in an
+# inner query — naming the outer alias `vec_id` directly would let
+# DuckDB's lateral-alias extension rebind the lambda's `vec_id` to the
+# shifted value and silently diverge from Spark.
+_SQL_PLANTED = f"""
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT orig_id + {PLANT_ID_OFFSET} AS vec_id, emb2 AS emb FROM (
+    SELECT vec_id AS orig_id,
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)
+                               + (((vec_id * 2654435761) % 241) / 1000.0 - 0.12)) AS emb2
+    FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+  )
+"""
+
+
+def planted_corpus(e: DataFrame) -> DataFrame:
+    """Real embeddings ∪ deterministic near-duplicate copies (see module
+    comment). Output columns: vec_id, embedding (array<double>)."""
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    delta = ((F.col("vec_id") * F.lit(2654435761)) % F.lit(241)) / F.lit(1000.0) - F.lit(0.12)
+    # two-step select: perturb FIRST, shift the id AFTER — putting both in
+    # one select lets Spark 4's lateral-column-alias resolution rebind the
+    # lambda's `vec_id` to the already-shifted alias (DuckDB's lateral
+    # aliases have the same trap; the oracle SQL uses a subquery too)
+    planted = (
+        e.where(F.col("vec_id") % PLANT_MOD == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") + delta).alias("embedding"),
+        )
+        .select((F.col("vec_id") + F.lit(PLANT_ID_OFFSET)).alias("vec_id"), "embedding")
+    )
+    return base.unionAll(planted)
+
+
 def _sql_embedding_lsh_oracle() -> str:
     sim = __import__(
         "spark_rapids_ml_spark.operators.similarity", fromlist=["similarity"]
     )
     return f"""
-WITH e AS ({sim._SQL_E}),
+WITH e AS ({_SQL_PLANTED}),
 sig AS ({sim._sql_sig_union('e', 'vec_id')}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -501,10 +558,11 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane LSH buckets (equi-join, never n²), then exact cosine
     filter at 0.8 — the linear-cost companion to
     dedup_embedding_cosine_pairs (which is the quadratic exactness
-    oracle). Recall of this pipeline vs the exact pairs is gated in
-    tests/test_quality.py."""
+    oracle). Runs over the planted corpus (see module comment) so the
+    result is non-empty at every sf; recall vs the exact pairs is
+    gated in tests/test_quality.py (empty exact set = test failure)."""
     sim = _lazy_sim()
-    e = load(spark, sf_dir, "embeddings")
+    e = planted_corpus(load(spark, sf_dir, "embeddings"))
     sig = e.select(
         "vec_id",
         F.posexplode(
@@ -535,11 +593,8 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_pairs",
     tags=("dedup", "vector"),
-    oracle="""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings
-)
+    oracle=f"""
+WITH e AS ({_SQL_PLANTED})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -549,13 +604,14 @@ ORDER BY vec_a, vec_b
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.8), vector math via
-    JVM higher-order functions (no Python in the loop).
+    JVM higher-order functions (no Python in the loop). Runs over the
+    planted corpus (module comment) so the threshold actually fires.
 
     Scale: the pairwise form is quadratic — it exists as the exactness
-    oracle. The scale path is sim_lsh_bucketed_topk (similarity.py),
-    which buckets by random-hyperplane signature first.
+    oracle. The scale path is dedup_embedding_lsh_pairs, which buckets
+    by random-hyperplane signature first.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = planted_corpus(load(spark, sf_dir, "embeddings"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     dot = F.aggregate(

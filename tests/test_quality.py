@@ -102,7 +102,10 @@ def test_approx_count_distinct_bounded_error(spark):
 def test_embedding_lsh_dedup_recall(spark):
     """The LSH near-dup path must recover a meaningful share of the
     exact cosine>0.8 pairs, and report no false positives (it applies
-    the exact threshold after candidate generation)."""
+    the exact threshold after candidate generation). The exact set MUST
+    be non-empty — the queries run over the planted near-dup corpus
+    precisely so this gate binds; an empty set means the planting broke
+    and the whole family is vacuous again."""
     from spark_rapids_ml_spark.operators.dedup import (
         dedup_embedding_cosine_pairs,
         dedup_embedding_lsh_pairs,
@@ -111,11 +114,37 @@ def test_embedding_lsh_dedup_recall(spark):
     exact = {
         (r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine_pairs(spark, SF).collect()
     }
+    assert len(exact) >= 10, f"planted corpus yielded only {len(exact)} exact pairs"
     lsh = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_lsh_pairs(spark, SF).collect()}
     assert lsh <= exact, f"false positives: {lsh - exact}"
-    if exact:
-        recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.3, f"recall {recall:.2f} over {len(exact)} true pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_embedding_planted_threshold_discriminates(spark):
+    """The planted corpus must also produce pairs BELOW the 0.8
+    threshold (otherwise the filter is a no-op over plantings), and
+    every original↔its-own-copy pair must be well clear of the
+    threshold boundary (no cross-engine rounding flake)."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        PLANT_ID_OFFSET,
+        planted_corpus,
+    )
+    from spark_rapids_ml_spark.operators.similarity import cosine_expr
+
+    e = planted_corpus(load(spark, SF, "embeddings"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("vb") == F.col("va") + PLANT_ID_OFFSET)
+        .select(cosine_expr("ea", "eb").alias("c"))
+        .collect()
+    )
+    cos = [r["c"] for r in pairs]
+    assert len(cos) >= 50
+    assert any(c <= 0.8 for c in cos), "no planted pair below threshold"
+    assert any(c > 0.8 for c in cos), "no planted pair above threshold"
+    assert all(abs(c - 0.8) > 5e-4 for c in cos), "pair too close to threshold"
 
 
 def test_approx_percentile_bounded_error(spark):
