@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 
 # ---------- rounding / casting ----------
 
+def duck_round(v: float, digits: int = 6) -> float:
+    """Driver-side rounding with DuckDB ROUND semantics (half away from
+    zero on the binary double: std::round(v*10^d)/10^d). Python's
+    round() and np.round are half-to-even — a value landing exactly on
+    a .5e-6 tie would hash-mismatch the oracle. Use this for any
+    driver-computed value that a DuckDB oracle ROUNDs."""
+    import math
+
+    p = 10.0 ** digits
+    x = v * p
+    return math.copysign(math.floor(abs(x) + 0.5), x) / p
+
+
 def r6(c: Column | str) -> Column:
     """Round to 6 dp and cast to double (hash-stable for O(1) floats)."""
     c = F.col(c) if isinstance(c, str) else c

@@ -56,11 +56,20 @@ class LinearRegression:
         else:
             beta = np.linalg.solve(gxx, gxy)
             intercept = 0.0
-        return LinearRegressionModel(beta, intercept, self.feature_col)
+        return LinearRegressionModel(beta, intercept, self.feature_col, n_rows=n)
 
 
 class LinearRegressionModel:
-    def __init__(self, coefficients: np.ndarray, intercept: float, feature_col: str):
+    def __init__(
+        self,
+        coefficients: np.ndarray,
+        intercept: float,
+        feature_col: str,
+        n_rows: int | None = None,
+    ):
+        # n_rows comes free from the fit partials — consumers must not
+        # pay a second full scan just to count (mirrors PCAModel.n_rows)
+        self.n_rows = n_rows
         self.coefficients = coefficients
         self.intercept = intercept
         self.feature_col = feature_col

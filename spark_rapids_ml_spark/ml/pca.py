@@ -90,23 +90,128 @@ def _partials(df: DataFrame, input_col: str) -> DataFrame:
     )
 
 
-def _sum_partials(partials: DataFrame, n_cols: int) -> tuple[int, np.ndarray, np.ndarray]:
-    """Distributed elementwise sum of the packed partials via
+def _reduce_flat(partials: DataFrame, length: int) -> np.ndarray:
+    """Distributed elementwise sum of packed partial vectors via
     posexplode + group-by — Catalyst's partial+final aggregation is
-    the treeReduce (RapidsRowMatrix.scala:201), in one job."""
+    the treeReduce/treeAggregate (RapidsRowMatrix.scala:201,208), in
+    one job. Shuffle volume is O(length) per partition, row-count
+    independent."""
     rows = (
         partials.select(F.posexplode("packed").alias("idx", "val"))
         .groupBy("idx")
         .agg(F.sum("val").alias("s"))
         .collect()
     )
-    flat = np.zeros(1 + n_cols + n_cols * n_cols)
+    flat = np.zeros(length)
     for row in rows:
         flat[row["idx"]] = row["s"]
+    return flat
+
+
+def _sum_partials(partials: DataFrame, n_cols: int) -> tuple[int, np.ndarray, np.ndarray]:
+    flat = _reduce_flat(partials, 1 + n_cols + n_cols * n_cols)
     n = int(round(flat[0]))
     colsum = flat[1 : 1 + n_cols]
     gram = flat[1 + n_cols :].reshape(n_cols, n_cols)
     return n, colsum, gram
+
+
+def compute_column_means(df: DataFrame, input_col: str) -> tuple[np.ndarray, int]:
+    """Distributed column mean in one colsum-only linear scan — the
+    analogue of Statistics.colStats → mean (RapidsRowMatrix.scala:
+    152-166). Unlike compute_covariance this never forms the O(d²)
+    Gram, so a mean-only consumer pays O(d) shuffle, not O(d²).
+
+    Returns (mean: d ndarray, n_rows: int).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _as_matrix(pdf[input_col])
+            n += x.shape[0]
+            cs = x.sum(axis=0)
+            s = cs if s is None else s + cs
+        if n > 0:
+            yield pd.DataFrame(
+                {"packed": [np.concatenate(([float(n)], s)).tolist()]}
+            )
+
+    first = df.select(input_col).first()
+    if first is None:
+        raise ValueError("empty input")
+    n_cols = len(first[0])
+    partials = df.select(input_col).mapInPandas(
+        run, StructType([StructField("packed", ArrayType(DoubleType()))])
+    )
+    flat = _reduce_flat(partials, 1 + n_cols)
+    n = int(round(flat[0]))
+    if n < 1:
+        raise ValueError("empty input")
+    return flat[1:] / n, n
+
+
+def triu_to_full(n: int, packed: np.ndarray) -> np.ndarray:
+    """Unpack a column-major upper-triangular vector (the BLAS spr
+    layout) into a full symmetric matrix — parity with
+    RapidsRowMatrix.triuToFull (RapidsRowMatrix.scala:265-287)."""
+    li, lj = np.tril_indices(n)  # (lj, li) scans (0,0),(0,1),(1,1),… = spr order
+    full = np.empty((n, n))
+    full[lj, li] = packed
+    full[li, lj] = packed
+    return full
+
+
+def compute_covariance_spr(df: DataFrame, input_col: str, mean_centering: bool = True):
+    """A9: the reference's alternate covariance backend — packed
+    upper-triangular centered Gram via treeAggregate
+    (RapidsRowMatrix.scala:202-252: per-row BLAS.spr into a
+    d(d+1)/2 packed buffer, combOp +=, triuToFull unpack, /(n-1)).
+
+    Spark-first re-expression: pass 1 is the colsum mean
+    (broadcast into the UDF closure, the meanBC of :206); pass 2
+    packs the per-batch centered GEMM ``Xcᵀ·Xc`` into column-major
+    upper-triangular order and reduces via posexplode+sum (the
+    treeAggregate). Numerics differ from the moments path exactly as
+    in the reference: centered Gram here vs raw-moment identity there.
+
+    Scale: shuffle traffic is d(d+1)/2 per partition — HALF the full
+    Gram — which is why the reference ships this backend for high d;
+    the cost is a second linear scan for the mean.
+
+    Returns (cov: d×d ndarray, mean: d ndarray, n_rows: int).
+    """
+    mean, n_rows = compute_column_means(df, input_col)
+    if n_rows < 2:
+        raise ValueError("need at least 2 rows")
+    d = len(mean)
+    if d > MAX_COLS:  # the n <= 65535 packed-length guard (:204-205)
+        raise ValueError(f"n_cols {d} exceeds bound {MAX_COLS}")
+    center = mean if mean_centering else np.zeros(d)
+    li, lj = np.tril_indices(d)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xc = _as_matrix(pdf[input_col]) - center
+            g = (xc.T @ xc)[lj, li]  # pack upper triangle, spr order
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame({"packed": [acc.tolist()]})
+
+    partials = df.select(input_col).mapInPandas(
+        run, StructType([StructField("packed", ArrayType(DoubleType()))])
+    )
+    packed = _reduce_flat(partials, d * (d + 1) // 2)
+    cov = triu_to_full(d, packed) / (n_rows - 1)
+    if not mean_centering:
+        mean = np.zeros(d)
+    return cov, mean, n_rows
 
 
 def sign_flip(pc: np.ndarray) -> np.ndarray:
@@ -158,10 +263,14 @@ class PCA:
 
     Params mirror the reference's param surface (RapidsPCA.scala:30-106):
     inputCol, outputCol, k, meanCentering. The GPU-routing params
-    (useGemm/useCuSolverSVD/gpuId) collapse into the single numpy
-    backend; their algorithmic effect (batched GEMM covariance +
-    symmetric eigendecomposition) is the default and only path.
+    (useCuSolverSVD/gpuId) collapse into the single numpy backend;
+    ``backend`` mirrors useGemm (RapidsRowMatrix.scala:170):
+    "moments" is the single-scan GEMM path, "spr" the two-pass packed
+    upper-triangular treeAggregate path (:202-252) — output-equivalent,
+    different numerics and shuffle profile, exactly as in the reference.
     """
+
+    BACKENDS = ("moments", "spr")
 
     def __init__(
         self,
@@ -169,13 +278,17 @@ class PCA:
         input_col: str = "features",
         output_col: str = "pca_features",
         mean_centering: bool = True,
+        backend: str = "moments",
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
+        if backend not in self.BACKENDS:
+            raise ValueError(f"backend must be one of {self.BACKENDS}")
         self.k = k
         self.input_col = input_col
         self.output_col = output_col
         self.mean_centering = mean_centering
+        self.backend = backend
 
     def fit(self, df: DataFrame) -> "PCAModel":
         # stage spans mirror the reference's NVTX ranges
@@ -186,8 +299,9 @@ class PCA:
         n_features = len(first[0])
         if self.k > n_features:  # RapidsPCA.scala:117-119
             raise ValueError(f"k={self.k} > numFeatures={n_features}")
-        with span(df.sparkSession, "pca.fit.covariance"):
-            cov, mean, n_rows = compute_covariance(df, self.input_col, self.mean_centering)
+        cov_fn = compute_covariance if self.backend == "moments" else compute_covariance_spr
+        with span(df.sparkSession, f"pca.fit.covariance[{self.backend}]"):
+            cov, mean, n_rows = cov_fn(df, self.input_col, self.mean_centering)
         # symmetric eigendecomposition — eigh is the numpy analogue of
         # the reference's raft eigDC on the PSD covariance
         eigvals, eigvecs = np.linalg.eigh(cov)

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from spark_rapids_ml_spark.ml.pca import PCA, compute_covariance
+from spark_rapids_ml_spark.functions.portable import duck_round
+from spark_rapids_ml_spark.ml.pca import (
+    PCA,
+    compute_column_means,
+    compute_covariance,
+    compute_covariance_spr,
+)
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -39,10 +45,11 @@ FROM elem GROUP BY pos ORDER BY dim
 )
 def pca_mean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's distributed column-mean (pass 1 of PCA fit,
-    parity with Statistics.colStats, RapidsRowMatrix.scala:152-166)."""
+    parity with Statistics.colStats, RapidsRowMatrix.scala:152-166).
+    Colsum-only scan — O(d) shuffle, never forms the O(d²) Gram."""
     e = load(spark, sf_dir, "embeddings")
-    _cov, mean, _n = compute_covariance(e, "embedding", mean_centering=True)
-    rows = [(int(i), float(round(v, 6))) for i, v in enumerate(mean)]
+    mean, _n = compute_column_means(e, "embedding")
+    rows = [(int(i), duck_round(v, 6)) for i, v in enumerate(mean)]
     schema = StructType(
         [StructField("dim", LongType()), StructField("mean_val", DoubleType())]
     )
@@ -73,16 +80,51 @@ def pca_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     cov, _mean, _n = compute_covariance(e, "embedding", mean_centering=True)
+    return _cov_df(spark, cov)
+
+
+def _cov_df(spark: SparkSession, cov):
+    """Upper triangle of a covariance matrix as (i, j, cov) rows,
+    rounded with DuckDB ROUND semantics (half away from zero — np.round
+    is banker's and would flip a .5e-6 tie)."""
+    import numpy as np
+    import pandas as pd
+
     n = cov.shape[0]
     iu = np.triu_indices(n)
+    v = cov[iu] * 1e6
     pdf = pd.DataFrame(
         {
             "i": iu[0].astype("int64"),
             "j": iu[1].astype("int64"),
-            "cov": np.round(cov[iu], 6),
+            "cov": np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6,
         }
     )
     return spark.createDataFrame(pdf)  # Arrow path — no py4j row loop
+
+
+@register(
+    "pca_covariance_spr",
+    tags=("ml", "pca"),
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM})
+SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+       ROUND(covar_samp(a.val, b.val), 6) AS cov
+FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+ORDER BY i, j
+""",
+)
+def pca_covariance_spr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A9 alternate backend — two-pass packed upper-triangular
+    covariance (treeAggregate/spr parity, RapidsRowMatrix.scala:
+    202-252) vs the SAME DuckDB covar_samp oracle as the moments
+    path: both backends must land on identical 6-dp values despite
+    different summation order (centered Gram vs raw-moment identity).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cov, _mean, _n = compute_covariance_spr(e, "embedding", mean_centering=True)
+    return _cov_df(spark, cov)
 
 
 @register(
@@ -106,12 +148,11 @@ def linreg_slope_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("l_quantity").cast("double")).alias("features"),
         F.col("l_extendedprice").alias("label"),
     )
-    n = li.count()
-    model = LinearRegression().fit(li)
+    model = LinearRegression().fit(li)  # single scan; n comes from the partials
     row = (
-        float(round(model.coefficients[0], 4)),
-        float(round(model.intercept, 4)),
-        n,
+        duck_round(float(model.coefficients[0]), 4),
+        duck_round(float(model.intercept), 4),
+        model.n_rows,
     )
     schema = StructType(
         [

@@ -9,7 +9,15 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from spark_rapids_ml_spark.ml.pca import PCA, PCAModel, compute_covariance, sign_flip
+from spark_rapids_ml_spark.ml.pca import (
+    PCA,
+    PCAModel,
+    compute_column_means,
+    compute_covariance,
+    compute_covariance_spr,
+    sign_flip,
+    triu_to_full,
+)
 
 ABS_TOL = 1e-5  # PCASuite.scala:71
 
@@ -58,6 +66,43 @@ def test_covariance_matches_numpy(spark, small_df):
     assert n == 3
     np.testing.assert_allclose(mean, SMALL.mean(axis=0), atol=1e-12)
     np.testing.assert_allclose(cov, np.cov(SMALL.T, ddof=1), atol=1e-12)
+
+
+def test_spr_backend_matches_moments(spark, small_df, random_df):
+    """The two covariance backends (A8 moments vs A9 spr/packed-
+    triangular, RapidsRowMatrix.scala:170,202-252) must agree to 1e-9
+    despite different summation order."""
+    for df, x in [(small_df, SMALL), (random_df[1], random_df[0])]:
+        c1, m1, n1 = compute_covariance(df, "features")
+        c2, m2, n2 = compute_covariance_spr(df, "features")
+        assert n1 == n2 == x.shape[0]
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+        np.testing.assert_allclose(c1, c2, atol=1e-9)
+        np.testing.assert_allclose(c2, np.cov(x.T, ddof=1), atol=1e-9)
+
+
+def test_column_means_only(spark, small_df):
+    mean, n = compute_column_means(small_df, "features")
+    assert n == 3
+    np.testing.assert_allclose(mean, SMALL.mean(axis=0), atol=1e-12)
+
+
+def test_triu_to_full_roundtrip():
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(6, 6))
+    sym = a + a.T
+    li, lj = np.tril_indices(6)
+    packed = sym[lj, li]  # column-major upper triangle (spr layout)
+    np.testing.assert_array_equal(triu_to_full(6, packed), sym)
+
+
+def test_pca_spr_backend_end_to_end(spark, small_df):
+    m1 = PCA(k=2, input_col="features").fit(small_df)
+    m2 = PCA(k=2, input_col="features", backend="spr").fit(small_df)
+    np.testing.assert_allclose(m1.pc, m2.pc, atol=1e-9)
+    np.testing.assert_allclose(m1.explained_variance, m2.explained_variance, atol=1e-9)
+    with pytest.raises(ValueError):
+        PCA(k=2, backend="gpu")
 
 
 def test_fit_small_matches_numpy(spark, small_df):
