@@ -218,23 +218,56 @@ def sample_audio_frames(df: DataFrame, payload_col: str, id_col: str = "doc_id")
     mapInPandas with a row-expanding output, the shape real
     frame-samplers (ffmpeg) need."""
 
+    cols = [f.name for f in AUDIO_FRAME_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully vectorized framing: concatenate every payload into one
+        # NaN-padded buffer, reshape to (total_frames, FRAME_LEN), and
+        # compute all frame stats as masked column-wise numpy ops — the
+        # only Python-level loop is one O(1) slice-copy per row (forced
+        # by variable-length binaries), never per frame or per sample.
         for pdf in batches:
-            rows = []
-            for _, rec in pdf.iterrows():
-                sig = np.frombuffer(rec[payload_col], dtype=np.uint8).astype(np.float64) - 128.0
-                n_frames = max(1, len(sig) // FRAME_LEN)
-                for fi in range(n_frames):
-                    fr = sig[fi * FRAME_LEN : (fi + 1) * FRAME_LEN]
-                    rows.append(
-                        {
-                            "doc_id": int(rec[id_col]),
-                            "frame_idx": fi,
-                            "rms": float(np.sqrt(np.mean(fr**2))) if len(fr) else 0.0,
-                            "zero_crossings": int(np.sum(np.diff(np.sign(fr)) != 0)),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            sigs = [
+                np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
+                for b in pdf[payload_col]
+            ]
+            n_frames = np.array([max(1, len(s) // FRAME_LEN) for s in sigs])
+            total = int(n_frames.sum())
+            buf = np.full(total * FRAME_LEN, np.nan)
+            pos = 0
+            for s, nf in zip(sigs, n_frames):
+                take = min(len(s), nf * FRAME_LEN)  # drop the sub-frame tail
+                buf[pos : pos + take] = s[:take]
+                pos += nf * FRAME_LEN
+            fr = buf.reshape(-1, FRAME_LEN)
+            valid = ~np.isnan(fr)
+            cnt = valid.sum(axis=1)
+            filled = np.where(valid, fr, 0.0)
+            rms = np.sqrt(
+                np.divide(
+                    (filled**2).sum(axis=1),
+                    cnt,
+                    out=np.zeros(total),
+                    where=cnt > 0,
+                )
+            )
+            zc = (
+                (np.diff(np.sign(filled), axis=1) != 0)
+                & valid[:, 1:]
+                & valid[:, :-1]
+            ).sum(axis=1)
+            starts = np.cumsum(n_frames) - n_frames
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(np.int64), n_frames),
+                    "frame_idx": np.arange(total) - np.repeat(starts, n_frames),
+                    "rms": rms,
+                    "zero_crossings": zc.astype(np.int64),
+                }
+            )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, AUDIO_FRAME_SCHEMA)
 
