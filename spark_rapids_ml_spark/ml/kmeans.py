@@ -53,6 +53,9 @@ class KMeans:
         self.tol = tol
 
     def fit(self, df: DataFrame) -> "KMeansModel":
+        from spark_rapids_ml_spark.ml.schema import validate_vector_col
+
+        validate_vector_col(df.schema, self.feature_col)  # fail fast, zero jobs
         feat = self.feature_col
         # deterministic init: rows with the k smallest ids
         seed_rows = (
@@ -117,6 +120,32 @@ class KMeans:
             if shift < self.tol:
                 break
         return KMeansModel(centroids, feat)
+
+    # -------- estimator persistence (params-only metadata, mirrors
+    # DefaultParamsWriter; see ml/schema.py) --------
+
+    _CLASS = "spark_rapids_ml_spark.ml.kmeans.KMeans"
+
+    def save(self, path: str) -> None:
+        from spark_rapids_ml_spark.ml.schema import save_params
+
+        save_params(
+            path,
+            self._CLASS,
+            {
+                "k": self.k,
+                "feature_col": self.feature_col,
+                "id_col": self.id_col,
+                "max_iter": self.max_iter,
+                "tol": self.tol,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "KMeans":
+        from spark_rapids_ml_spark.ml.schema import load_params
+
+        return cls(**load_params(path, cls._CLASS))
 
 
 class KMeansModel:

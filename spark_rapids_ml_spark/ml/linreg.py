@@ -29,9 +29,40 @@ class LinearRegression:
         self.label_col = label_col
         self.fit_intercept = fit_intercept
 
+    # -------- estimator persistence (params-only metadata, mirrors
+    # DefaultParamsWriter; see ml/schema.py) --------
+
+    _CLASS = "spark_rapids_ml_spark.ml.linreg.LinearRegression"
+
+    def save(self, path: str) -> None:
+        from spark_rapids_ml_spark.ml.schema import save_params
+
+        save_params(
+            path,
+            self._CLASS,
+            {
+                "feature_col": self.feature_col,
+                "label_col": self.label_col,
+                "fit_intercept": self.fit_intercept,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LinearRegression":
+        from spark_rapids_ml_spark.ml.schema import load_params
+
+        return cls(**load_params(path, cls._CLASS))
+
     def fit(self, df: DataFrame) -> "LinearRegressionModel":
         from pyspark.sql import functions as F
 
+        from spark_rapids_ml_spark.ml.schema import (
+            validate_numeric_col,
+            validate_vector_col,
+        )
+
+        validate_vector_col(df.schema, self.feature_col)  # fail fast, zero jobs
+        validate_numeric_col(df.schema, self.label_col)
         z = df.select(
             F.concat(
                 F.col(self.feature_col).cast("array<double>"),

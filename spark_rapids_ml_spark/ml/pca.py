@@ -290,11 +290,19 @@ class PCA:
         self.mean_centering = mean_centering
         self.backend = backend
 
+    def transform_schema(self, schema) -> "StructType":
+        """Driver-side schema check before any job launches —
+        validateAndTransformSchema parity (RapidsPCA.scala:127-129)."""
+        from spark_rapids_ml_spark.ml.schema import transform_schema
+
+        return transform_schema(schema, self.input_col, self.output_col)
+
     def fit(self, df: DataFrame) -> "PCAModel":
         # stage spans mirror the reference's NVTX ranges
         # (RapidsRowMatrix.scala:78,88,153) via setJobDescription
         from spark_rapids_ml_spark.plans.profiling import span
 
+        self.transform_schema(df.schema)  # fail fast, zero jobs
         first = df.select(self.input_col).first()
         n_features = len(first[0])
         if self.k > n_features:  # RapidsPCA.scala:117-119
@@ -320,6 +328,32 @@ class PCA:
             mean_centering=self.mean_centering,
             n_rows=n_rows,
         )
+
+    # -------- estimator persistence (RapidsPCA.scala:134-140;
+    # round-tripped by PCASuite.scala:192-206) --------
+
+    _CLASS = "spark_rapids_ml_spark.ml.pca.PCA"
+
+    def save(self, path: str) -> None:
+        from spark_rapids_ml_spark.ml.schema import save_params
+
+        save_params(
+            path,
+            self._CLASS,
+            {
+                "k": self.k,
+                "input_col": self.input_col,
+                "output_col": self.output_col,
+                "mean_centering": self.mean_centering,
+                "backend": self.backend,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PCA":
+        from spark_rapids_ml_spark.ml.schema import load_params
+
+        return cls(**load_params(path, cls._CLASS))
 
 
 class PCAModel:
@@ -353,6 +387,9 @@ class PCAModel:
         self.n_rows = n_rows
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from spark_rapids_ml_spark.ml.schema import transform_schema
+
+        transform_schema(df.schema, self.input_col, self.output_col)
         pc = self.pc.copy()
         input_col = self.input_col
 

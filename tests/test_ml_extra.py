@@ -126,3 +126,68 @@ def test_kmeans_matches_numpy_replay(spark):
     for blob in range(3):
         blob_labels = labs[inv[blob * 100 : (blob + 1) * 100]]
         assert len(set(blob_labels.tolist())) == 1
+
+
+# ------------- estimator persistence + schema validation (ref
+# RapidsPCA.scala:127-140,207-228; PCASuite.scala:192-206 round-trips
+# estimator AND model, DefaultReadWriteTest style) -------------
+
+
+def test_estimator_roundtrip_all_three(tmp_path):
+    from spark_rapids_ml_spark.ml.pca import PCA
+
+    est = PCA(k=3, input_col="emb", output_col="proj", backend="spr",
+              mean_centering=False)
+    est.save(str(tmp_path / "pca_est"))
+    got = PCA.load(str(tmp_path / "pca_est"))
+    assert (got.k, got.input_col, got.output_col, got.backend,
+            got.mean_centering) == (3, "emb", "proj", "spr", False)
+
+    km = KMeans(k=5, feature_col="f", id_col="vid", max_iter=3, tol=1e-4)
+    km.save(str(tmp_path / "km_est"))
+    got = KMeans.load(str(tmp_path / "km_est"))
+    assert (got.k, got.feature_col, got.id_col, got.max_iter, got.tol) == (
+        5, "f", "vid", 3, 1e-4)
+
+    lr = LinearRegression(feature_col="f", label_col="y", fit_intercept=False)
+    lr.save(str(tmp_path / "lr_est"))
+    got = LinearRegression.load(str(tmp_path / "lr_est"))
+    assert (got.feature_col, got.label_col, got.fit_intercept) == ("f", "y", False)
+
+    # wrong-class load must refuse
+    with pytest.raises(ValueError, match="expected"):
+        KMeans.load(str(tmp_path / "pca_est"))
+
+
+def test_estimator_load_fit_parity(spark, reg_data, tmp_path):
+    """A loaded estimator must fit to the same model as the original
+    (the invariant PCASuite.scala:192-206 checks)."""
+    x, y, df = reg_data
+    lr = LinearRegression()
+    lr.save(str(tmp_path / "lr"))
+    m1 = lr.fit(df)
+    m2 = LinearRegression.load(str(tmp_path / "lr")).fit(df)
+    np.testing.assert_allclose(m1.coefficients, m2.coefficients, atol=0)
+    assert m1.intercept == m2.intercept and m1.n_rows == m2.n_rows == 500
+
+
+def test_schema_validation_fails_fast(spark, reg_data):
+    """Bad input schemas must raise driver-side BEFORE any job — the
+    validateAndTransformSchema contract (RapidsPCA.scala:127-129)."""
+    from spark_rapids_ml_spark.ml.pca import PCA
+
+    _, _, df = reg_data
+    with pytest.raises(ValueError, match="not found"):
+        PCA(k=2, input_col="nope").fit(df)
+    with pytest.raises(ValueError, match="array<numeric> or Vector"):
+        PCA(k=2, input_col="label").fit(df)  # scalar, not vector
+    with pytest.raises(ValueError, match="already exists"):
+        PCA(k=2, input_col="features", output_col="label").fit(df)
+    with pytest.raises(ValueError, match="array<numeric> or Vector"):
+        KMeans(k=2, feature_col="label").fit(df)
+    with pytest.raises(ValueError, match="must be numeric"):
+        LinearRegression(label_col="features").fit(df)
+    # transform validates too
+    model = PCA(k=2, input_col="features", output_col="proj").fit(df)
+    with pytest.raises(ValueError, match="already exists"):
+        model.transform(df.withColumnRenamed("label", "proj"))
