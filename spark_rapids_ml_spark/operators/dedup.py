@@ -312,7 +312,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     tags=("dedup", "jaccard"),
     oracle=f"""
-WITH sh AS ({sql_shingle_rows(where="doc_id <= 150")}),
+WITH sh AS ({sql_shingle_rows(where="doc_id <= 400")}),
 card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -326,7 +326,7 @@ SELECT c.doc_a, c.doc_b,
 FROM common c
 JOIN card ca ON c.doc_a = ca.doc_id
 JOIN card cb ON c.doc_b = cb.doc_id
-WHERE CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) >= 0.2
+WHERE CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) >= 0.1
 ORDER BY doc_a, doc_b
 """,
 )
@@ -335,10 +335,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the verification stage for LSH candidates; run
     standalone it joins on the shingle posting list, so cost is
-    sum(df^2) over shingles — bounded here to a doc range. At 100 TB,
+    sum(df^2) over shingles — bounded here to a doc range (doc_id <= 400, threshold 0.1 -> 18/15
+    pairs at sf0.001/0.01 so the oracle comparison is non-trivial). At 100 TB,
     feed it dedup_minhash_lsh_pairs instead of the raw corpus.
     """
-    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 400)
     sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(shingles("toks")).alias("shingle")
     )
@@ -356,7 +357,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .where(jac >= 0.2)
+        .where(jac >= 0.1)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

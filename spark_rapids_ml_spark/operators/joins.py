@@ -145,13 +145,17 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 ORDER BY c_custkey
 """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no mega-order. The build side is filtered (every
+    customer has SOME order in this testdata, so an unfiltered anti
+    join is vacuously empty — 20/202/1997 rows at sf0.001/0.01/0.1)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
