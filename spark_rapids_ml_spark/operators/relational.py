@@ -396,3 +396,90 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---- TPC-H shapes adapted to this testdata (no partsupp table exists:
+# lineitem serves as the part↔supplier price/volume link) ----
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_Q2_SQL = """
+SELECT DISTINCT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name,
+       n.n_name, p.p_partkey, p.p_name
+FROM part p, lineitem l, supplier s, nation n, region r
+WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+  AND p.p_size <= 10 AND p.p_type = 'STANDARD'
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", tags=("tpch", "subquery"), oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery — which European
+    supplier offers each small STANDARD part at its minimum price
+    (lineitem stands in for partsupp, absent from this testdata).
+
+    Kept in SQL form so Catalyst's RewriteCorrelatedScalarSubquery
+    decorrelates it into an aggregate+join — plan-asserted in
+    tests/test_plans.py (no per-row re-execution). Sort key
+    (s_acctbal DESC, n_name, s_name, p_partkey) is total, so the
+    LIMIT is deterministic at every sf."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q2_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_part_types", tags=("tpch", "subquery"), oracle=_Q16_SQL)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (null-aware anti join) + COUNT(DISTINCT)
+    — how many distinct suppliers ship each excluded-brand part class,
+    excluding suppliers in bad standing (negative acctbal stands in for
+    the %Complaints% comment filter; no s_comment in this testdata)."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 60)
+ORDER BY s_name
+"""
+
+
+@register("q20_part_promotion_suppliers", tags=("tpch", "subquery"), oracle=_Q20_SQL)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who moved
+    heavy volume (grouped HAVING, the availqty analogue) of red parts
+    (inner IN) in a two-year window, via IN → GROUP BY/HAVING → IN.
+    Catalyst plans both INs as left-semi joins."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_Q20_SQL)

@@ -87,6 +87,31 @@ def test_semi_anti_joins_planned_as_joins(spark):
     assert "LeftAnti" in plan_of(subquery_not_exists_correlated(spark, SF))
 
 
+def test_q2_scalar_min_decorrelates(spark):
+    """Q2's correlated scalar-MIN subquery must rewrite to an
+    aggregate+join (RewriteCorrelatedScalarSubquery) — never per-row
+    subquery re-execution or a nested-loop fallback."""
+    from spark_rapids_ml_spark.operators.relational import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the decorrelated form: min() runs as a real aggregate stage
+    assert "min(" in plan and "HashAggregate" in plan
+
+
+def test_q16_q20_semi_anti_shapes(spark):
+    """Q16's NOT IN must plan as a null-aware anti join; Q20's nested
+    IN chain as left-semi joins."""
+    from spark_rapids_ml_spark.operators.relational import (
+        q16_supplier_part_types,
+        q20_part_promotion_suppliers,
+    )
+
+    assert "LeftAnti" in plan_of(q16_supplier_part_types(spark, SF))
+    p20 = plan_of(q20_part_promotion_suppliers(spark, SF))
+    assert "LeftSemi" in p20 and "NestedLoop" not in p20
+
+
 def test_theta_join_not_nested_loop(spark):
     """The equi-conjunct must make the range join a hash/sort-merge
     join, not BroadcastNestedLoopJoin."""
