@@ -34,14 +34,25 @@ def main() -> None:
     # warm-up: JVM + Arrow + parquet footer caches
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        n = df.count()  # full materialization
+        # consume EVERY output column (count() would let Catalyst prune
+        # the projections, under-billing expression-heavy queries); one
+        # hash-sum row also counts via the same pass
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        release_caches()
+        print(f"# {name}: {timings[name]:.3f}s ({row['n']} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -47,7 +47,10 @@ def compare(
     spark: SparkSession, spec: QuerySpec, sf_dir: str
 ) -> tuple[bool, dict[str, Any]]:
     """Run spark query vs oracle; return (match, details)."""
+    from spark_rapids_ml_spark.operators.dedup import release_caches
+
     sdf = spec.fn(spark, sf_dir).toPandas()
+    release_caches()  # free any executor blocks the query pinned
     if spec.oracle is None:
         return len(sdf) >= 0, {"rows": len(sdf), "oracle": "none"}
     con = duckdb_connect(sf_dir)

@@ -31,6 +31,24 @@ from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
+# Cached frames registered here so consumers can free executor storage
+# once results are materialized (a long-lived session otherwise
+# accumulates blocks across a 100+-query sweep). harness.compare and
+# bench call release_caches() after each query; ContextCleaner remains
+# the backstop for frames still referenced lazily.
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _SESSION_CACHES:
+        _SESSION_CACHES.pop().unpersist()
+
 N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
@@ -217,9 +235,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one posexplode projection (NOT a 4-way union, which would
     # re-evaluate the whole shingle+hash pipeline per band); cached
     # because the self-join consumes it twice
-    bands = mh.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
-    ).cache()
+    bands = _cache(
+        mh.select(
+            "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+        )
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -423,38 +443,56 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-4 iterations suffice. The DuckDB oracle computes the same
     components by recursive transitive closure.
     """
+    from pyspark.sql import Observation
+
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = _cache(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(20):  # diameter bound; converges far earlier
-        neigh_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("n_doc"))
-            .agg(F.min("label").alias("n_label"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels.doc_id == neigh_min.n_doc, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias("label"),
+    prev = None
+    try:
+        for _ in range(20):  # diameter bound; converges far earlier
+            neigh_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy(F.col("src").alias("n_doc"))
+                .agg(F.min("label").alias("n_label"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
-        if changed == 0:
-            break
+            # convergence detection rides the SAME job as the label
+            # update: observe() sums the changed-flag while the eager
+            # localCheckpoint materializes — one job per iteration, no
+            # separate count() probe
+            obs = Observation()
+            new_labels = (
+                labels.join(neigh_min, labels.doc_id == neigh_min.n_doc, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("n_label", F.col("label"))).alias(
+                        "new_label"
+                    ),
+                    "label",
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("new_label") != F.col("label")).cast("bigint")
+                    ).alias("changed"),
+                )
+                .select("doc_id", F.col("new_label").alias("label"))
+            )
+            checkpointed = new_labels.localCheckpoint(eager=True)  # cut lineage
+            if prev is not None:
+                prev.unpersist()  # drop the superseded iteration's blocks
+            prev = labels = checkpointed
+            if not obs.get.get("changed"):
+                break
+    finally:
+        # labels are checkpointed — the lineage no longer needs the
+        # cached edge list (or the LSH band cache beneath it)
+        release_caches()
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_rep"),

@@ -71,7 +71,7 @@ def test_minhash_lsh_finds_true_duplicates(spark):
     cand = {
         (r["doc_a"], r["doc_b"])
         for r in dedup_minhash_lsh_pairs(spark, SF).collect()
-        if r["doc_a"] <= 150 and r["doc_b"] <= 150
+        if r["doc_a"] <= 400 and r["doc_b"] <= 400  # the jaccard query's range
     }
     high = {p for p, j in jac.items() if j >= 0.9}
     missed = high - cand
