@@ -190,24 +190,91 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    tags=("dedup", "minhash"),
-    bench=True,
-    oracle=f"""
-WITH {_sql_minhash_cte()},
-bands AS (
+# Bucket-skew guard: a degenerate corpus (thousands of identical or
+# near-identical docs) lands whole cohorts in ONE band bucket, turning
+# the candidate equi-join quadratic. Buckets above this cap switch
+# from all-pairs to a STAR around the bucket's smallest doc_id —
+# O(bucket) edges instead of O(bucket²), while keeping every member
+# connected to the representative (so duplicate clustering still
+# groups them; pair-level recall inside oversize buckets is the
+# documented trade). The cap never binds on this testdata (max bucket
+# ≪ 64) — the guard is exercised by tests/test_quality.py with 1k
+# identical docs.
+LSH_BUCKET_CAP = 64
+
+
+def _sql_bands_cte() -> str:
+    return f"""bands AS (
   {" UNION ALL ".join(
       f'''SELECT doc_id, {b} AS band,
           {sql_hash60("(" + " || '_' || ".join(f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)) + ")")} AS band_key
           FROM mh'''
       for b in range(N_BANDS)
   )}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+def _sql_guarded_pairs_cte() -> str:
+    """CTEs bands→co: per-band candidate pairs with the bucket cap
+    (all-pairs below cap, star around min doc above)."""
+    return f"""{_sql_bands_cte()},
+bstats AS (
+  SELECT band, band_key, COUNT(*) AS cnt, MIN(doc_id) AS min_doc
+  FROM bands GROUP BY band, band_key
+),
+bx AS (
+  SELECT b.doc_id, b.band, b.band_key, s.cnt, s.min_doc
+  FROM bands b JOIN bstats s ON b.band = s.band AND b.band_key = s.band_key
+),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bx a JOIN bx b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.cnt <= {LSH_BUCKET_CAP}
+  UNION ALL
+  SELECT min_doc AS doc_a, doc_id AS doc_b
+  FROM bx WHERE cnt > {LSH_BUCKET_CAP} AND doc_id > min_doc
+)"""
+
+
+def lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) candidates from a (doc_id, band,
+    band_key) frame, with the bucket-skew guard. All joins are
+    equi-joins on (band, band_key); per-bucket work is O(min(cnt,
+    cap)·cnt), never unconditionally quadratic."""
+    stats = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("min_doc")
+    )
+    bx = bands.join(stats, ["band", "band_key"])
+    small = bx.where(F.col("cnt") <= cap)
+    a = small.alias("a")
+    b_ = small.alias("b")
+    all_pairs = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_pairs = bx.where(
+        (F.col("cnt") > cap) & (F.col("doc_id") > F.col("min_doc"))
+    ).select(F.col("min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return (
+        all_pairs.unionAll(star_pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    tags=("dedup", "minhash"),
+    bench=True,
+    oracle=f"""
+WITH {_sql_minhash_cte()},
+{_sql_guarded_pairs_cte()}
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+FROM co
+GROUP BY doc_a, doc_b
 ORDER BY doc_a, doc_b
 """,
 )
