@@ -198,8 +198,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected to the representative (so duplicate clustering still
 # groups them; pair-level recall inside oversize buckets is the
 # documented trade). The cap never binds on this testdata (max bucket
-# ≪ 64) — the guard is exercised by tests/test_quality.py with 1k
-# identical docs.
+# ≪ 64); the Spark impl and the SQL oracle share the guard
+# (lsh_candidate_pairs / _sql_guarded_pairs_cte), and it is exercised
+# by tests/test_quality.py with 1k identical docs plus a cap±1
+# boundary property test.
 LSH_BUCKET_CAP = 64
 
 
@@ -301,25 +303,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # one posexplode projection (NOT a 4-way union, which would
     # re-evaluate the whole shingle+hash pipeline per band); cached
-    # because the self-join consumes it twice
+    # because the guarded candidate join consumes it multiple times
     bands = _cache(
         mh.select(
             "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
         )
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------------- simhash

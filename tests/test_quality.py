@@ -78,6 +78,69 @@ def test_minhash_lsh_finds_true_duplicates(spark):
     assert not missed, f"high-similarity pairs missed by LSH: {missed}"
 
 
+# ----------------------------------------------------- LSH bucket cap
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, band int, band_key long")
+
+
+def _partition(pairs, n_docs):
+    """Connected components of an edge list as a set of frozensets."""
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[int, set[int]] = {}
+    for d in range(n_docs):
+        groups.setdefault(find(d), set()).add(d)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_lsh_bucket_cap_star_on_1k_identical_docs(spark):
+    """A degenerate corpus (1k identical docs -> one bucket per band)
+    must produce O(n) star edges around the min doc_id, not the
+    ~2M-row all-pairs blowup; every doc stays connected to the rep."""
+    from spark_rapids_ml_spark.operators.dedup import N_BANDS, lsh_candidate_pairs
+
+    n = 1000
+    bands = _bands(spark, [(d, b, 12345) for d in range(n) for b in range(N_BANDS)])
+    pairs = lsh_candidate_pairs(bands).collect()
+    assert len(pairs) == n - 1
+    assert all(r["doc_a"] == 0 and r["n_shared_bands"] == N_BANDS for r in pairs)
+    assert {r["doc_b"] for r in pairs} == set(range(1, n))
+
+
+def test_lsh_bucket_cap_boundary_preserves_components(spark):
+    """Adversarial cap±1 buckets: candidate count stays O(n·cap) and
+    the connected components are IDENTICAL with and without the cap
+    (the star guard only thins intra-bucket edges, never splits)."""
+    from spark_rapids_ml_spark.operators.dedup import LSH_BUCKET_CAP, lsh_candidate_pairs
+
+    cap = LSH_BUCKET_CAP
+    sizes = [cap - 1, cap, cap + 1, 3]
+    rows, doc = [], 0
+    for key, size in enumerate(sizes):
+        rows.extend((doc + i, 0, key) for i in range(size))
+        doc += size
+    bands = _bands(spark, rows)
+    capped = [(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(bands).collect()]
+    uncapped = [
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(bands, cap=1 << 40).collect()
+    ]
+    all_pairs_small = sum(s * (s - 1) // 2 for s in sizes if s <= cap)
+    assert len(capped) == all_pairs_small + cap  # cap+1 bucket -> star of `cap` edges
+    assert len(uncapped) == sum(s * (s - 1) // 2 for s in sizes)
+    assert _partition(capped, doc) == _partition(uncapped, doc)
+
+
 # ------------------------------------------------------------- sketches
 
 def test_approx_count_distinct_bounded_error(spark):

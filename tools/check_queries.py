@@ -1,0 +1,34 @@
+"""Run the harness compare (Spark vs DuckDB oracle) for a subset of
+queries: `python tools/check_queries.py name1 name2 ...` or with no
+args, every declared query. Exits nonzero on any mismatch."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_rapids_ml_spark.harness import compare
+from spark_rapids_ml_spark.registry import all_queries
+from spark_rapids_ml_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")),
+                      shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    names = sys.argv[1:] or list(specs)
+    bad = 0
+    for name in names:
+        ok, details = compare(spark, specs[name], sf_dir)
+        status = "OK " if ok else "FAIL"
+        print(f"{status} {name}: {details if not ok else details}", flush=True)
+        bad += 0 if ok else 1
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
