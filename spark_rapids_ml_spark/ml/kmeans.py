@@ -97,21 +97,20 @@ class KMeans:
                 if rows:
                     yield pd.DataFrame(rows)
 
-            merged = (
-                data.mapInPandas(assign, _ASSIGN_SCHEMA)
-                .select("cluster", F.posexplode("packed").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.sum("val").alias("s"))
-                .collect()
-            )
+            # collect the per-partition partials directly (≤ k rows per
+            # partition, k×(d+1) doubles each) and merge on the driver —
+            # one single-stage job per iteration instead of an extra
+            # explode+shuffle round. At 1000-executor scale the partial
+            # set is still only n_partitions×k rows; switch the merge to
+            # treeAggregate if k×d×partitions ever outgrows the driver.
+            partials = data.mapInPandas(assign, _ASSIGN_SCHEMA).collect()
             new_c = centroids.copy()
             cnts = np.zeros(self.k)
             sums = np.zeros_like(centroids)
-            for r in merged:
-                if r["dim"] == 0:
-                    cnts[r["cluster"]] = r["s"]
-                else:
-                    sums[r["cluster"], r["dim"] - 1] = r["s"]
+            for r in partials:
+                packed = np.asarray(r["packed"])
+                cnts[r["cluster"]] += packed[0]
+                sums[r["cluster"]] += packed[1:]
             for j in range(self.k):
                 if cnts[j] > 0:
                     new_c[j] = sums[j] / cnts[j]

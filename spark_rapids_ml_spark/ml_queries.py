@@ -176,7 +176,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
     )
-    model = KMeans(k=4, max_iter=8, id_col="id").fit(e)
+    model = KMeans(k=4, max_iter=6, id_col="id").fit(e)
     assigned = model.transform(e)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     norms = [float(np.linalg.norm(c)) for c in model.centroids]

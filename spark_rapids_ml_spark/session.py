@@ -14,9 +14,29 @@ Local tests run on ``local[N]`` but every knob is chosen for the
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def clamped_shuffle(spark: SparkSession, n: int):
+    """Temporarily clamp spark.sql.shuffle.partitions to ``n``.
+
+    For driver-side iterative algorithms over *small* frames (label
+    propagation, Lloyd's iterations): each iteration materializes its
+    shuffles, so the session-wide width (sized for the big scans) is
+    pure task-scheduling overhead here. AQE coalescing does not cover
+    these: localCheckpoint/stateful stages pin the initial width.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

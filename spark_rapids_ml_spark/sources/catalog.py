@@ -32,6 +32,33 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_TUNED_SESSIONS: set[int] = set()
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime-settable execution defaults applied once per session.
+
+    Declared queries run on *caller-provided* sessions (the oracle
+    driver builds its own); these confs make the plans adaptive
+    regardless of how that session was built: AQE coalesces the
+    shuffle width to the data (a session default of 200 partitions is
+    pure task overhead at sf0.01 and far too few at 100 TB), and Arrow
+    serves every pandas/toPandas boundary.
+    """
+    if id(spark) in _TUNED_SESSIONS:
+        return
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down — keep the caller's choice
+            pass
+    _TUNED_SESSIONS.add(id(spark))
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -41,6 +68,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    _tune_session(spark)
     # declared queries define UTC semantics for every tz-dependent
     # expression (unix_timestamp, date_format over converted event
     # times); pin it so results don't depend on the caller's session TZ

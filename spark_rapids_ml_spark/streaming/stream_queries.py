@@ -15,6 +15,7 @@ would use for reprocessing 100 TB of history with the same code.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,29 @@ from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load, table_path
 
 _CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
+
+# Streaming state stores are per-shuffle-partition: every micro-batch
+# commits one state file per partition, so a 32-partition session pays
+# 32 state commits for kilobytes of data. The queries clamp the state
+# shuffle width for the run (state partitioning is a *deployment*
+# knob: a real 100 TB backfill sizes it to keys/executors, not to the
+# session default) and restore the session conf afterwards.
+_STATE_PARTITIONS = 4
+
+# batch-inferred schema per sf_dir (saves a file-listing + footer job
+# on every streaming query)
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+@contextlib.contextmanager
+def _state_shuffle(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -45,8 +69,9 @@ def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as raw nanos (see sources.catalog) → timestamp[us]."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
+    if sf_dir not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(_SCHEMA_CACHE[sf_dir]).parquet(_stream_dir(sf_dir))
     # integer division — see sources.catalog: double division loses
     # precision above 2^53 and mis-lands 1µs low on ~1.6% of rows
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -56,15 +81,16 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute with trigger(availableNow) into a memory sink; block
     until all available data is processed; return the result table."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/{name}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -345,14 +371,15 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s = _read_stream(spark, sf_dir).where(F.col("value") > 100)
-    q = (
-        s.select("event_id", "event_type", "value")
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/fb_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            s.select("event_id", "event_type", "value")
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/fb_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(f"{out_dir}/batch=*")
     return (
         back.groupBy("event_type")

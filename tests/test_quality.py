@@ -141,6 +141,31 @@ def test_lsh_bucket_cap_boundary_preserves_components(spark):
     assert _partition(capped, doc) == _partition(uncapped, doc)
 
 
+def test_cluster_paths_agree(spark):
+    """The adaptive clustering must give identical components whether
+    it solves locally (driver union-find) or distributed (label
+    propagation) — the declared query picks by edge count, so both
+    paths are pinned here against each other."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        _components_distributed,
+        _components_local,
+        dedup_minhash_lsh_pairs,
+        release_caches,
+    )
+
+    pairs = dedup_minhash_lsh_pairs(spark, SF).select("doc_a", "doc_b")
+    rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    release_caches()
+    assert rows, "no candidate pairs at sf0.001 — fixture broke"
+    local = dict(_components_local(rows))
+    dist = {
+        r["doc_id"]: r["label"]
+        for r in _components_distributed(spark, pairs).collect()
+    }
+    release_caches()
+    assert local == dist
+
+
 # ------------------------------------------------------------- sketches
 
 def test_approx_count_distinct_bounded_error(spark):
