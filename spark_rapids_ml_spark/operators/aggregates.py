@@ -300,16 +300,40 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", tags=("agg", "approx"), oracle=None)
+@register(
+    "agg_approx_percentile",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(median(o_totalprice), 6) AS exact_med,
+       CAST(1 AS BIGINT) AS within_tolerance
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL/GK-sketch percentile — the unbounded-scale path (sketches
-    merge across partitions without a sort). Rows-only check here;
-    tests/test_quality.py bounds the rank error vs the exact value."""
+    """GK-sketch percentile — the unbounded-scale path (sketches merge
+    across partitions without a sort).
+
+    Sketch internals aren't cross-engine stable, so the query checks
+    itself: it computes approx AND exact in one aggregation and emits
+    a within_tolerance flag (|approx−exact| ≤ 5% of exact). The DuckDB
+    oracle recomputes the exact median and expects the flag true — a
+    bounded-error contract in hash-checkable form (the absTol testing
+    discipline of the reference, PCASuite.scala:71).
+    tests/test_quality.py additionally bounds the raw error.
+    """
     o = load(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.5, 1000)")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_med"),
+            F.round(exact, 6).alias("exact_med"),
+            (F.abs(approx - exact) <= 0.05 * F.abs(exact))
+            .cast("bigint")
+            .alias("within_tolerance"),
         )
         .orderBy("o_orderpriority")
     )
@@ -341,18 +365,42 @@ def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", tags=("agg", "approx"), oracle=None)
+@register(
+    "agg_approx_count_distinct",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       CAST(1 AS BIGINT) AS within_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct-count — the 100 TB path for distincts.
 
-    Not cross-engine hash-stable (sketch internals differ), so the
-    driver records a rows-only check; tests/test_aggregates.py bounds
-    the relative error vs the exact count.
+    Sketch values aren't cross-engine stable, so the query checks
+    itself: approx AND exact in one aggregation plus a
+    within_tolerance flag (|approx−exact| ≤ 10% of exact — the sketch
+    is configured at 2% rsd). The DuckDB oracle recomputes the exact
+    count and expects the flag true (bounded-error contract in
+    hash-checkable form); tests/test_quality.py bounds the raw error.
     """
     li = load(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            exact.alias("exact_parts"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= 0.1 * exact.cast("double")
+            )
+            .cast("bigint")
+            .alias("within_tolerance"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -169,22 +169,27 @@ def test_cluster_paths_agree(spark):
 # ------------------------------------------------------------- sketches
 
 def test_approx_count_distinct_bounded_error(spark):
+    """The declared query emits exact + within_tolerance; this gate
+    re-derives the raw sketch estimate and bounds its error, so the
+    flag can't go vacuously true via a broken approx expression."""
     from spark_rapids_ml_spark.operators.aggregates import agg_approx_count_distinct
 
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in agg_approx_count_distinct(spark, SF).collect()
-    }
+    rows = {r["l_returnflag"]: r for r in agg_approx_count_distinct(spark, SF).collect()}
     li = load(spark, SF, "lineitem")
-    exact = {
-        r["l_returnflag"]: r["n"]
+    raw = {
+        r["l_returnflag"]: (r["a"], r["n"])
         for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+            F.countDistinct("l_partkey").alias("n"),
+        )
         .collect()
     }
-    for k, e in exact.items():
-        rel = abs(approx[k] - e) / e
-        assert rel < 0.1, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
+    for k, (a, e) in raw.items():
+        assert rows[k]["within_tolerance"] == 1
+        assert rows[k]["exact_parts"] == e
+        rel = abs(a - e) / e
+        assert rel < 0.1, f"{k}: approx {a} vs exact {e} (rel {rel:.3f})"
 
 
 def test_embedding_lsh_dedup_recall(spark):
@@ -236,22 +241,26 @@ def test_embedding_planted_threshold_discriminates(spark):
 
 
 def test_approx_percentile_bounded_error(spark):
+    """Same discipline as the count-distinct gate: re-derive the raw
+    sketch median and bound its error against the exact percentile."""
     from spark_rapids_ml_spark.operators.aggregates import agg_approx_percentile
 
-    approx = {
-        r["o_orderpriority"]: r["approx_med"]
-        for r in agg_approx_percentile(spark, SF).collect()
-    }
+    rows = {r["o_orderpriority"]: r for r in agg_approx_percentile(spark, SF).collect()}
     o = load(spark, SF, "orders")
-    exact = {
-        r["o_orderpriority"]: r["m"]
+    raw = {
+        r["o_orderpriority"]: (r["a"], r["m"])
         for r in o.groupBy("o_orderpriority")
-        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("a"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("m"),
+        )
         .collect()
     }
-    for k, e in exact.items():
-        rel = abs(approx[k] - e) / e
-        assert rel < 0.05, f"{k}: approx {approx[k]} vs exact {e} (rel {rel:.3f})"
+    for k, (a, e) in raw.items():
+        assert rows[k]["within_tolerance"] == 1
+        assert rows[k]["exact_med"] == round(e, 6)
+        rel = abs(a - e) / e
+        assert rel < 0.05, f"{k}: approx {a} vs exact {e} (rel {rel:.3f})"
 
 
 # ----------------------------------------------------- multimodal replay
