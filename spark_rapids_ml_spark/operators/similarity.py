@@ -32,10 +32,20 @@ from spark_rapids_ml_spark.sources.catalog import load
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
 TOP_K = 5
-N_TABLES = 4  # multi-table LSH: union of candidates across tables
+# Multi-table LSH: union of candidates across tables. 8 tables × 4
+# planes measures recall 0.75 at sf0.001 (gate 0.6, tests/
+# test_quality.py); the full recall/candidate-count curve is in
+# SCALING.md — tables scale recall toward 1.0 at linear cost.
+N_TABLES = 8
 PLANES_PER_TABLE = 4  # 16 buckets/table — recall/cost knob
 LSH_SEED = 123
 DIM = 64
+# IVF cells probed per query (of the 10 label cells). The testdata's
+# cells are random w.r.t. cosine neighbors — the adversarial case:
+# recall ≈ probed cell mass (see SCALING.md curve); nprobe=6 measures
+# 0.69 at sf0.001. Real corpora have learned cells (k-means), where
+# the same plan shape probes far fewer cells for the same recall.
+IVF_NPROBE = 6
 
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
@@ -189,8 +199,9 @@ ORDER BY qid, rk
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
-    4 tables × 4 planes; candidates = union of the query's buckets
-    across tables; exact cosine re-rank on the deduped candidates.
+    N_TABLES tables × PLANES_PER_TABLE planes; candidates = union of
+    the query's buckets across tables; exact cosine re-rank on the
+    deduped candidates.
 
     Scale: the candidate join is an equi-join on (table, bucket) — the
     sub-linear ANN path; tables/planes trade recall vs candidate count
@@ -252,7 +263,7 @@ probe AS (
            ROW_NUMBER() OVER (PARTITION BY q.qid
                               ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.label) AS prk
     FROM q CROSS JOIN cent c
-  ) WHERE prk <= 2
+  ) WHERE prk <= {IVF_NPROBE}
 ),
 scored AS (
   SELECT q.qid, e.vec_id,
@@ -308,7 +319,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("clabel"))
             ),
         )
-        .where(F.col("prk") <= 2)
+        .where(F.col("prk") <= IVF_NPROBE)
         .select("qid", F.col("clabel").alias("plabel"))
     )
     scored = (

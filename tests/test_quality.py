@@ -39,9 +39,10 @@ def test_lsh_recall_vs_bruteforce(spark):
     recalls = [
         len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
     ]
-    # random embeddings → hyperplane buckets thin out neighbors; the
-    # gate is that LSH finds a nontrivial fraction at tiny corpus size
-    assert np.mean(recalls) >= 0.15, f"mean recall {np.mean(recalls):.3f}"
+    # measured 0.75 at 8 tables × 4 planes on this (deterministic)
+    # corpus — the gate pins the production floor; the recall/cost
+    # curve behind the choice is documented in SCALING.md
+    assert np.mean(recalls) >= 0.6, f"mean recall {np.mean(recalls):.3f}"
 
 
 def test_ivf_recall_vs_bruteforce(spark):
@@ -52,7 +53,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     for r in sim_ivf_topk(spark, SF).collect():
         got.setdefault(r["qid"], set()).add(r["vec_id"])
     recalls = [len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()]
-    assert np.mean(recalls) >= 0.15, f"mean recall {np.mean(recalls):.3f}"
+    # measured 0.69 at nprobe=6 of 10 random cells (the adversarial
+    # cell layout — see SCALING.md); deterministic corpus, no flake
+    assert np.mean(recalls) >= 0.6, f"mean recall {np.mean(recalls):.3f}"
 
 
 def test_minhash_lsh_finds_true_duplicates(spark):
