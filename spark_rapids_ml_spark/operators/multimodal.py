@@ -9,11 +9,14 @@ the reference uses for its GPU hop (RapidsRowMatrix.scala:177-199,
 iterator → contiguous buffer → vectorized kernel), with Arrow batches
 in place of the JNI buffer.
 
-The actual codec call is STUBBED (no image/audio libs in this
-container): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derives
-"pixels" from the payload bytes — so schema, partitioning, UDF
-signatures and batch shapes are all real and tested.
+The codecs are REAL for uncompressed formats: binary PPM images and
+RIFF/PCM WAV audio are parsed by dependency-free numpy parsers
+(functions/codecs.py), and the declared queries transcode the text
+corpus into genuine PPM/WAV payloads so the decode stages exercise a
+true parse-validate-extract pipeline. Compressed codecs (JPEG/FLAC —
+no PIL/libsndfile in this build) would slot in at the same call
+sites; ``decode_image_batch`` raises NotImplementedError for payloads
+that aren't PPM unless ``fake=True`` selects the deterministic stub.
 """
 
 from __future__ import annotations
@@ -32,6 +35,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from spark_rapids_ml_spark.functions.codecs import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+)
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -113,7 +122,7 @@ def mm_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# decode / feature-extract plumbing (stubbed codec)
+# decode / feature-extract plumbing (real PPM/WAV codecs)
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURE_SCHEMA = StructType(
@@ -132,22 +141,44 @@ FAKE_W, FAKE_H = 16, 8
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fake decoder: tile the payload bytes into a
-    FAKE_H x FAKE_W uint8 'image'. Stands in for PIL/libjpeg."""
+    FAKE_H x FAKE_W uint8 'image'. Kept for tests of the plumbing."""
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = FAKE_W * FAKE_H
     tiled = np.resize(raw, need)  # cycles bytes deterministically
     return tiled.reshape(FAKE_H, FAKE_W)
 
 
+def ppm_from_text(text: str, w: int = FAKE_W, h: int = FAKE_H) -> bytes:
+    """Deterministically transcode a text row into a REAL binary PPM:
+    tile the utf-8 bytes into an (h, w, 3) RGB raster and serialize
+    with the P6 writer. The testdata has no image column, so the
+    declared query manufactures genuine on-format payloads this way —
+    the downstream decode is a real parse, not a stub."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    return encode_ppm(np.resize(raw, w * h * 3).reshape(h, w, 3))
+
+
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> list[np.ndarray]:
-    """Decode a batch of image payloads. Real codecs are unavailable in
-    this environment — callers must opt into the deterministic fake."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/opencv) not available in this build; "
-            "pass fake=True for the deterministic stub decoder"
-        )
-    return [_fake_decode(p) for p in payloads]
+    """Decode a batch of image payloads.
+
+    Binary PPM (P6) decodes for real (pure-numpy parser,
+    functions/codecs.py). Compressed codecs (PIL/opencv) are not in
+    this build: non-PPM payloads raise unless the caller opts into the
+    deterministic fake tiler."""
+    out: list[np.ndarray] = []
+    for p in payloads:
+        p = bytes(p)
+        if p[:2] == b"P6":
+            out.append(decode_ppm(p))
+        elif fake:
+            out.append(_fake_decode(p))
+        else:
+            raise NotImplementedError(
+                "compressed image codecs (PIL/opencv) not available in this "
+                "build and payload is not an uncompressed P6 PPM; pass "
+                "fake=True for the deterministic stub decoder"
+            )
+    return out
 
 
 def extract_image_features(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
@@ -162,9 +193,12 @@ def extract_image_features(df: DataFrame, payload_col: str, id_col: str = "doc_i
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            imgs = decode_image_batch(pdf[payload_col], fake=True)
+            imgs = decode_image_batch(pdf[payload_col])
             rows = []
             for i, img in enumerate(imgs):
+                # feature = per-column mean; channel axis averaged for
+                # RGB so the feature length is the image width
+                col_mean = img.mean(axis=(0, 2)) if img.ndim == 3 else img.mean(axis=0)
                 rows.append(
                     {
                         "doc_id": int(pdf[id_col].iloc[i]),
@@ -172,7 +206,7 @@ def extract_image_features(df: DataFrame, payload_col: str, id_col: str = "doc_i
                         "height": img.shape[0],
                         "mean_px": float(img.mean()),
                         "std_px": float(img.std()),
-                        "feature": img.mean(axis=0).astype(np.float64).tolist(),
+                        "feature": col_mean.astype(np.float64).tolist(),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
@@ -182,12 +216,20 @@ def extract_image_features(df: DataFrame, payload_col: str, id_col: str = "doc_i
 
 @register("mm_image_decode_features", tags=("multimodal", "decode"), oracle=None)
 def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub pipeline over binary payloads: mapInPandas batches →
-    fake decode → per-image stats + a 16-dim feature vector (exploded
-    to scalars for the rows-only check; tests/test_multimodal.py
-    asserts values against a local numpy replay)."""
+    """REAL image-decode pipeline: each row's text is transcoded into
+    a genuine binary PPM payload (Arrow-batched pandas_udf), and the
+    decode stage parses the PPM format for real (header validation +
+    raster reshape, functions/codecs.py) before feature extraction.
+    Rows-only check; tests/test_quality.py asserts values against a
+    local encode→decode numpy replay."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(ppm_from_text)
+
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     feats = extract_image_features(payloads, "payload")
     return feats.select(
         "doc_id",
@@ -212,28 +254,36 @@ AUDIO_FRAME_SCHEMA = StructType(
 FRAME_LEN = 64
 
 
+def wav_from_text(text: str, sample_rate: int = 8000) -> bytes:
+    """Deterministically transcode a text row into a REAL 8-bit PCM
+    WAV whose samples are the utf-8 bytes — genuine RIFF container,
+    parsed (not assumed) by the frame-sampling stage."""
+    return encode_wav(
+        np.frombuffer(text.encode("utf-8"), dtype=np.uint8), sample_rate, bits=8
+    )
+
+
 def sample_audio_frames(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
-    """Frame-sampling stage (audio/video analogue of decode): split each
-    payload into fixed-length frames, one output row per frame —
-    mapInPandas with a row-expanding output, the shape real
+    """Frame-sampling stage (audio/video analogue of decode): parse
+    each WAV payload (real RIFF/PCM parser, functions/codecs.py) and
+    split the signal into fixed-length frames, one output row per
+    frame — mapInPandas with a row-expanding output, the shape real
     frame-samplers (ffmpeg) need."""
 
     cols = [f.name for f in AUDIO_FRAME_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # fully vectorized framing: concatenate every payload into one
-        # NaN-padded buffer, reshape to (total_frames, FRAME_LEN), and
-        # compute all frame stats as masked column-wise numpy ops — the
-        # only Python-level loop is one O(1) slice-copy per row (forced
-        # by variable-length binaries), never per frame or per sample.
+        # decode, then fully vectorized framing: concatenate every
+        # signal into one NaN-padded buffer, reshape to
+        # (total_frames, FRAME_LEN), and compute all frame stats as
+        # masked column-wise numpy ops — the only Python-level loop is
+        # one O(1) slice-copy per row (forced by variable-length
+        # signals), never per frame or per sample.
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=cols)
                 continue
-            sigs = [
-                np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
-                for b in pdf[payload_col]
-            ]
+            sigs = [decode_wav(bytes(b))[0] for b in pdf[payload_col]]
             n_frames = np.array([max(1, len(s) // FRAME_LEN) for s in sigs])
             total = int(n_frames.sum())
             buf = np.full(total * FRAME_LEN, np.nan)
@@ -274,10 +324,17 @@ def sample_audio_frames(df: DataFrame, payload_col: str, id_col: str = "doc_id")
 
 @register("mm_audio_frame_sample", tags=("multimodal", "decode"), oracle=None)
 def mm_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample stub over binary payloads (rows-only check +
-    numpy-replay assertions in tests/test_multimodal.py)."""
+    """REAL audio pipeline: text rows transcoded to genuine 8-bit PCM
+    WAV payloads, parsed by the RIFF/PCM decoder, then frame-sampled
+    (rows-only check + numpy-replay assertions in tests/test_quality.py)."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(wav_from_text)
+
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = d.select("doc_id", to_wav("text").alias("payload"))
     frames = sample_audio_frames(payloads, "payload")
     return frames.select(
         "doc_id",

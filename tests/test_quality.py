@@ -268,12 +268,46 @@ def test_approx_percentile_bounded_error(spark):
 
 # ----------------------------------------------------- multimodal replay
 
+def test_ppm_codec_roundtrip_and_validation():
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header with comments + arbitrary whitespace must still parse
+    body = img.tobytes()
+    fancy = b"P6 # comment\n  16\t8 # wxh\n255\n" + body
+    assert np.array_equal(decode_ppm(fancy), img)
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="short pixel data"):
+        decode_ppm(b"P6\n16 8\n255\n" + body[:-10])
+
+
+def test_wav_codec_roundtrip_and_validation():
+    from spark_rapids_ml_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    s8 = rng.integers(0, 256, size=1000, dtype=np.uint8)
+    x, sr = decode_wav(encode_wav(s8, 8000, bits=8))
+    assert sr == 8000
+    assert np.array_equal(x, s8.astype(np.float64) - 128.0)
+    s16 = rng.integers(-32768, 32767, size=500).astype(np.int16)
+    x16, _ = decode_wav(encode_wav(s16, 16000, bits=16))
+    assert np.array_equal(x16, s16.astype(np.float64))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+
+
 def test_image_decode_features_match_numpy_replay(spark):
+    """The declared query builds REAL PPM payloads and parses them;
+    the replay re-encodes and re-decodes each text locally."""
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm
     from spark_rapids_ml_spark.operators.multimodal import (
         FAKE_H,
         FAKE_W,
-        _fake_decode,
         mm_image_decode_features,
+        ppm_from_text,
     )
 
     got = {r["doc_id"]: r for r in mm_image_decode_features(spark, SF).collect()}
@@ -283,24 +317,36 @@ def test_image_decode_features_match_numpy_replay(spark):
     }
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
-        img = _fake_decode(text.encode("utf-8"))
+        img = decode_ppm(ppm_from_text(text))
         assert (got[doc_id]["height"], got[doc_id]["width"]) == (FAKE_H, FAKE_W)
         assert got[doc_id]["mean_px"] == pytest.approx(img.mean(), abs=1e-5)
         assert got[doc_id]["std_px"] == pytest.approx(img.std(), abs=1e-5)
-        assert got[doc_id]["f0"] == pytest.approx(img.mean(axis=0)[0], abs=1e-5)
+        assert got[doc_id]["f0"] == pytest.approx(img.mean(axis=(0, 2))[0], abs=1e-5)
 
 
-def test_decode_without_fake_flag_raises():
+def test_decode_rejects_compressed_without_fake_flag():
     import pandas as pd
 
     from spark_rapids_ml_spark.operators.multimodal import decode_image_batch
 
-    with pytest.raises(NotImplementedError, match="image codecs"):
-        decode_image_batch(pd.Series([b"abc"]))
+    with pytest.raises(NotImplementedError, match="not an uncompressed P6 PPM"):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0jpeg-ish"]))
+    # but a genuine PPM decodes for real, no flag needed
+    from spark_rapids_ml_spark.operators.multimodal import ppm_from_text
+
+    out = decode_image_batch(pd.Series([ppm_from_text("hello world")]))
+    assert out[0].shape == (8, 16, 3)
 
 
 def test_audio_frames_match_numpy_replay(spark):
-    from spark_rapids_ml_spark.operators.multimodal import FRAME_LEN, mm_audio_frame_sample
+    """The declared query builds REAL WAV payloads; the replay
+    round-trips each text through the codec."""
+    from spark_rapids_ml_spark.functions.codecs import decode_wav
+    from spark_rapids_ml_spark.operators.multimodal import (
+        FRAME_LEN,
+        mm_audio_frame_sample,
+        wav_from_text,
+    )
 
     rows = mm_audio_frame_sample(spark, SF).collect()
     docs = {
@@ -310,8 +356,10 @@ def test_audio_frames_match_numpy_replay(spark):
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
     for doc_id, frames in by_doc.items():
-        sig = np.frombuffer(docs[doc_id].encode("utf-8"), dtype=np.uint8).astype(float) - 128.0
+        sig, sr = decode_wav(wav_from_text(docs[doc_id]))
+        assert sr == 8000
         assert len(frames) == max(1, len(sig) // FRAME_LEN)
         fr0 = sig[:FRAME_LEN]
         assert frames[0]["rms"] == pytest.approx(float(np.sqrt(np.mean(fr0**2))), abs=1e-5)
