@@ -483,3 +483,40 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans both INs as left-semi joins."""
     _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_waiting_supplier", tags=("tpch", "subquery"), oracle=_Q21_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: DOUBLE-correlated subqueries over the same
+    fact table — suppliers who were the SOLE returned-lineitem
+    supplier in a finished multi-supplier order (l_returnflag='R'
+    stands in for receipt>commit lateness; those date columns don't
+    exist in this testdata).
+
+    The hard decorrelation case: one correlated EXISTS (another
+    supplier touched the order) AND one correlated NOT EXISTS (no
+    OTHER supplier had a return) against lineitem itself. Catalyst
+    must plan a left-semi and a left-anti join on l_orderkey with the
+    supplier inequality as a join residual — never per-row subquery
+    re-execution (pinned in tests/test_plans.py)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)

@@ -112,6 +112,20 @@ def test_q16_q20_semi_anti_shapes(spark):
     assert "LeftSemi" in p20 and "NestedLoop" not in p20
 
 
+def test_q21_double_correlated_semi_anti(spark):
+    """Q21's two correlated subqueries over the same fact table must
+    BOTH decorrelate: EXISTS (other supplier) -> left-semi, NOT EXISTS
+    (other returned supplier) -> left-anti, each an equi-join on
+    l_orderkey with the supplier inequality as residual — never
+    per-row re-execution or a nested-loop fallback."""
+    from spark_rapids_ml_spark.operators.relational import q21_waiting_supplier
+
+    plan = plan_of(q21_waiting_supplier(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_theta_join_not_nested_loop(spark):
     """The equi-conjunct must make the range join a hash/sort-merge
     join, not BroadcastNestedLoopJoin."""
