@@ -36,6 +36,15 @@ from spark_rapids_ml_spark.sources.catalog import load
 # accumulates blocks across a 100+-query sweep). harness.compare and
 # bench call release_caches() after each query; ContextCleaner remains
 # the backstop for frames still referenced lazily.
+#
+# CONTRACT: the registry is module-global, so dedup queries compose
+# one-at-a-time — materialize (collect/toPandas/write) each query's
+# result BEFORE building the next, then call release_caches(). A
+# caller interleaving two unmaterialized dedup queries would release
+# the first query's still-needed caches (correctness is unaffected —
+# Spark recomputes from lineage, except for the clustering result,
+# which registers a lineage-free checkpoint and documents its one-shot
+# semantics below).
 _SESSION_CACHES: list[DataFrame] = []
 
 
@@ -807,4 +816,93 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") > 0.8)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ----------------------------------------- materialized dedup pipeline
+
+@register(
+    "dedup_clusters_materialized",
+    tags=("dedup", "graph", "sink"),
+    oracle=f"""
+WITH RECURSIVE {_sql_lsh_edges()},
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+clus AS (
+  SELECT a AS doc_id,
+         CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+  FROM reach GROUP BY a
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(c.is_kept, 1)) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def dedup_clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline with a PERSISTED index: cluster
+    assignments (is_kept) are written to a bucketed+sorted table keyed
+    on doc_id, documents are bucketed the same way, and the downstream
+    keep/drop accounting joins the two WITHOUT any exchange — the
+    shape a real pipeline uses so every later consumer of the dedup
+    verdict (filtering, sampling, training-set builds) pays zero
+    shuffle on the fact table. Docs absent from the candidate graph
+    are implicitly kept (LEFT join + COALESCE(is_kept, 1)).
+
+    Scale: the write is one distributed bucketed sink; the join is a
+    per-bucket local merge (no Exchange on either side — pinned in
+    tests/test_plans.py::test_materialized_clusters_join_no_exchange).
+    """
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    db = f"dedupdb_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    c_tbl, d_tbl = f"{db}.clusters_b", f"{db}.documents_b"
+    # the in-memory catalog is per-session: clear any stale managed-
+    # table directory left by a previous session before saveAsTable
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for tbl in (c_tbl, d_tbl):
+        if not spark.catalog.tableExists(tbl):
+            shutil.rmtree(
+                os.path.join(warehouse, f"{db}.db", tbl.split(".")[1]),
+                ignore_errors=True,
+            )
+
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    (
+        clusters.write.mode("overwrite")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(c_tbl)
+    )
+    release_caches()  # the table write materialized everything
+    if not spark.catalog.tableExists(d_tbl):
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(d_tbl)
+        )
+    d = spark.table(d_tbl)
+    c = spark.table(c_tbl).select("doc_id", "is_kept")
+    return (
+        d.join(c, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_kept", F.lit(1))).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
     )

@@ -185,6 +185,34 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_materialized_clusters_join_no_exchange(spark):
+    """The persisted dedup verdict (bucketed clusters table) must join
+    back to the bucketed documents table with no exchange on either
+    side — the zero-shuffle consumption path every downstream user of
+    is_kept relies on."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.dedup import dedup_clusters_materialized
+
+    dedup_clusters_materialized(spark, SF)  # ensure tables exist
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        d = spark.table("dedupdb_root_testdata_sf0_001.documents_b")
+        c = spark.table("dedupdb_root_testdata_sf0_001.clusters_b")
+        j = d.join(c, "doc_id", "left").select(
+            "doc_id", F.coalesce("is_kept", F.lit(1)).alias("kept")
+        )
+        j.collect()
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_struct_schema_pruning(spark):
     """Nested-struct access must prune to the referenced leaves."""
     from spark_rapids_ml_spark.operators.multimodal import mm_struct_bundle
