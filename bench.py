@@ -45,14 +45,35 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         # consume EVERY output column (count() would let Catalyst prune
         # the projections, under-billing expression-heavy queries); one
-        # hash-sum row also counts via the same pass
+        # hash-sum row also counts via the same pass. xxhash64 rejects
+        # MapType — serialize maps (and anything else unhashable)
+        # through to_json first.
+        hashable = [
+            F.to_json(c) if t.typeName() in ("map",) else F.col(c)
+            for c, t in ((f.name, f.dataType) for f in df.schema.fields)
+        ]
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*df.columns).cast("decimal(28,0)")).alias("h"),
+            F.sum(F.xxhash64(*hashable).cast("decimal(28,0)")).alias("h"),
         ).collect()[0]
         timings[name] = round(time.perf_counter() - t0, 3)
         release_caches()
         print(f"# {name}: {timings[name]:.3f}s ({row['n']} rows)", file=sys.stderr)
+
+    # streaming throughput: rows/s of raw events through the watermarked
+    # tumbling-window pipeline (the 100 TB backfill rate indicator)
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    t0 = time.perf_counter()
+    specs_all = all_queries()
+    df = specs_all["stream_tumbling_window"].fn(spark, sf_dir)
+    df.agg(F.count(F.lit(1))).collect()
+    stream_wall = time.perf_counter() - t0
+    stream_rows_per_sec = round(n_events / stream_wall, 1)
+    print(
+        f"# streaming_throughput: {n_events} events in {stream_wall:.3f}s "
+        f"= {stream_rows_per_sec} rows/s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +85,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": cpus,
+                "streaming_rows_per_sec": stream_rows_per_sec,
             }
         )
     )

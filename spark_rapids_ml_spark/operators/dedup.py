@@ -252,11 +252,17 @@ def lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFram
     """(doc_a, doc_b, n_shared_bands) candidates from a (doc_id, band,
     band_key) frame, with the bucket-skew guard. All joins are
     equi-joins on (band, band_key); per-bucket work is O(min(cnt,
-    cap)·cnt), never unconditionally quadratic."""
-    stats = bands.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("min_doc")
+    cap)·cnt), never unconditionally quadratic.
+
+    The per-bucket stats (cnt, min_doc) ride a WINDOW over the same
+    (band, band_key) partitioning the candidate join needs — one
+    shuffle total, instead of a groupBy + re-join round."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    bx = bands.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "min_doc", F.min("doc_id").over(w)
     )
-    bx = bands.join(stats, ["band", "band_key"])
     small = bx.where(F.col("cnt") <= cap)
     a = small.alias("a")
     b_ = small.alias("b")
