@@ -485,6 +485,71 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q20_SQL)
 
 
+_Q17_SQL = """
+SELECT COUNT(*) AS n_small_orders,
+       -- exact decimal sum cast to double, THEN one division by an
+       -- exact constant: identical IEEE doubles in both engines
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type = 'ECONOMY'
+  AND l.l_quantity < (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / (5 * COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", tags=("tpch", "subquery"), oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-AVG subquery — revenue from
+    orders below 20% of a part's average quantity (p_type stands in
+    for the brand+container filter; brand alone matches nothing at
+    sf0.001 — 104/874/8964 qualifying rows at sf0.001/0.01/0.1).
+
+    Cross-engine hazard handled: 0.2·AVG over doubles is summation-
+    order dependent, so the threshold is written as exact-decimal
+    SUM → one cast → one division by the exact integer 5·COUNT —
+    bit-identical in both engines, making the strict `<` comparison
+    deterministic. Catalyst decorrelates the scalar subquery into an
+    aggregate+join (same rewrite as Q2)."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 320000.0)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@register("q22_global_sales_opportunity", tags=("tpch", "subquery"), oracle=_Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (corpus-wide
+    average balance) + correlated NOT EXISTS, grouped by nation
+    (stands in for the phone country prefix — no c_phone here). Every
+    customer in this testdata has orders, so the anti-join condition
+    is "no jumbo order" (o_totalprice > 320000) — chosen so the
+    NOT EXISTS genuinely binds at every sf (1/16/210 customers at
+    sf0.001/0.01/0.1), not a vacuous filter. The balance threshold is
+    exact-decimal sum / exact count, so the boundary is cross-engine
+    stable; the anti-join decorrelates like Q21's."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
 _Q21_SQL = """
 SELECT s.s_name, COUNT(*) AS numwait
 FROM supplier s

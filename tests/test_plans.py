@@ -112,6 +112,28 @@ def test_q16_q20_semi_anti_shapes(spark):
     assert "LeftSemi" in p20 and "NestedLoop" not in p20
 
 
+def test_q17_q22_decorrelate(spark):
+    """Q17's correlated scalar-AVG must rewrite to aggregate+join;
+    Q22's NOT EXISTS to a left-anti join — no per-row re-execution."""
+    from spark_rapids_ml_spark.operators.relational import (
+        q17_small_quantity_revenue,
+        q22_global_sales_opportunity,
+    )
+
+    p17 = plan_of(q17_small_quantity_revenue(spark, SF))
+    assert "HashAggregate" in p17 and "NestedLoop" not in p17
+    assert "CartesianProduct" not in p17
+    p22 = plan_of(q22_global_sales_opportunity(spark, SF))
+    # the NOT EXISTS must be a hash/merge anti join on o_custkey; the
+    # only nested-loop allowed is the 1-row scalar-subquery broadcast
+    # (comparing every customer to the single avg_bal row — optimal)
+    assert "Join [c_custkey" in p22 or "LeftAnti" in p22
+    anti_lines = [ln for ln in p22.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "HashJoin" in ln or "SortMergeJoin" in ln for ln in anti_lines
+    ), p22
+
+
 def test_q21_double_correlated_semi_anti(spark):
     """Q21's two correlated subqueries over the same fact table must
     BOTH decorrelate: EXISTS (other supplier) -> left-semi, NOT EXISTS
