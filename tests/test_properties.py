@@ -92,6 +92,96 @@ def test_hash60_cross_engine_identical(spark):
 
 
 @given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_property(w, h, seed):
+    """decode(encode(img)) == img for ANY image dimensions — the
+    codec pair is lossless by construction."""
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@given(st.integers(0, 5000), st.integers(0, 2**32 - 1), st.sampled_from([8, 16]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, seed, bits):
+    """WAV encode→decode recovers every sample (centered for 8-bit)
+    at ANY length, including the empty signal."""
+    from spark_rapids_ml_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        s = rng.integers(0, 256, size=n, dtype=np.uint8)
+        expect = s.astype(np.float64) - 128.0
+    else:
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        expect = s.astype(np.float64)
+    x, sr = decode_wav(encode_wav(s, 8000, bits=bits))
+    assert sr == 8000
+    np.testing.assert_array_equal(x, expect)
+
+
+@given(
+    st.lists(st.integers(1, 200), min_size=1, max_size=12),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_lsh_guard_components_invariant_property(sizes, seed):
+    """For ANY bucket-size layout, the capped candidate graph has
+    exactly the same connected components as the uncapped one, and its
+    edge count never exceeds sum(min(size, cap) * size) — the pure
+    graph-side invariant behind the Spark guard (the distributed
+    implementation is pinned against this logic in test_quality.py)."""
+    cap = 64
+
+    def edges(layout, capped):
+        out = []
+        doc = 0
+        for size in layout:
+            ids = list(range(doc, doc + size))
+            doc += size
+            if capped and size > cap:
+                out += [(ids[0], d) for d in ids[1:]]
+            else:
+                out += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return out, doc
+
+    capped, n = edges(sizes, True)
+    uncapped, _ = edges(sizes, False)
+
+    def comp(pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return [find(d) for d in range(n)]
+
+    ca, cu = comp(capped), comp(uncapped)
+    groups_a = {}
+    groups_u = {}
+    for d in range(n):
+        groups_a.setdefault(ca[d], set()).add(d)
+        groups_u.setdefault(cu[d], set()).add(d)
+    assert {frozenset(g) for g in groups_a.values()} == {
+        frozenset(g) for g in groups_u.values()
+    }
+    assert len(capped) <= sum(min(s, cap) * s for s in sizes)
+
+
+@given(
     st.lists(
         st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
         min_size=1,
