@@ -1,0 +1,275 @@
+"""Training-data pipeline operators: the reproducibility-critical
+steps between a raw corpus and a training set — deterministic splits,
+hash-stratified sampling, sequence packing, chunking, and benchmark
+decontamination. All five are content-hash / window-function driven,
+so they are exactly reproducible across engines AND across cluster
+topologies (no RNG, no partition-order dependence) — the property a
+100 TB pipeline needs so a re-run yields byte-identical training sets.
+
+Scale notes: split/sample are stateless row-local hash predicates
+(perfectly parallel, pushdown-friendly); packing is one window
+running-sum over a total order (one range-partition shuffle);
+chunking is a row-expanding projection; decontamination is a
+semi-join on the shingle posting list (equi-join, the same shape as
+the n-gram dedup verifier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.text import SQL_TOKENS, shingles, sql_shingle_rows
+from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.sources.catalog import load
+
+# hash-bucket boundaries of the 3-way split (train < 80, val < 90)
+SPLIT_BUCKETS = 100
+TRAIN_LT, VAL_LT = 80, 90
+SAMPLE_MOD = 10  # keep 1-in-10 per stratum
+PACK_BUDGET = 256  # tokens per packed sequence
+CHUNK_LEN, CHUNK_STRIDE = 50, 40  # tokens per chunk / stride (overlap 10)
+
+
+@register(
+    "pipe_deterministic_split",
+    tags=("llm-pipe", "split"),
+    oracle=f"""
+WITH b AS (
+  SELECT lang, n_chars, {sql_hash60('text')} % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {TRAIN_LT} THEN 'train'
+            WHEN bucket < {VAL_LT} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
+""",
+)
+def pipe_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (80/10/10): a document's
+    split is a pure function of its text, so duplicates land in the
+    same split (no train→test leakage via copies), re-runs are
+    byte-identical, and new data never reshuffles old assignments —
+    the three properties RNG-based splits lack.
+
+    Scale: stateless per-row predicate; no shuffle before the
+    reporting aggregate."""
+    d = load(spark, sf_dir, "documents")
+    bucket = hash60("text") % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "pipe_stratified_sample",
+    tags=("llm-pipe", "sample"),
+    oracle=f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {sql_hash60('text', 3)} % {SAMPLE_MOD} = 0
+ORDER BY doc_id
+""",
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-10 sample keyed on a seeded content hash —
+    the reproducible alternative to rand()-sampling for eval slices
+    and ablations: the same document is always in (or out), across
+    engines, runs, and partitionings. Different seeds give independent
+    sampling 'channels' over the same corpus.
+
+    Scale: row-local predicate; at 100 TB this is a full scan that
+    writes 10% — no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(hash60("text", seed=3) % SAMPLE_MOD == 0)
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipe_sequence_packing",
+    tags=("llm-pipe", "packing"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+-- FLOOR, not bare CAST: DuckDB's double->BIGINT cast rounds to
+-- nearest, it does not truncate
+SELECT CAST(FLOOR(cum_excl / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY 1
+ORDER BY seq_id
+""",
+)
+def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: documents are concatenated in a
+    fixed total order and cut into {PACK_BUDGET}-token training
+    sequences — a doc belongs to the sequence its exclusive prefix
+    sum falls in. This is the concatenate-then-chunk packing used for
+    pretraining corpora (not optimal bin packing, which is NP-hard and
+    order-destroying); a sequence can overflow by at most one doc's
+    tail, which the chunking stage (pipe_chunk_documents) absorbs.
+
+    Scale: one window running-sum over a total order — a single
+    range-partitioned shuffle; everything else is row-local."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.select(
+            F.floor(F.col("cum_excl") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+            "n_tokens",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@register(
+    "pipe_chunk_documents",
+    tags=("llm-pipe", "chunk"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks, CAST(len({SQL_TOKENS}) AS BIGINT) AS n
+  FROM documents WHERE doc_id <= 100
+),
+nc AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_LEN} THEN 1
+              ELSE 1 + CAST(FLOOR((n - {CHUNK_LEN} + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS BIGINT)
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_LEN}, n - g.i * {CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens,
+       toks[CAST(g.i * {CHUNK_STRIDE} + 1 AS INT)] AS first_token
+FROM nc CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n_chunks - 1))) g(i)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking ({CHUNK_LEN} tokens, stride
+    {CHUNK_STRIDE}): the standard retrieval/embedding preprocessing —
+    every token is covered, consecutive chunks share
+    {CHUNK_LEN - CHUNK_STRIDE} tokens of context, and the chunk count
+    is a pure function of the token count. Bounded to doc_id <= 100
+    for the declared query (the operator itself is unbounded).
+
+    Scale: row-expanding projection (posexplode of a computed index
+    range) — no shuffle; at 100 TB this runs scan-speed."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    extra = F.col("n") - CHUNK_LEN
+    n_chunks = F.when(F.col("n") <= CHUNK_LEN, F.lit(1)).otherwise(
+        1 + F.floor((extra + (CHUNK_STRIDE - 1)) / float(CHUNK_STRIDE)).cast("bigint")
+    )
+    nc = t.withColumn("n_chunks", n_chunks)
+    return (
+        nc.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_LEN), F.col("n") - F.col("i") * CHUNK_STRIDE)
+            .cast("bigint")
+            .alias("chunk_tokens"),
+            F.element_at("toks", (F.col("i") * CHUNK_STRIDE + 1).cast("int")).alias(
+                "first_token"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "pipe_contamination_overlap",
+    tags=("llm-pipe", "decontamination"),
+    oracle=f"""
+WITH bench AS ({sql_shingle_rows(where="doc_id < 20")}),
+corpus AS (SELECT DISTINCT shingle FROM ({sql_shingle_rows(where="doc_id >= 20")})),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bench GROUP BY doc_id),
+hit AS (
+  SELECT b.doc_id, COUNT(*) AS n_matched
+  FROM bench b WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.shingle = b.shingle)
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_matched, 0) AS n_matched,
+       -- exact int ratio: unrounded (identical IEEE division)
+       CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / t.n_shingles AS contamination
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+""",
+)
+def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each held-out document (doc_id
+    < 20 stands in for an eval benchmark), the fraction of its
+    3-gram shingles that appear ANYWHERE in the training corpus —
+    the overlap score used to drop or flag contaminated eval items.
+
+    Scale: a semi-join on the shingle posting list (equi-join on the
+    shingle hash at 100 TB, same shape as the n-gram dedup verifier);
+    the benchmark side is tiny and broadcastable."""
+    d = load(spark, sf_dir, "documents")
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.explode(shingles("toks")).alias("shingle"))
+    bench = sh(d.where(F.col("doc_id") < 20))
+    corpus = sh(d.where(F.col("doc_id") >= 20)).select("shingle").distinct()
+    tot = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        bench.join(F.broadcast(corpus), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    contamination = F.col("n_matched").cast("double") / F.col("n_shingles")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.coalesce(contamination, F.lit(0.0)).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )

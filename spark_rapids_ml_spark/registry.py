@@ -64,6 +64,7 @@ def load_all_modules() -> None:
     an externally recorded verdict across rounds.
     """
     from spark_rapids_ml_spark.operators import (  # noqa: F401
+        llm_pipeline,
         misc,
         multimodal,
         relational,
