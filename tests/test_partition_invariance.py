@@ -25,6 +25,13 @@ SAMPLED = [
     "window_topk_per_group",
     "pca_covariance_matrix",
     "udf_grouped_agg_weighted_avg",
+    # dataset assembly: packing depends on a TOTAL order prefix sum,
+    # cosine tiles on applyInPandas grouping — both must be
+    # layout-independent; splits/samples are row-local by construction
+    "pipe_sequence_packing",
+    "pipe_deterministic_split",
+    "pipe_contamination_overlap",
+    "dedup_embedding_cosine_pairs",
 ]
 
 
