@@ -485,6 +485,59 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q20_SQL)
 
 
+_Q14_SQL = """
+SELECT COUNT(*) AS n_lines,
+       -- both sums are EXACT decimals (price x (1-discount) in
+       -- DECIMAL arithmetic); one double division at the end is the
+       -- only FP op, identical in both engines
+       CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promotion_effect", tags=("tpch", "join"), oracle=_Q14_SQL)
+def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (share of revenue
+    from PROMO parts in a ship-date window). Both revenue sums run in
+    exact decimal so the ratio is one identical IEEE division — the
+    round-trip-safe way to emit a percentage (ROUND here would be the
+    cross-engine tie-break hazard)."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_discounted_revenue", tags=("tpch", "join"), oracle=_Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets over BOTH
+    join sides — the planner test case for OR-residuals: the equi-join
+    on partkey must stay a hash join with the bracket disjunction as a
+    post-join filter, never a nested-loop over the OR (pinned in
+    tests/test_plans.py). Revenue in exact decimal as everywhere."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)
+
+
 _Q17_SQL = """
 SELECT COUNT(*) AS n_small_orders,
        -- exact decimal sum cast to double, THEN one division by an

@@ -148,6 +148,37 @@ def test_q21_double_correlated_semi_anti(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_q19_bracket_disjunction_stays_hash_join(spark):
+    """Q19's OR-of-conjunctive-brackets touches both join sides; the
+    equi-join on partkey must remain a hash join with the disjunction
+    as residual — the classic plan that degrades to nested-loop in
+    naive planners."""
+    from spark_rapids_ml_spark.operators.relational import q19_discounted_revenue
+
+    plan = plan_of(q19_discounted_revenue(spark, SF))
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_pipeline_ops_plan_shapes(spark):
+    """Dataset-assembly plans: the split aggregates map-side before
+    its exchange; contamination's corpus side is a broadcast semi
+    join; chunking shuffles only for its final ORDER BY (the expansion
+    itself is a row-local projection)."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import (
+        pipe_chunk_documents,
+        pipe_contamination_overlap,
+        pipe_deterministic_split,
+    )
+
+    p_split = plan_of(pipe_deterministic_split(spark, SF))
+    assert "HashAggregate" in p_split  # partial+final pair
+    p_cont = plan_of(pipe_contamination_overlap(spark, SF))
+    assert "LeftSemi" in p_cont and "BroadcastHashJoin" in p_cont
+    p_chunk = plan_of(pipe_chunk_documents(spark, SF))
+    assert "Exchange hashpartitioning" not in p_chunk, p_chunk
+
+
 def test_theta_join_not_nested_loop(spark):
     """The equi-conjunct must make the range join a hash/sort-merge
     join, not BroadcastNestedLoopJoin."""
