@@ -538,6 +538,35 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q19_SQL)
 
 
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", tags=("tpch", "subquery"), oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + uncorrelated scalar-MAX
+    subquery over that same view (the create-view formulation inlined
+    as a CTE). The equality against MAX is exact — revenue sums are
+    DECIMAL, so ties and the max itself are cross-engine identical;
+    the double cast happens only at output."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
 _Q17_SQL = """
 SELECT COUNT(*) AS n_small_orders,
        -- exact decimal sum cast to double, THEN one division by an
