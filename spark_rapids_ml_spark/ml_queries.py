@@ -164,6 +164,82 @@ def linreg_slope_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+@register(
+    "feature_standard_scale",
+    tags=("ml", "feature"),
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM}),
+stats AS (
+  SELECT pos, AVG(val) AS m, STDDEV_SAMP(val) AS sd
+  FROM elem GROUP BY pos
+)
+SELECT e.vec_id,
+       ROUND(MAX(CASE WHEN e.pos = 1 THEN (e.val - s.m) / s.sd END), 6) AS z0,
+       ROUND(MAX(CASE WHEN e.pos = 2 THEN (e.val - s.m) / s.sd END), 6) AS z1
+FROM elem e JOIN stats s ON e.pos = s.pos
+WHERE e.pos <= 2 AND e.vec_id <= 100
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+""",
+)
+def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler (z-score) fit+transform over the embedding
+    column, checked against DuckDB avg/stddev_samp per dimension —
+    SQL-oracle coverage for the feature-transformer surface (first two
+    dimensions emitted; the full-vector path is numpy-replayed in
+    tests/test_ml_extra.py)."""
+    from spark_rapids_ml_spark.ml.scaler import StandardScaler
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = StandardScaler(input_col="features").fit(e)
+    out = model.transform(e).where(F.col("vec_id") <= 100)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("scaled", 1), 6).alias("z0"),
+        F.round(F.element_at("scaled", 2), 6).alias("z1"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "feature_minmax_scale",
+    tags=("ml", "feature"),
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM}),
+stats AS (
+  SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM elem GROUP BY pos
+)
+SELECT e.vec_id,
+       -- (val-min)/(max-min): every operand is an exact double
+       -- (min/max have no summation order), so the division is
+       -- identical IEEE cross-engine — emitted UNROUNDED
+       MAX(CASE WHEN e.pos = 1 THEN (e.val - s.mn) / (s.mx - s.mn) END) AS s0,
+       MAX(CASE WHEN e.pos = 2 THEN (e.val - s.mn) / (s.mx - s.mn) END) AS s1
+FROM elem e JOIN stats s ON e.pos = s.pos
+WHERE e.pos <= 2 AND e.vec_id <= 100
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+""",
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMaxScaler fit+transform vs DuckDB min/max per dimension.
+    Unlike the z-score, every number here is bit-exact cross-engine
+    (extrema have no accumulation order), so the output is unrounded."""
+    from spark_rapids_ml_spark.ml.scaler import MinMaxScaler
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = MinMaxScaler(input_col="features").fit(e)
+    out = model.transform(e).where(F.col("vec_id") <= 100)
+    return out.select(
+        "vec_id",
+        F.element_at("scaled", 1).alias("s0"),
+        F.element_at("scaled", 2).alias("s1"),
+    ).orderBy("vec_id")
+
+
 @register("kmeans_embedding_clusters", tags=("ml", "kmeans"), oracle=None)
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=4, deterministic smallest-id

@@ -191,3 +191,72 @@ def test_schema_validation_fails_fast(spark, reg_data):
     model = PCA(k=2, input_col="features", output_col="proj").fit(df)
     with pytest.raises(ValueError, match="already exists"):
         model.transform(df.withColumnRenamed("label", "proj"))
+
+
+# ----------------------------------------------------------- scalers
+
+def test_standard_scaler_matches_numpy(spark):
+    from spark_rapids_ml_spark.ml.scaler import StandardScaler
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(80, 6))
+    x[:, 3] = 7.0  # constant column
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], ["id", "features"]
+    )
+    model = StandardScaler(input_col="features").fit(df)
+    np.testing.assert_allclose(model.mean, x.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(model.std, x.std(axis=0, ddof=1), rtol=1e-10)
+    got = {r["id"]: np.array(r["scaled"]) for r in model.transform(df).collect()}
+    expect = (x - x.mean(axis=0)) / np.where(
+        x.std(axis=0, ddof=1) > 0, x.std(axis=0, ddof=1), 1.0
+    )
+    expect[:, 3] = 0.0  # constant column maps to 0
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], expect[i], atol=1e-10)
+
+
+def test_minmax_scaler_matches_numpy_and_roundtrips(spark, tmp_path):
+    from spark_rapids_ml_spark.ml.scaler import MinMaxScaler, MinMaxScalerModel
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-3, 9, size=(50, 4))
+    x[:, 2] = 1.5  # constant column -> 0.5
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], ["id", "features"]
+    )
+    model = MinMaxScaler(input_col="features").fit(df)
+    path = str(tmp_path / "mm")
+    model.save(spark, path)
+    loaded = MinMaxScalerModel.load(spark, path)
+    np.testing.assert_array_equal(loaded.mn, model.mn)
+    got = {r["id"]: np.array(r["scaled"]) for r in loaded.transform(df).collect()}
+    rngs = x.max(axis=0) - x.min(axis=0)
+    expect = (x - x.min(axis=0)) / np.where(rngs > 0, rngs, 1.0)
+    expect[:, 2] = 0.5
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], expect[i], atol=1e-12)
+
+
+def test_standard_scaler_model_roundtrip(spark, tmp_path):
+    from spark_rapids_ml_spark.ml.scaler import StandardScaler, StandardScalerModel
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i * 2)]) for i in range(10)], ["id", "features"]
+    )
+    model = StandardScaler(input_col="features").fit(df)
+    path = str(tmp_path / "ss")
+    model.save(spark, path)
+    loaded = StandardScalerModel.load(spark, path)
+    np.testing.assert_array_equal(loaded.mean, model.mean)
+    np.testing.assert_array_equal(loaded.std, model.std)
+
+
+def test_scaler_rejects_bad_schema(spark):
+    import pytest as _pytest
+
+    from spark_rapids_ml_spark.ml.scaler import StandardScaler
+
+    df = spark.createDataFrame([(1, "nope")], ["id", "features"])
+    with _pytest.raises(ValueError):
+        StandardScaler(input_col="features").fit(df)
