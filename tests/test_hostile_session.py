@@ -1,0 +1,47 @@
+"""Caller-session independence: declared queries run on SESSIONS WE
+DON'T CONTROL (the external oracle driver builds its own), so a
+representative sample must stay correct on a session configured
+nothing like ours — 200 shuffle partitions, AQE disabled, no Arrow.
+catalog.load() re-applies the runtime-settable execution defaults
+(AQE/Arrow) and pins timezone/nanos handling; this test is the proof
+that that path works from a cold, hostile configuration.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_rapids_ml_spark.harness import compare
+from spark_rapids_ml_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLED = [
+    "q1_pricing_summary",  # decimal aggregation
+    "q21_waiting_supplier",  # double-correlated subqueries
+    "dedup_minhash_lsh_pairs",  # portable hash + guard
+    "pipe_sequence_packing",  # total-order window
+    "stream_tumbling_window",  # streaming + state clamp restore
+    "feature_minmax_scale",  # mapInPandas fit + pandas_udf transform
+    "scalar_datetime_extra",  # timezone/nanos handling
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    """An isolated session sharing the context but with adversarial
+    session-level conf (what a conservative external harness might
+    use)."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    return s
+
+
+@pytest.mark.parametrize("name", SAMPLED)
+def test_green_on_hostile_session(hostile, name):
+    spec = all_queries()[name]
+    ok, details = compare(hostile, spec, SF)
+    assert ok, f"{name} failed on hostile session: {details}"
