@@ -132,3 +132,54 @@ def source_inmemory_createdataframe(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("band")
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    tags=("sink", "scale"),
+    oracle="""
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END)
+            AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotent-upsert ETL primitive: INSERT OVERWRITE of ONLY
+    the partitions present in the incoming batch (dynamic partition
+    overwrite). A full partitioned write is followed by a corrected
+    'en' batch (n_chars + 1000); with partitionOverwriteMode=dynamic
+    the rewrite touches just the en directory — every other partition's
+    files are untouched, which is what makes per-partition backfills
+    retry-safe at 100 TB (a retry replaces exactly its own output).
+    The re-read must show the corrected en rows and pristine others.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join("/root/repo/.tmp/sinks", tag, "documents_dpo")
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    update = d.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        update.write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
