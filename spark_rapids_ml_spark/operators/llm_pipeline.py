@@ -7,9 +7,10 @@ topologies (no RNG, no partition-order dependence) — the property a
 100 TB pipeline needs so a re-run yields byte-identical training sets.
 
 Scale notes: split/sample are stateless row-local hash predicates
-(perfectly parallel, pushdown-friendly); packing is one window
-running-sum over a total order (one range-partition shuffle);
-chunking is a row-expanding projection; decontamination is a
+(perfectly parallel, pushdown-friendly); packing computes its global
+prefix sum as a DISTRIBUTED SCAN (range-partition → parallel local
+cumsums → tiny offset merge), never a single-task unpartitioned
+window; chunking is a row-expanding projection; decontamination is a
 semi-join on the shingle posting list (equi-join, the same shape as
 the n-gram dedup verifier).
 """
@@ -104,6 +105,9 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_PARTITIONS = 16  # range-partition width of the distributed scan
+
+
 @register(
     "pipe_sequence_packing",
     tags=("llm-pipe", "packing"),
@@ -136,12 +140,41 @@ def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-destroying); a sequence can overflow by at most one doc's
     tail, which the chunking stage (pipe_chunk_documents) absorbs.
 
-    Scale: one window running-sum over a total order — a single
-    range-partitioned shuffle; everything else is row-local."""
+    Scale: the global prefix sum is the textbook DISTRIBUTED SCAN, not
+    a naive unpartitioned window (which Spark executes in a single
+    task): range-partition on doc_id, local exclusive cumsum per
+    partition in parallel, then add each partition's broadcast offset
+    (the cumulative total of all earlier partitions — a tiny
+    n_partitions-row driver reduction). Result is identical to the
+    single-task window at any partition count (partition-invariance
+    pinned in tests)."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.withColumn("cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    t = (
+        d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        .repartitionByRange(PACK_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    t = t.localCheckpoint(eager=False)  # pin pid: both consumers must see ONE layout
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    # per-partition totals -> exclusive running offsets (driver-side:
+    # n_partitions rows, the classic scan's tiny middle step)
+    totals = {
+        r["pid"]: r["s"]
+        for r in t.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("pid")
+    )
+    c = t.withColumn("cum_excl", local_excl + offset_expr)
     return (
         c.select(
             F.floor(F.col("cum_excl") / PACK_BUDGET).cast("bigint").alias("seq_id"),
