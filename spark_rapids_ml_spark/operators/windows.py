@@ -62,7 +62,12 @@ ORDER BY s_suppkey
 )
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — distribution-position
-    functions (unique total order so every rank is deterministic)."""
+    functions (unique total order so every rank is deterministic).
+
+    Scale: global distribution ranks are inherently a total-order
+    window (single reducer) — declared over the bounded supplier dim
+    only; fact-scale quantile positions use approx_percentile or a
+    partitioned rank instead."""
     s = load(spark, sf_dir, "supplier")
     w = Window.orderBy("s_acctbal", "s_suppkey")
     return s.select(
