@@ -342,3 +342,68 @@ def mm_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "zero_crossings",
     ).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_FACTOR = 2  # 2x nearest-neighbor downsample
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("mean_px_resized", DoubleType()),
+    ]
+)
+
+
+def resize_nearest(img: np.ndarray, factor: int = RESIZE_FACTOR) -> np.ndarray:
+    """Nearest-neighbor downsample by integer factor via strided
+    slicing — the dependency-free resize kernel (PIL/cv2 would slot in
+    here for fractional/antialiased resizes)."""
+    return img[::factor, ::factor]
+
+
+@register("mm_image_resize", tags=("multimodal", "decode"), oracle=None)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESIZE → feature pipeline: real PPM payloads are
+    parsed and 2x-downsampled (nearest-neighbor) inside one
+    mapInPandas stage — the thumbnail/preprocess step of an image
+    pipeline, batch shape identical to a GPU resize kernel's. Rows-only
+    check; numpy replay in tests/test_quality.py.
+
+    Scale: linear, no shuffle; resize shrinks the payload 4x before
+    any downstream exchange — do reductions AFTER cheap shrink stages.
+    """
+
+    @F.pandas_udf("binary")
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(ppm_from_text)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = decode_image_batch(pdf["payload"])
+            rows = []
+            for i, img in enumerate(imgs):
+                small = resize_nearest(img)
+                rows.append(
+                    {
+                        "doc_id": int(pdf["doc_id"].iloc[i]),
+                        "out_w": small.shape[1],
+                        "out_h": small.shape[0],
+                        "mean_px": float(img.mean()),
+                        "mean_px_resized": float(small.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    payloads = d.select("doc_id", to_ppm("text").alias("payload"))
+    out = payloads.mapInPandas(run, RESIZE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("mean_px_resized", 6).alias("mean_px_resized"),
+    ).orderBy("doc_id")

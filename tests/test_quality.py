@@ -338,6 +338,29 @@ def test_decode_rejects_compressed_without_fake_flag():
     assert out[0].shape == (8, 16, 3)
 
 
+def test_image_resize_matches_numpy_replay(spark):
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm
+    from spark_rapids_ml_spark.operators.multimodal import (
+        RESIZE_FACTOR,
+        mm_image_resize,
+        ppm_from_text,
+        resize_nearest,
+    )
+
+    got = {r["doc_id"]: r for r in mm_image_resize(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").where(F.col("doc_id") <= 100).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        img = decode_ppm(ppm_from_text(text))
+        small = resize_nearest(img)
+        assert (got[doc_id]["out_h"], got[doc_id]["out_w"]) == small.shape[:2]
+        assert small.shape[0] == img.shape[0] // RESIZE_FACTOR
+        assert got[doc_id]["mean_px_resized"] == pytest.approx(small.mean(), abs=1e-5)
+
+
 def test_audio_frames_match_numpy_replay(spark):
     """The declared query builds REAL WAV payloads; the replay
     round-trips each text through the codec."""
