@@ -292,3 +292,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
     canon = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
     return d.select("doc_id", hash60(canon).alias("fingerprint")).orderBy("doc_id")
+
+
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars is caught)
+
+
+@register(
+    "text_winnow_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, text, GREATEST(LENGTH(text) - {WINNOW_K - 1}, 1) AS m
+  FROM documents WHERE doc_id <= 200
+),
+h AS (
+  SELECT doc_id, m,
+         list_transform(generate_series(1, m),
+                        i -> {sql_hash60(f"substr(text, CAST(i AS INT), {WINNOW_K})")}) AS hs
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - {WINNOW_W - 1}, 1)),
+                                      j -> list_aggregate(hs[CAST(j AS INT):CAST(LEAST(j + {WINNOW_W - 1}, len(hs)) AS INT)], 'min'))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_aggregate(fps, 'min') AS min_fp,
+       list_aggregate(fps, 'max') AS max_fp
+FROM sel
+ORDER BY doc_id
+""",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash
+    every character k-gram, then keep the minimum hash of each sliding
+    window of w consecutive k-gram hashes — any shared substring of
+    length >= k+w-1 between two documents is guaranteed to share a
+    selected fingerprint. Output summarizes the selected set per doc
+    (count + extrema) so the check is hash-exact without exploding
+    rows; the portable hash makes the selection bit-identical in both
+    engines.
+
+    Scale: per-document local computation (no shuffle until the final
+    sort); the downstream near-dup join on selected fingerprints is a
+    posting-list equi-join like the shingle/LSH paths.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    m = F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: hash60(
+            F.substring(F.col("text"), i.cast("int"), F.lit(WINNOW_K))
+        ),
+    )
+    with_h = d.select("doc_id", hs.alias("hs"))
+    n_win = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+        )
+    )
+    return (
+        with_h.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -169,6 +169,47 @@ def test_cluster_paths_agree(spark):
     assert local == dist
 
 
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Python replica of the winnowing selection (portable md5 hash)."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    m = max(len(text) - k + 1, 1)
+    hs = [h60(text[i : i + k]) for i in range(m)]
+    return {
+        min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))
+    }
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """The MOSS guarantee: two docs sharing a substring of length
+    >= k+w-1 must share at least one selected fingerprint; and the
+    Spark query's per-doc counts must match the python replica."""
+    from spark_rapids_ml_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprint,
+    )
+
+    shared = "xyzzy plugh common run"  # len 22 >= k+w-1 = 11
+    a = "alpha beta " + shared + " tail one"
+    b = "gamma " + shared + " completely different end"
+    assert _winnow_py(a, WINNOW_K, WINNOW_W) & _winnow_py(b, WINNOW_K, WINNOW_W)
+
+    got = {r["doc_id"]: r for r in text_winnow_fingerprint(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").where(F.col("doc_id") <= 200).collect()
+    }
+    for doc_id, text in docs.items():
+        fps = _winnow_py(text, WINNOW_K, WINNOW_W)
+        assert got[doc_id]["n_fingerprints"] == len(fps)
+        assert got[doc_id]["min_fp"] == min(fps)
+        assert got[doc_id]["max_fp"] == max(fps)
+
+
 # ------------------------------------------------------------- sketches
 
 def test_approx_count_distinct_bounded_error(spark):
