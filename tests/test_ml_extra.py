@@ -260,3 +260,31 @@ def test_scaler_rejects_bad_schema(spark):
     df = spark.createDataFrame([(1, "nope")], ["id", "features"])
     with _pytest.raises(ValueError):
         StandardScaler(input_col="features").fit(df)
+
+
+def test_kmeans_declared_query_matches_numpy_replay(spark):
+    """The DECLARED kmeans query (rows-only in the oracle harness) is
+    pinned here value-by-value: replay Lloyd's with the same k,
+    iteration budget, and smallest-id init on the actual embeddings
+    table and require identical cluster sizes and centroid norms."""
+    import pyarrow.parquet as pq
+
+    from spark_rapids_ml_spark.ml_queries import kmeans_embedding_clusters
+    from spark_rapids_ml_spark.functions.portable import duck_round
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id")
+    x = np.vstack(t["embedding"].map(lambda v: np.asarray(v, np.float64)))
+    cents = numpy_lloyd(x, 4, 6, 1e-6)
+    d2 = (x * x).sum(1)[:, None] - 2 * x @ cents.T + (cents * cents).sum(1)[None, :]
+    lab = d2.argmin(1)
+    expect = {
+        j: (int((lab == j).sum()), duck_round(float(np.linalg.norm(cents[j])), 6))
+        for j in range(4)
+    }
+    got = {
+        r["cluster"]: (r["n"], r["centroid_norm"])
+        for r in kmeans_embedding_clusters(spark, sf).collect()
+    }
+    assert got == expect
