@@ -6,8 +6,10 @@ so they are exactly reproducible across engines AND across cluster
 topologies (no RNG, no partition-order dependence) — the property a
 100 TB pipeline needs so a re-run yields byte-identical training sets.
 
-Scale notes: split/sample are stateless row-local hash predicates
-(perfectly parallel, pushdown-friendly); packing computes its global
+Scale notes: split/sample are stateless row-local hash predicates —
+perfectly parallel scan-speed filters (the md5 expression itself is
+not parquet-pushable; what matters at scale is that they need no
+shuffle and no state); packing computes its global
 prefix sum as a DISTRIBUTED SCAN (range-partition → parallel local
 cumsums → tiny offset merge), never a single-task unpartitioned
 window; chunking is a row-expanding projection; decontamination is a
