@@ -282,9 +282,12 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles that appear ANYWHERE in the training corpus —
     the overlap score used to drop or flag contaminated eval items.
 
-    Scale: a semi-join on the shingle posting list (equi-join on the
-    shingle hash at 100 TB, same shape as the n-gram dedup verifier);
-    the benchmark side is tiny and broadcastable."""
+    Scale: a left-semi equi-join of the tiny benchmark shingle list
+    against the corpus posting list, keyed on the shingle — at 100 TB
+    the corpus side is enormous and must NEVER be broadcast; the
+    planner shuffles both sides on the shingle key (or runtime-
+    broadcasts whichever side is actually small — AQE's call, not a
+    hard-coded hint)."""
     d = load(spark, sf_dir, "documents")
     sh = lambda df: df.select(  # noqa: E731
         "doc_id", F.split("text", " ").alias("toks")
@@ -293,7 +296,7 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh(d.where(F.col("doc_id") >= 20)).select("shingle").distinct()
     tot = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
-        bench.join(F.broadcast(corpus), "shingle", "left_semi")
+        bench.join(corpus, "shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )

@@ -173,8 +173,10 @@ def test_pipeline_ops_plan_shapes(spark):
 
     p_split = plan_of(pipe_deterministic_split(spark, SF))
     assert "HashAggregate" in p_split  # partial+final pair
+    # LeftSemi required; the join strategy (broadcast vs shuffle) is
+    # the planner's size-based choice — no hard-coded corpus broadcast
     p_cont = plan_of(pipe_contamination_overlap(spark, SF))
-    assert "LeftSemi" in p_cont and "BroadcastHashJoin" in p_cont
+    assert "LeftSemi" in p_cont
     p_chunk = plan_of(pipe_chunk_documents(spark, SF))
     assert "Exchange hashpartitioning" not in p_chunk, p_chunk
 
