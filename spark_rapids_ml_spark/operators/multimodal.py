@@ -214,14 +214,53 @@ def extract_image_features(df: DataFrame, payload_col: str, id_col: str = "doc_i
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
-@register("mm_image_decode_features", tags=("multimodal", "decode"), oracle=None)
+@register(
+    "mm_image_decode_features",
+    tags=("multimodal", "decode"),
+    oracle="""
+-- The PPM payload is a deterministic transcode of documents.text:
+-- np.resize cycles the utf-8 bytes to 384 = 16*8*3 values, so pixel
+-- k (flattened) is char code (k % n_chars). The text is pure ASCII
+-- (verified across sfs), so ascii(substr(..)) IS the byte. All
+-- means are exact-integer sums over fixed counts -> bit-identical
+-- doubles across engines (emitted raw); std is the one inexact
+-- value (two-pass vs var_pop), rounded to 6dp on both sides.
+WITH d AS (
+  SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
+),
+px AS (
+  SELECT d.doc_id, g.k,
+         ascii(substr(d.text, CAST(g.k % d.L AS INTEGER) + 1, 1)) AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 383)) AS k) g
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(v) AS DOUBLE) AS s,
+         CAST(SUM(v * v) AS DOUBLE) AS ss,
+         CAST(SUM(CASE WHEN k % 48 < 3 THEN v END) AS DOUBLE) AS s_f0,
+         CAST(SUM(CASE WHEN k % 48 >= 45 THEN v END) AS DOUBLE) AS s_f15
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       s / 384.0 AS mean_px,
+       ROUND(SQRT((ss - s * s / 384.0) / 384.0), 6) AS std_px,
+       s_f0 / 24.0 AS f0,
+       s_f15 / 24.0 AS f15
+FROM agg
+ORDER BY doc_id
+""",
+)
 def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode pipeline: each row's text is transcoded into
     a genuine binary PPM payload (Arrow-batched pandas_udf), and the
     decode stage parses the PPM format for real (header validation +
     raster reshape, functions/codecs.py) before feature extraction.
-    Rows-only check; tests/test_quality.py asserts values against a
-    local encode→decode numpy replay."""
+    The DuckDB oracle recomputes the features from the text directly
+    (the transcode is deterministic integer arithmetic over char
+    codes); tests/test_quality.py additionally asserts values against
+    a local encode→decode numpy replay."""
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
@@ -231,14 +270,18 @@ def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     feats = extract_image_features(payloads, "payload")
+    # mean_px/f0/f15 are exact integer sums over fixed divisors ->
+    # bit-identical doubles in numpy and the oracle: emit RAW (a
+    # round() here could disagree on exact decimal ties, e.g. odd/128
+    # multiples). std involves cancellation + sqrt: round both sides.
     return feats.select(
         "doc_id",
         "width",
         "height",
-        F.round("mean_px", 6).alias("mean_px"),
+        F.col("mean_px"),
         F.round("std_px", 6).alias("std_px"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 16), 6).alias("f15"),
+        F.element_at("feature", 1).alias("f0"),
+        F.element_at("feature", 16).alias("f15"),
     ).orderBy("doc_id")
 
 
@@ -322,11 +365,54 @@ def sample_audio_frames(df: DataFrame, payload_col: str, id_col: str = "doc_id")
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, AUDIO_FRAME_SCHEMA)
 
 
-@register("mm_audio_frame_sample", tags=("multimodal", "decode"), oracle=None)
+@register(
+    "mm_audio_frame_sample",
+    tags=("multimodal", "decode"),
+    oracle="""
+-- The WAV payload's 8-bit PCM samples ARE the utf-8 bytes of
+-- documents.text; decode_wav centers them at 0 (byte - 128). Framing:
+-- nf = max(1, len // 64), sub-frame tail dropped when len >= 64,
+-- single NaN-padded frame when len < 64 (min corpus doc is 44 chars,
+-- so that path is live). rms = sqrt(sum(v^2)/cnt) is EXACT integer
+-- arithmetic until one division + sqrt -> bit-identical raw doubles.
+-- Zero crossings count adjacent same-frame pairs with differing
+-- sign(v), sign(0) = 0 (byte 128).
+WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(1, n_chars // 64) AS nf,
+         LEAST(n_chars, GREATEST(1, n_chars // 64) * 64) AS take
+  FROM documents WHERE doc_id <= 50
+),
+samp AS (
+  SELECT d.doc_id,
+         g.s // 64 AS frame_idx,
+         g.s AS s,
+         ascii(substr(d.text, CAST(g.s AS INTEGER) + 1, 1)) - 128 AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.take - 1)) AS s) g
+),
+sgn AS (
+  SELECT doc_id, frame_idx, v,
+         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sg,
+         LAG(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, frame_idx ORDER BY s) AS prev_sg
+  FROM samp
+)
+SELECT doc_id,
+       frame_idx,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+       CAST(SUM(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM sgn
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+""",
+)
 def mm_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio pipeline: text rows transcoded to genuine 8-bit PCM
-    WAV payloads, parsed by the RIFF/PCM decoder, then frame-sampled
-    (rows-only check + numpy-replay assertions in tests/test_quality.py)."""
+    WAV payloads, parsed by the RIFF/PCM decoder, then frame-sampled.
+    The DuckDB oracle recomputes frames from the text bytes directly
+    (the transcode is deterministic); numpy-replay assertions live in
+    tests/test_quality.py."""
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
@@ -336,10 +422,12 @@ def mm_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
     payloads = d.select("doc_id", to_wav("text").alias("payload"))
     frames = sample_audio_frames(payloads, "payload")
+    # rms is exact-integer sum / cnt then sqrt: bit-identical to the
+    # oracle's double, so emit RAW (rounding could hit decimal ties).
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.round("rms", 6).alias("rms"),
+        "rms",
         "zero_crossings",
     ).orderBy("doc_id", "frame_idx")
 
@@ -364,13 +452,41 @@ def resize_nearest(img: np.ndarray, factor: int = RESIZE_FACTOR) -> np.ndarray:
     return img[::factor, ::factor]
 
 
-@register("mm_image_resize", tags=("multimodal", "decode"), oracle=None)
+@register(
+    "mm_image_resize",
+    tags=("multimodal", "decode"),
+    oracle="""
+-- Same deterministic text->PPM transcode as mm_image_decode_features
+-- (pixel k = char code (k % n_chars), 8x16x3 raster). The 2x
+-- nearest-neighbor downsample keeps even rows i = k // 48 and even
+-- cols j = (k % 48) // 3 -> 4*8*3 = 96 pixels. Both means are exact
+-- integer sums over fixed divisors -> raw bit-identical doubles.
+WITH d AS (
+  SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
+),
+px AS (
+  SELECT d.doc_id, g.k,
+         ascii(substr(d.text, CAST(g.k % d.L AS INTEGER) + 1, 1)) AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 383)) AS k) g
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS out_w,
+       CAST(4 AS BIGINT) AS out_h,
+       CAST(SUM(v) AS DOUBLE) / 384.0 AS mean_px,
+       CAST(SUM(CASE WHEN (k // 48) % 2 = 0 AND ((k % 48) // 3) % 2 = 0
+                     THEN v END) AS DOUBLE) / 96.0 AS mean_px_resized
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → RESIZE → feature pipeline: real PPM payloads are
     parsed and 2x-downsampled (nearest-neighbor) inside one
     mapInPandas stage — the thumbnail/preprocess step of an image
-    pipeline, batch shape identical to a GPU resize kernel's. Rows-only
-    check; numpy replay in tests/test_quality.py.
+    pipeline, batch shape identical to a GPU resize kernel's. DuckDB
+    oracle recomputes both means from the text transcode; numpy
+    replay in tests/test_quality.py.
 
     Scale: linear, no shuffle; resize shrinks the payload 4x before
     any downstream exchange — do reductions AFTER cheap shrink stages.
@@ -400,10 +516,12 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     out = payloads.mapInPandas(run, RESIZE_SCHEMA)
+    # both means are exact integer sums / fixed divisors: emit RAW
+    # doubles (bit-identical to the oracle; rounding risks ties).
     return out.select(
         "doc_id",
         "out_w",
         "out_h",
-        F.round("mean_px", 6).alias("mean_px"),
-        F.round("mean_px_resized", 6).alias("mean_px_resized"),
+        "mean_px",
+        "mean_px_resized",
     ).orderBy("doc_id")
