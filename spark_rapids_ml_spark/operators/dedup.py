@@ -146,10 +146,10 @@ MINHASH_A = [2 * s + 1 for s in range(1, N_MINHASH + 1)]
 MINHASH_B = [7919 * (s + 1) for s in range(N_MINHASH)]
 
 
-def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{N-1}): minimum universal hash per function over
-    the doc's distinct 3-shingles. One explode + one group-by — linear."""
-    d = load(spark, sf_dir, "documents")
+def _minhash_of(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N-1}) over any (doc_id, text) frame: minimum
+    universal hash per function over the doc's distinct 3-shingles.
+    One explode + one group-by — linear."""
     base = (hash60("shingle") % MINHASH_P).alias("h")
     sh = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
@@ -163,14 +163,18 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _sql_minhash_cte() -> str:
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_of(load(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_cte(table: str = "documents") -> str:
     base = f"({sql_hash60('shingle')} % {MINHASH_P})"
     mins = ",\n         ".join(
         f"MIN((h * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
         for s in range(N_MINHASH)
     )
     return f"""
-sh AS ({sql_shingle_rows()}),
+sh AS ({sql_shingle_rows(table=table)}),
 hh AS (SELECT doc_id, {base} AS h FROM sh),
 mh AS (
   SELECT doc_id,
@@ -282,11 +286,11 @@ def lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFram
     )
 
 
-def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered guarded LSH candidate pairs (shared by the declared
-    query, which adds the determinism ORDER BY, and the clustering
-    stage, which doesn't need a sort)."""
-    mh = _minhash_df(spark, sf_dir)
+def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
+    """Unordered guarded LSH candidate pairs over any (doc_id, text)
+    frame (shared by the declared queries, which add the determinism
+    ORDER BY, and the clustering stage, which doesn't need a sort)."""
+    mh = _minhash_of(docs)
     band_keys = [
         hash60(
             F.concat_ws(
@@ -308,6 +312,10 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lsh_candidate_pairs(bands)
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_pairs_of(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -332,6 +340,59 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized. Threshold ≈ (1/b)^(1/r) ≈ 0.71 Jaccard.
     """
     return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+SKEW_MOD = 7  # degenerate corpus: text of doc (doc_id % SKEW_MOD)
+
+
+@register(
+    "dedup_lsh_skew_guard",
+    tags=("dedup", "minhash", "skew"),
+    oracle=f"""
+WITH degdocs AS (
+  SELECT d.doc_id, b.text
+  FROM documents d JOIN documents b ON b.doc_id = d.doc_id % {SKEW_MOD}
+),
+{_sql_minhash_cte(table="degdocs")},
+{_sql_guarded_pairs_cte()}
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+FROM co
+WHERE doc_b <= 250
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_lsh_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-skew guard UNDER LOAD: a degenerate corpus where
+    every doc carries the text of doc (doc_id % 7), so each of the 7
+    identical-text cohorts (~N/7 docs, > the 64 cap at every sf) lands
+    whole in one band bucket. The guard must switch those buckets from
+    all-pairs (O(cohort²) ≈ 500k pairs per cohort at sf0.1) to a star
+    around the cohort's min doc_id — O(cohort) edges, every member
+    still connected for downstream clustering.
+
+    Runs the REAL shared pipeline (shingle → minhash → bands →
+    lsh_candidate_pairs — the same code path as
+    dedup_minhash_lsh_pairs), not a synthetic bands frame, and the
+    oracle recomputes the same guard in SQL (_sql_guarded_pairs_cte).
+    The doc_b bound only trims the declared output, after the guard
+    has done its work."""
+    d = load(spark, sf_dir, "documents")
+    reps = F.broadcast(
+        d.where(F.col("doc_id") < SKEW_MOD).select(
+            F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
+        )
+    )
+    deg = (
+        d.select("doc_id", (F.col("doc_id") % SKEW_MOD).alias("rep_id"))
+        .join(reps, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"))
+    )
+    return (
+        _lsh_pairs_of(deg)
+        .where(F.col("doc_b") <= 250)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ------------------------------------------------------------- simhash

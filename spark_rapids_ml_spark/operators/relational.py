@@ -667,3 +667,45 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution (pinned in tests/test_plans.py)."""
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql(_Q21_SQL)
+
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       -- profit stays in exact DECIMAL through the aggregate; the
+       -- single cast to DOUBLE afterward is identical in both engines
+       -- (scaled magnitude << 2^53 per group at every tested sf)
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name NOT LIKE '%red%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_type_profit", tags=("tpch", "join"), oracle=_Q9_SQL, bench=True)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the 5-way join-order stress query — profit by
+    nation and order-year over lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
+    nation with a NEGATIVE part filter (p_name NOT LIKE '%red%', so
+    the planner cannot treat part as highly selective). Supply cost is
+    proxied as 60% of p_retailprice × quantity (no partsupp table in
+    this testdata).
+
+    Scale: the three dimension sides (part at this testdata's scale,
+    supplier, nation) broadcast under AQE; lineitem ⋈ orders is the
+    one real shuffle, and the partial aggregate collapses each map
+    side to ≤ nations × years rows before the exchange (plan-asserted
+    in tests/test_plans.py: no cartesian product, partial agg before
+    the final shuffle)."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return spark.sql(_Q9_SQL)

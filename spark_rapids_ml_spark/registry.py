@@ -52,17 +52,75 @@ def register(
     return deco
 
 
-def load_all_modules() -> None:
-    """Import every module that registers queries (idempotent).
+# External correctness sweeps are budget-bound (50 queries/round) and
+# enumerate ``queries()`` in order, so the enumeration order is rotated
+# each round to give every declared operator a driver-visible verdict.
+# Rounds 1-3 covered the aggregate/array/dedup/join/relational/scalar/
+# setop/source/llm-pipe prefix; round 4 front-loads the 42 queries that
+# have never had a driver CORRECTNESS row (windows, text, streaming,
+# subqueries, ML, timeseries, UDF surface, materialized clusters), the
+# 3 multimodal queries whose oracles are new this round, and this
+# round's new/changed queries. Names absent from the registry are
+# skipped, so the list is safe across partial loads.
+SWEEP_PRIORITY: list[str] = [
+    # -- never driver-checked through r03 (42) ------------------------
+    "subquery_in",
+    "subquery_exists_correlated",
+    "subquery_not_exists_correlated",
+    "subquery_correlated_scalar_agg",
+    "text_token_count",
+    "text_corpus_stats",
+    "text_tfidf_top_terms",
+    "text_quality_score",
+    "text_langid_profile",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    "asof_join_latest_order",
+    "timeseries_multi_rollup",
+    "udf_grouped_map_zscore",
+    "udf_udtf_bigrams",
+    "udf_grouped_agg_weighted_avg",
+    "window_rank_family",
+    "window_distribution_ranks",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    "window_first_last",
+    "window_topk_per_group",
+    "pca_mean_vector",
+    "pca_covariance_matrix",
+    "pca_covariance_spr",
+    "linreg_slope_1d",
+    "feature_standard_scale",
+    "feature_minmax_scale",
+    "kmeans_embedding_clusters",
+    "pca_explained_variance",
+    "pca_transform_topk",
+    "stream_tumbling_window",
+    "stream_tumbling_append_watermark",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_static_join",
+    "stream_stream_interval_join",
+    "stream_dedup",
+    "stream_foreachbatch_sink",
+    "stream_stateful_user_stats",
+    "dedup_clusters_materialized",
+    # -- oracles new in round 4 (were no_oracle rows) -----------------
+    "mm_image_decode_features",
+    "mm_audio_frame_sample",
+    "mm_image_resize",
+    # -- queries new or changed in round 4 ----------------------------
+    "dedup_lsh_skew_guard",
+    "q9_product_type_profit",
+    "sim_ivf_topk",
+    "sim_bruteforce_topk",
+    "dedup_embedding_lsh_pairs",
+]
 
-    Import order IS registration order IS the order external sweeps
-    enumerate ``queries()``. A budget-bound sweep that always starts
-    at the top would re-check the same prefix forever, so the modules
-    whose queries already have driver-visible correctness entries
-    (rounds 1-2 checked the aggregate/array/dedup/join prefix) now
-    register LAST — rotating coverage so every declared operator gets
-    an externally recorded verdict across rounds.
-    """
+
+def load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
     from spark_rapids_ml_spark.operators import (  # noqa: F401
         llm_pipeline,
         misc,
@@ -91,5 +149,9 @@ def load_all_modules() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """Every declared query, SWEEP_PRIORITY names first (see above),
+    then the rest in registration order."""
     load_all_modules()
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in SWEEP_PRIORITY if n in QUERIES}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    return ordered

@@ -276,3 +276,17 @@ def test_struct_schema_pruning(spark):
     read_schema = txt.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema  # body is used (length)
     assert "doc_id" in read_schema
+
+
+def test_q9_five_way_join_no_cartesian_partial_agg(spark):
+    """Q9's 5-way join must plan as hash joins only (no cartesian /
+    nested-loop despite the negative LIKE filter on part) with the
+    dimension sides broadcast, and the nation×year aggregate must be
+    two-phase so each map task ships ≤ |nations×years| rows."""
+    from spark_rapids_ml_spark.operators.relational import q9_product_type_profit
+
+    plan = plan_of(q9_product_type_profit(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -121,6 +121,27 @@ def test_lsh_bucket_cap_star_on_1k_identical_docs(spark):
     assert {r["doc_b"] for r in pairs} == set(range(1, n))
 
 
+def test_lsh_skew_guard_query_is_pure_star(spark):
+    """The declared skew-stress query must come out ALL star: each of
+    the 7 identical-text cohorts exceeds the cap at every sf, so every
+    pair has a cohort representative (doc_id < 7) as doc_a, appears in
+    all N_BANDS bands, and the row count is exactly (bounded docs -
+    reps) — an all-pairs fallback would be ~18x larger."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        N_BANDS,
+        SKEW_MOD,
+        dedup_lsh_skew_guard,
+        release_caches,
+    )
+
+    rows = dedup_lsh_skew_guard(spark, SF).collect()
+    release_caches()
+    assert len(rows) == 251 - SKEW_MOD  # docs 0..250 minus the 7 reps
+    assert all(r["doc_a"] < SKEW_MOD for r in rows)
+    assert all(r["n_shared_bands"] == N_BANDS for r in rows)
+    assert all(r["doc_a"] == r["doc_b"] % SKEW_MOD for r in rows)
+
+
 def test_lsh_bucket_cap_boundary_preserves_components(spark):
     """Adversarial cap±1 buckets: candidate count stays O(n·cap) and
     the connected components are IDENTICAL with and without the cap
