@@ -74,8 +74,20 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
 def with_unit_vector(df: DataFrame, emb_col: str, out_col: str) -> DataFrame:
     """Add a pre-normalized copy of the embedding (norm computed ONCE
     per row). Downstream pairwise cosine is then a plain dot product —
-    at Q·N pair scale this removes two norm evaluations per pair."""
-    normed = df.withColumn("_norm", norm_expr(emb_col))
+    at Q·N pair scale this removes two norm evaluations per pair.
+
+    The cache() between the norm projection and the division is a
+    MATERIALIZATION BARRIER, not an optimization: CollapseProject
+    sees `_norm` referenced once, substitutes the whole sum-of-squares
+    aggregate into the per-element division lambda, and turns the
+    normalization into O(d²) per row (verified in the optimized plan;
+    the round-3 bench outlier on sim_bruteforce_topk). Reading `_norm`
+    from the cached relation keeps it O(d). At warehouse scale the
+    equivalent is materializing the normalized index once as a table —
+    the ANN index-build step — rather than caching."""
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    normed = _cache(df.withColumn("_norm", norm_expr(emb_col)))
     return normed.withColumn(
         out_col,
         F.transform(emb_col, lambda x: x.cast("double") / F.col("_norm")),
