@@ -40,12 +40,15 @@ N_TABLES = 8
 PLANES_PER_TABLE = 4  # 16 buckets/table — recall/cost knob
 LSH_SEED = 123
 DIM = 64
-# IVF cells probed per query (of the 10 label cells). The testdata's
-# cells are random w.r.t. cosine neighbors — the adversarial case:
-# recall ≈ probed cell mass (see SCALING.md curve); nprobe=6 measures
-# 0.69 at sf0.001. Real corpora have learned cells (k-means), where
-# the same plan shape probes far fewer cells for the same recall.
+# IVF cells probed per query, of K_CELLS LEARNED cells: Lloyd's
+# k-means (ml/kmeans.py, deterministic smallest-vec_id init, a fixed
+# IVF_ITERS iterations so the DuckDB oracle can unroll the identical
+# recursion). Learned cells lifted recall at nprobe=6 from 0.69
+# (random label cells, rounds 1-3) to the value pinned in
+# tests/test_quality.py; curve in SCALING.md.
 IVF_NPROBE = 6
+K_CELLS = 10
+IVF_ITERS = 3
 
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
@@ -252,36 +255,67 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_cells() -> str:
+    """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
+    seed centroids = the K_CELLS smallest vec_ids, then IVF_ITERS
+    unrolled Lloyd iterations (assign by Euclidean argmin with
+    first-cluster tiebreak — numpy argmin semantics — then per-element
+    member means, keeping the old centroid for an empty cell), then a
+    final corpus assignment. Cross-engine FP note: centroid means sum
+    in different orders (~1e-15 relative drift), absorbed because
+    every decision point is either an argmin over well-separated
+    distances or a cosine ROUNDed to 6dp."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {K_CELLS})"
+    ]
+    assign = """
+{name} AS (
+  SELECT vec_id, emb, cl FROM (
+    SELECT e.vec_id, e.emb, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.emb, c.cemb), c.cl) AS rk
+    FROM e CROSS JOIN {cent} c
+  ) WHERE rk = 1
+)"""
+    for i in range(IVF_ITERS):
+        parts.append(assign.format(name=f"a{i}", cent=f"cent{i}"))
+        parts.append(f"""
+cent{i + 1} AS (
+  SELECT c.cl, COALESCE(m.memb, c.cemb) AS cemb
+  FROM cent{i} c LEFT JOIN (
+    SELECT cl, list(avgv ORDER BY pos) AS memb FROM (
+      SELECT a.cl, u.pos, AVG(u.val) AS avgv
+      FROM a{i} a CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(emb))), unnest(emb)
+      ) u(pos, val)
+      GROUP BY a.cl, u.pos
+    ) GROUP BY cl
+  ) m ON m.cl = c.cl
+)""")
+    parts.append(assign.format(name="cells", cent=f"cent{IVF_ITERS}"))
+    return ",".join(parts)
+
+
 @register(
     "sim_ivf_topk",
-    tags=("similarity", "ivf"),
+    tags=("similarity", "ivf", "ml"),
     oracle=f"""
 WITH e AS ({_SQL_E}),
-elem AS (
-  SELECT label, u.pos, u.val
-  FROM e CROSS JOIN LATERAL (
-    SELECT unnest(generate_series(1, len(emb))), unnest(emb)
-  ) u(pos, val)
-),
-cent AS (
-  SELECT label, list(avgv ORDER BY pos) AS cemb
-  FROM (SELECT label, pos, AVG(val) AS avgv FROM elem GROUP BY label, pos)
-  GROUP BY label
-),
+{_sql_kmeans_cells()},
 q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
 probe AS (
-  SELECT qid, label FROM (
-    SELECT q.qid, c.label,
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
            ROW_NUMBER() OVER (PARTITION BY q.qid
-                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.label) AS prk
-    FROM q CROSS JOIN cent c
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN cent{IVF_ITERS} c
   ) WHERE prk <= {IVF_NPROBE}
 ),
 scored AS (
-  SELECT q.qid, e.vec_id,
-         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
   FROM q JOIN probe p ON p.qid = q.qid
-  JOIN e ON e.label = p.label AND e.vec_id <> q.qid
+  JOIN cells s ON s.cl = p.cl AND s.vec_id <> q.qid
 ),
 ranked AS (
   SELECT qid, vec_id, cosine,
@@ -293,51 +327,53 @@ ORDER BY qid, rk
 """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = label groups, cell centroid =
-    elementwise mean, probe the 2 nearest cells, exact re-rank within.
+    """Real IVF ANN: coarse cells LEARNED by distributed Lloyd's
+    k-means (ml/kmeans.py — per-iteration linear scans, k×d driver
+    state, deterministic smallest-id init), probe the IVF_NPROBE
+    nearest cells by centroid cosine, exact re-rank within probed
+    cells. The DuckDB oracle re-runs the identical fixed-iteration
+    training (_sql_kmeans_cells), so the learned index itself is
+    hash-checked, not just the final neighbors.
 
-    Scale: centroids are a tiny broadcastable table (n_cells rows);
-    the candidate join equi-joins on the cell id so only probed cells
-    shuffle. Swap `label` for a k-means assignment to get classic IVF —
-    the plan shape (centroid broadcast + cell equi-join) is identical.
+    Scale: the index build is IVF_ITERS linear scans; centroids are a
+    k-row broadcast; the candidate join equi-joins on the learned cell
+    id so only probed cells shuffle — the classic IVF-Flat plan.
+    Assignment is Euclidean (the k-means objective), probing/ranking
+    cosine — the standard IVF-Flat pairing for normalized-ish corpora.
     """
     from pyspark.sql import Window
 
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
     e = load(spark, sf_dir, "embeddings")
-    elem = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    cent_rows = (
-        elem.groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("avgv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "avgv"))), lambda s: s.avgv
-            ).alias("cemb")
-        )
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    model = KMeans(
+        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+    ).fit(ed)
+    cells = model.transform(ed, "cell")  # (vec_id, emb, cell)
+    cent_rows = spark.createDataFrame(
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        schema="cl bigint, cemb array<double>",
     )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
     probe = (
-        q.crossJoin(F.broadcast(cent_rows.withColumnRenamed("label", "clabel")))
-        .select(
-            "qid",
-            "clabel",
-            F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"),
-        )
+        q.crossJoin(F.broadcast(cent_rows))
+        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
         .withColumn(
             "prk",
             F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("clabel"))
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
             ),
         )
         .where(F.col("prk") <= IVF_NPROBE)
-        .select("qid", F.col("clabel").alias("plabel"))
+        .select("qid", F.col("cl").alias("pcell"))
     )
     scored = (
         q.join(probe, "qid")
-        .join(e, (F.col("label") == F.col("plabel")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "embedding"), 6).alias("cosine"))
+        .join(cells, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "emb"), 6).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
