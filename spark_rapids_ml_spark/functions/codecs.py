@@ -58,7 +58,16 @@ def _ppm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
             i = j
         else:
             raise ValueError(f"bad PPM header byte {c!r}")
-    return vals, i + 1  # exactly ONE whitespace byte after maxval
+    # the P6 spec allows exactly ONE whitespace byte between maxval and
+    # the raster; verify it IS whitespace — a CRLF-written header
+    # ('255\\r\\n') would otherwise silently shift the pixel data by one
+    # byte and decode garbage
+    if i >= len(buf) or buf[i : i + 1] not in b" \t\r\n":
+        raise ValueError(
+            f"expected one whitespace byte after PPM maxval, got "
+            f"{buf[i:i + 1]!r}"
+        )
+    return vals, i + 1
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:

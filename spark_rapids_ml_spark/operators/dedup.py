@@ -46,6 +46,10 @@ from spark_rapids_ml_spark.sources.catalog import load
 # which registers a lineage-free checkpoint and documents its one-shot
 # semantics below).
 _SESSION_CACHES: list[DataFrame] = []
+# JVM RDD handles of localCheckpoint'ed frames: Dataset.unpersist() is
+# a NO-OP for these (checkpoint blocks are not CacheManager entries),
+# so release goes through the RDD under the LogicalRDD plan instead.
+_SESSION_CHECKPOINTS: list = []
 
 
 def _cache(df: DataFrame) -> DataFrame:
@@ -54,9 +58,27 @@ def _cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def _checkpoint_rdd(df: DataFrame):
+    """The JVM RDD holding a localCheckpoint'ed DataFrame's blocks
+    (the LogicalRDD plan's rdd). Unpersisting IT is what actually
+    frees the storage — after which the one-shot contract is real:
+    the DataFrame cannot recompute (lineage was cut at checkpoint)."""
+    return df._jdf.queryExecution().analyzed().rdd()
+
+
+def register_checkpoint(df: DataFrame) -> DataFrame:
+    """Track a localCheckpoint'ed frame so the NEXT release_caches()
+    (called by harness/bench after result materialization) frees its
+    blocks for real."""
+    _SESSION_CHECKPOINTS.append(_checkpoint_rdd(df))
+    return df
+
+
 def release_caches() -> None:
     while _SESSION_CACHES:
         _SESSION_CACHES.pop().unpersist()
+    while _SESSION_CHECKPOINTS:
+        _SESSION_CHECKPOINTS.pop().unpersist(False)
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -602,7 +624,8 @@ def _components_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    prev = None
+    prev_rdd = None
+    converged = False
     # the pair graph is orders of magnitude smaller than the corpus;
     # iterate its joins at a narrow shuffle width — the width is a
     # property of the GRAPH, not of the session's scan-sized default
@@ -636,11 +659,25 @@ def _components_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 .select("doc_id", F.col("new_label").alias("label"))
             )
             checkpointed = new_labels.localCheckpoint(eager=True)  # cut lineage
-            if prev is not None:
-                prev.unpersist()  # drop the superseded iteration's blocks
-            prev = labels = checkpointed
+            ck_rdd = _checkpoint_rdd(checkpointed)
+            if prev_rdd is not None:
+                # free the superseded iteration's blocks FOR REAL —
+                # Dataset.unpersist would be a no-op on a checkpoint
+                prev_rdd.unpersist(False)
+            prev_rdd = ck_rdd
+            labels = checkpointed
             if not obs.get.get("changed"):
+                converged = True
                 break
+    if not converged:
+        # a graph with diameter > the pass bound would return silently
+        # wrong labels (and diverge from the driver union-find path);
+        # fail loudly instead — raising the bound is the fix, and the
+        # near-dup graphs this runs on are orders of magnitude shallower
+        raise RuntimeError(
+            "label propagation hit the 20-pass diameter bound without "
+            "converging; increase the bound for this graph"
+        )
     return labels
 
 
@@ -695,12 +732,13 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         labels = _components_distributed(spark, pairs)
         # drain the intermediate caches (pairs/bands/edges) FIRST, then
-        # register the final checkpoint so the NEXT release_caches() —
-        # which harness/bench call after materializing the result —
-        # frees its blocks too. One-shot semantics: a released
-        # checkpoint cannot recompute (lineage is cut).
+        # register the final checkpoint's RDD handle so the NEXT
+        # release_caches() — which harness/bench call after
+        # materializing the result — frees its blocks too. One-shot
+        # semantics: a released checkpoint cannot recompute (lineage is
+        # cut), so callers must materialize before releasing.
         release_caches()
-        _SESSION_CACHES.append(labels)
+        register_checkpoint(labels)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_rep"),

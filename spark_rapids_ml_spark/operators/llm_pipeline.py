@@ -157,12 +157,14 @@ def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
     )
     t = t.localCheckpoint(eager=False)  # pin pid: both consumers must see ONE layout
-    # register the checkpoint for release after the caller materializes
-    # (harness/bench call release_caches() post-materialization; same
-    # one-shot semantics as the clustering checkpoint — see dedup.py)
-    from spark_rapids_ml_spark.operators.dedup import _SESSION_CACHES
+    # register the checkpoint's RDD handle for release after the caller
+    # materializes (harness/bench call release_caches() post-
+    # materialization; Dataset.unpersist alone would NOT free
+    # checkpoint blocks — same one-shot semantics as the clustering
+    # checkpoint, see dedup.register_checkpoint)
+    from spark_rapids_ml_spark.operators.dedup import register_checkpoint
 
-    _SESSION_CACHES.append(t)
+    register_checkpoint(t)
     w_local = (
         Window.partitionBy("pid")
         .orderBy("doc_id")

@@ -10,6 +10,7 @@ partitioned by date); nothing here assumes single-file layout.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,7 +33,10 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-_TUNED_SESSIONS: set[int] = set()
+# WeakSet, not id()-keyed: a garbage-collected session's id can be
+# reused by a NEW session object, which would then silently skip
+# tuning; weak references track identity without pinning the session.
+_TUNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -44,8 +48,14 @@ def _tune_session(spark: SparkSession) -> None:
     shuffle width to the data (a session default of 200 partitions is
     pure task overhead at sf0.01 and far too few at 100 TB), and Arrow
     serves every pandas/toPandas boundary.
+
+    PUBLIC CONTRACT: these conf changes (AQE family, Arrow, and the
+    UTC session timezone set in load()) are applied to the caller's
+    session and deliberately NOT restored afterward — queries from
+    this package assume them for the rest of the session. Callers who
+    need their previous values back must snapshot and restore them.
     """
-    if id(spark) in _TUNED_SESSIONS:
+    if spark in _TUNED_SESSIONS:
         return
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
@@ -57,7 +67,7 @@ def _tune_session(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # conf locked down — keep the caller's choice
             pass
-    _TUNED_SESSIONS.add(id(spark))
+    _TUNED_SESSIONS.add(spark)
 
 
 def table_path(sf_dir: str, name: str) -> str:

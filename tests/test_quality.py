@@ -166,6 +166,27 @@ def test_lsh_bucket_cap_boundary_preserves_components(spark):
     assert _partition(capped, doc) == _partition(uncapped, doc)
 
 
+def test_checkpoint_blocks_actually_released(spark):
+    """release_caches() must free localCheckpoint STORAGE BLOCKS.
+    Dataset.unpersist() alone is a no-op for checkpoints (their blocks
+    are not CacheManager entries), so the registry tracks the JVM RDD
+    under the LogicalRDD plan and unpersists that."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        _checkpoint_rdd,
+        register_checkpoint,
+        release_caches,
+    )
+
+    ck = register_checkpoint(
+        spark.range(50_000).selectExpr("id", "id * 3 AS y").localCheckpoint(eager=True)
+    )
+    rdd_id = _checkpoint_rdd(ck).id()
+    jsc = spark.sparkContext._jsc.sc()
+    assert rdd_id in {i.id() for i in jsc.getRDDStorageInfo()}, "blocks not materialized"
+    release_caches()
+    assert rdd_id not in {i.id() for i in jsc.getRDDStorageInfo()}, "blocks not freed"
+
+
 def test_cluster_paths_agree(spark):
     """The adaptive clustering must give identical components whether
     it solves locally (driver union-find) or distributed (label
@@ -348,6 +369,14 @@ def test_ppm_codec_roundtrip_and_validation():
         decode_ppm(b"JFIF....")
     with pytest.raises(ValueError, match="short pixel data"):
         decode_ppm(b"P6\n16 8\n255\n" + body[:-10])
+    # a CRLF-terminated header must decode correctly (the \r is the
+    # single post-maxval whitespace byte; the \n belongs to the raster
+    # only if the writer meant it to) — and a NON-whitespace byte after
+    # maxval must raise instead of silently shifting the pixel data
+    crlf = b"P6\n16 8\n255\r" + body
+    assert decode_ppm(crlf).shape == (8, 16, 3)
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P6\n16 8\n255X" + body)
 
 
 def test_wav_codec_roundtrip_and_validation():
