@@ -411,7 +411,12 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is O(distinct users); the state store shuffles on
     user_id and checkpoints incrementally — the standard pattern for
-    billions-of-keys running aggregates.
+    billions-of-keys running aggregates. NoTimeout is deliberate and
+    correct ONLY because user_id is a bounded entity set — see
+    SCALING.md "State-store growth math" for the sizing arithmetic and
+    the EventTimeTimeout + state.remove() pattern (pinned live in
+    tests/test_streaming_semantics.py::test_event_time_timeout_evicts_
+    state) required when the key space is unbounded.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (

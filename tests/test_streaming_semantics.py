@@ -140,3 +140,102 @@ def test_watermark_drops_late_data(spark):
     # the 09:00 window must NOT contain the late event (v would be 11.0)
     assert rows.get(9) == (1, 1.0), rows
     assert rows.get(8) == (1, 1.0), rows
+
+
+def test_event_time_timeout_evicts_state(spark):
+    """EventTimeTimeout + state.remove() is the bounded-state pattern
+    SCALING.md prescribes for keyed state that must not grow with the
+    key space: an idle key must (1) fire its timeout once the
+    watermark passes, (2) actually LOSE its store entry — re-arriving
+    data starts from fresh state, not the old running count."""
+    import time
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = f"{TMP}/evict_{uuid.uuid4().hex[:8]}"
+    base = pd.Timestamp("2024-03-01 08:00:00")
+    # f1: user 1 (2 events, idle afterwards) + user 2; f2 advances the
+    # watermark past user 1's timeout; f3 re-touches user 1 AFTER the
+    # eviction has been observed
+    f1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [base, base + pd.Timedelta("10min"), base + pd.Timedelta("30min")],
+        }
+    )
+    f2 = pd.DataFrame({"user_id": [2], "ts": [base + pd.Timedelta("4h")]})      # 12:00
+    f3 = pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta("4.5h")]})    # 12:30
+    _write_parquet(f1, f"{d}/f1.parquet")
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # REAL eviction; -1 marks the farewell row
+            yield pd.DataFrame({"user_id": [key[0]], "n": [-1]})
+            return
+        n = state.get[0] if state.exists else 0
+        mx_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx_ms = max(mx_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n,))
+        # evict after 2h of event-time silence
+        state.setTimeoutTimestamp(mx_ms + 2 * 3600 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stateful = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return [(r["user_id"], r["n"]) for r in spark.table(name).collect()]
+
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and (1, 2) not in rows():
+            time.sleep(0.3)
+        assert (1, 2) in rows(), f"initial state missing: {rows()}"
+        _write_parquet(f2, f"{d}/f2.parquet")  # watermark -> 11:00 > user 1 timeout
+        deadline = time.time() + 30
+        while time.time() < deadline and (1, -1) not in rows():
+            time.sleep(0.3)
+        assert (1, -1) in rows(), f"timeout never fired: {rows()}"
+        _write_parquet(f3, f"{d}/f3.parquet")  # user 1 returns after eviction
+        deadline = time.time() + 30
+        while time.time() < deadline and (1, 1) not in rows():
+            time.sleep(0.3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+    got = rows()
+    # fresh state after eviction: the re-arrival counts from 1 — a
+    # surviving store entry would have produced (1, 3)
+    assert (1, 1) in got, f"state not evicted (no fresh restart): {got}"
+    assert (1, 3) not in got, f"state survived eviction: {got}"
