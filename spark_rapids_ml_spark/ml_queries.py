@@ -240,11 +240,27 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("kmeans_embedding_clusters", tags=("ml", "kmeans"), oracle=None)
+def _kmeans_clusters_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import _SQL_E, _sql_kmeans_cells
+
+    return f"""
+WITH e AS ({_SQL_E}),
+{_sql_kmeans_cells(k=4, iters=6)}
+SELECT c.cl AS cluster, s.n,
+       ROUND(SQRT(list_dot_product(c.cemb, c.cemb)), 6) AS centroid_norm
+FROM cent6 c
+JOIN (SELECT cl, COUNT(*) AS n FROM cells GROUP BY cl) s ON s.cl = c.cl
+ORDER BY cluster
+"""
+
+
+@register("kmeans_embedding_clusters", tags=("ml", "kmeans"), oracle=_kmeans_clusters_oracle())
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=4, deterministic smallest-id
-    init) on the embeddings table; outputs cluster sizes and centroid
-    norms. Rows-only check; numpy-replay oracle in tests/test_ml_extra.py."""
+    init, 6 fixed iterations — tol=0 so the DuckDB oracle can unroll
+    the IDENTICAL training as SQL CTEs) on the embeddings table;
+    outputs cluster sizes and centroid norms. The numpy-replay gate in
+    tests/test_ml_extra.py additionally pins values."""
     import numpy as np
 
     from spark_rapids_ml_spark.ml.kmeans import KMeans
@@ -252,7 +268,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
     )
-    model = KMeans(k=4, max_iter=6, id_col="id").fit(e)
+    model = KMeans(k=4, max_iter=6, id_col="id", tol=0.0).fit(e)
     assigned = model.transform(e)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     norms = [float(np.linalg.norm(c)) for c in model.centroids]

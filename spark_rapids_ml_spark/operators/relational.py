@@ -709,3 +709,119 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final shuffle)."""
     _views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
     return spark.sql(_Q9_SQL)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", tags=("tpch", "join"), oracle=_Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    quarter — customer ⋈ orders ⋈ lineitem ⋈ nation, revenue in exact
+    DECIMAL (one cast to double after the aggregate), top-20 by a
+    deterministic (revenue DESC, custkey) key."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY ship_class
+"""
+
+
+@register("q12_shipmode_priority", tags=("tpch", "agg"), oracle=_Q12_SQL)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class counts per shipping class over a
+    one-year window (l_returnflag stands in for l_shipmode, which this
+    testdata lacks) — the conditional-aggregation-over-join shape."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", tags=("tpch", "join", "agg"), oracle=_Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers —
+    the filter lives in the LEFT JOIN's ON clause (not WHERE), so
+    customers with zero qualifying orders stay in the histogram at
+    c_count = 0; a double aggregation follows the outer join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       -- numerator and denominator are both exact-decimal sums cast
+       -- once to double; the division is identical IEEE in both
+       -- engines, so the share is emitted UNROUNDED
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+) v
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", tags=("tpch", "join"), oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the widest join in the
+    suite (7-way: part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation×2 ⋈ region, nation joined twice under different roles).
+    Catalyst must broadcast the five dimension sides and keep
+    lineitem ⋈ orders as the only real shuffle; conditional share-of-
+    total aggregation on top."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "orders",
+           "customer", "nation", "region")
+    return spark.sql(_Q8_SQL)

@@ -255,18 +255,20 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_cells() -> str:
+def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:
     """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
-    seed centroids = the K_CELLS smallest vec_ids, then IVF_ITERS
-    unrolled Lloyd iterations (assign by Euclidean argmin with
-    first-cluster tiebreak — numpy argmin semantics — then per-element
-    member means, keeping the old centroid for an empty cell), then a
-    final corpus assignment. Cross-engine FP note: centroid means sum
+    seed centroids = the k smallest vec_ids, then `iters` unrolled
+    Lloyd iterations (assign by Euclidean argmin with first-cluster
+    tiebreak — numpy argmin semantics — then per-element member means,
+    keeping the old centroid for an empty cell), then a final corpus
+    assignment into `cells` against `cent{iters}`. Requires the
+    estimator to run with tol=0.0 (no early exit) so both engines do
+    exactly `iters` passes. Cross-engine FP note: centroid means sum
     in different orders (~1e-15 relative drift), absorbed because
     every decision point is either an argmin over well-separated
-    distances or a cosine ROUNDed to 6dp."""
+    distances or a value ROUNDed to 6dp."""
     parts = [
-        f"cent0 AS (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {K_CELLS})"
+        f"cent0 AS (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
     ]
     assign = """
 {name} AS (
@@ -277,7 +279,7 @@ def _sql_kmeans_cells() -> str:
     FROM e CROSS JOIN {cent} c
   ) WHERE rk = 1
 )"""
-    for i in range(IVF_ITERS):
+    for i in range(iters):
         parts.append(assign.format(name=f"a{i}", cent=f"cent{i}"))
         parts.append(f"""
 cent{i + 1} AS (
@@ -292,7 +294,7 @@ cent{i + 1} AS (
     ) GROUP BY cl
   ) m ON m.cl = c.cl
 )""")
-    parts.append(assign.format(name="cells", cent=f"cent{IVF_ITERS}"))
+    parts.append(assign.format(name="cells", cent=f"cent{iters}"))
     return ",".join(parts)
 
 

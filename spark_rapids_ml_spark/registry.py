@@ -110,10 +110,17 @@ SWEEP_PRIORITY: list[str] = [
     "mm_image_decode_features",
     "mm_audio_frame_sample",
     "mm_image_resize",
-    # -- queries new or changed in round 4 ----------------------------
+    # -- queries new or changed in round 4 (the 50-query window is
+    # full: q10/q12 and the result-identical perf-only changes
+    # (sim_bruteforce_topk) rotate to the front of the NEXT round) ----
     "dedup_lsh_skew_guard",
     "q9_product_type_profit",
+    "q8_market_share",
+    "q13_customer_distribution",
     "sim_ivf_topk",
+    # -- round-5 front of queue ---------------------------------------
+    "q10_returned_items",
+    "q12_shipmode_priority",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
 ]

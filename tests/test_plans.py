@@ -290,3 +290,26 @@ def test_q9_five_way_join_no_cartesian_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_seven_way_join_broadcasts_dims(spark):
+    """Q8's 7-way join (nation twice) must plan every dimension side
+    as a broadcast hash join — no cartesian/nested-loop — leaving
+    lineitem⋈orders as the only shuffle-worthy join."""
+    from spark_rapids_ml_spark.operators.relational import q8_market_share
+
+    plan = plan_of(q8_market_share(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q13_left_outer_survives_on_clause_filter(spark):
+    """Q13's exclusion filter lives in the LEFT JOIN's ON clause; the
+    planner must keep the OUTER join (zero-order customers stay in the
+    histogram) and run both aggregations two-phase."""
+    from spark_rapids_ml_spark.operators.relational import q13_customer_distribution
+
+    plan = plan_of(q13_customer_distribution(spark, SF))
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two aggs x (partial+final)
