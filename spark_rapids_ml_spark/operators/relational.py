@@ -825,3 +825,49 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "part", "lineitem", "supplier", "orders",
            "customer", "nation", "region")
     return spark.sql(_Q8_SQL)
+
+
+_Q11_SQL = """
+SELECT l.l_partkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY l.l_partkey
+-- above-mean filter via CROSS-MULTIPLICATION: part_value * n_parts
+-- > national_total keeps everything in exact DECIMAL x BIGINT
+-- arithmetic (a mean would need a decimal DIVISION, whose result
+-- scale/rounding differs between engines); mean-relative, so the
+-- filter discriminates at EVERY scale factor
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * (
+  SELECT COUNT(DISTINCT l2.l_partkey)
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+  JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+  WHERE r2.r_name = 'EUROPE') > (
+  SELECT SUM(CAST(l3.l_extendedprice AS DECIMAL(18,2)))
+  FROM lineitem l3
+  JOIN supplier s3 ON s3.s_suppkey = l3.l_suppkey
+  JOIN nation n3 ON n3.n_nationkey = s3.s_nationkey
+  JOIN region r3 ON r3.r_regionkey = n3.n_regionkey
+  WHERE r3.r_name = 'EUROPE')
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_stock", tags=("tpch", "subquery"), oracle=_Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a HAVING threshold against
+    TWO uncorrelated scalar subqueries over the same join — keep parts
+    whose regional value exceeds the regional MEAN part value
+    (lineitem value stands in for partsupp stock value; the original's
+    fixed 0.0001 fraction is vacuous off its own scale factor). The
+    comparison cross-multiplies so everything stays exact DECIMAL —
+    no FP ties, no cross-engine decimal-division scale differences;
+    Catalyst computes each scalar once and broadcasts it into the
+    HAVING filter."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q11_SQL)

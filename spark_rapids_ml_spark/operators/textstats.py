@@ -366,3 +366,83 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    tags=("text", "llm", "quality"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, u.pos, u.w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(t))), unnest(t)
+  ) u(pos, w)
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+uni_cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+big_cnt AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM tok)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((bc.c + 1.0) / (uc.c + v.v))), 6) AS avg_logprob
+FROM big d
+JOIN big_cnt bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+JOIN uni_cnt uc ON uc.w = d.w1
+CROSS JOIN v
+WHERE d.doc_id <= 200
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document quality score: train an add-one-smoothed
+    bigram model ON the corpus itself (the classic perplexity-filter
+    stage of LLM data pipelines), then score each document by its mean
+    bigram log-probability avg(ln((c(w1,w2)+1)/(c(w1)+V))).
+
+    Scale: bigram formation is a JVM-side array transform (linear, no
+    shuffle, no self-join); the model is two count aggregates (one
+    shuffle each, vocabulary-sized output); scoring joins the model
+    back — the "broadcast the model" pattern when the vocabulary is
+    bounded, plain equi-joins otherwise. Counts are exact integers in
+    both engines; ln() and the final mean are the only FP ops, rounded
+    at 6dp (ties measure-zero for transcendental values)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    # per-OCCURRENCE bigrams straight from the token array — the
+    # array is a materialized column, so the lambda's element_at hits
+    # a cheap attribute, not a re-evaluated expression
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i.cast("int")).alias("w1"),
+                    F.element_at("t", (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni_cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    big_cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    vdf = tok.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        big.where(F.col("doc_id") <= 200)
+        .join(big_cnt, ["w1", "w2"])
+        .join(uni_cnt.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vdf))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy("doc_id")

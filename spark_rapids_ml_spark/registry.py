@@ -121,6 +121,8 @@ SWEEP_PRIORITY: list[str] = [
     # -- round-5 front of queue ---------------------------------------
     "q10_returned_items",
     "q12_shipmode_priority",
+    "q11_important_stock",
+    "text_bigram_lm_score",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
 ]
