@@ -424,11 +424,9 @@ def _simhash_bit_sql(bit: int) -> str:
     return f"CASE WHEN ((h >> {bit}) & 1) = 1 THEN cnt ELSE -cnt END"
 
 
-@register(
-    "dedup_simhash",
-    tags=("dedup", "simhash"),
-    oracle=f"""
-WITH tok AS (
+def _sql_simhash_cte() -> str:
+    """CTE chain tok→th→bits→sig: (doc_id, simhash) for every doc."""
+    return f"""tok AS (
   SELECT doc_id, token, COUNT(*) AS cnt
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY doc_id, token
@@ -440,10 +438,21 @@ bits AS (
   SELECT doc_id,
          {", ".join(f"(CASE WHEN SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) > 0 THEN 1 ELSE 0 END) AS b{i}" for i in range(SIMHASH_BITS))}
   FROM th GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST({" + ".join(f"b{i} * {1 << i}" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-FROM bits
+),
+sig AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"b{i} * {1 << i}" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM bits
+)"""
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH {_sql_simhash_cte()}
+SELECT doc_id, simhash
+FROM sig
 WHERE doc_id <= 200
 ORDER BY doc_id
 """,
@@ -454,8 +463,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits (Hamming); the signature itself is cross-engine exact.
 
     Scale: explode → two group-bys, all linear; signature join for
-    near-dup candidates is a single equi-join on simhash prefix bands.
+    near-dup candidates is a single equi-join on simhash prefix bands
+    (dedup_simhash_hamming_pairs is that composition).
     """
+    return (
+        _simhash_df(spark, sf_dir)
+        .where(F.col("doc_id") <= 200)
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for every document."""
     d = load(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -481,10 +500,84 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = F.lit(0)
     for i in range(SIMHASH_BITS):
         acc = acc + F.col(f"b{i}") * F.lit(1 << i)
+    return bits.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 4 bands x 8 bits: pigeonhole-exact for hamming <= 3
+SIMHASH_HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    tags=("dedup", "simhash", "lsh"),
+    oracle=f"""
+WITH {_sql_simhash_cte()},
+bands AS (
+  SELECT doc_id, g.b, (simhash >> (8 * CAST(g.b AS INTEGER))) & 255 AS bk
+  FROM sig CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1}))
+  ) g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming search: split each
+    32-bit signature into 4 bands of 8 bits, equi-join on (band,
+    band_value), verify candidates with popcount(xor) ≤ 3. The
+    banding is EXACT for this radius (pigeonhole: ≤ 3 differing bits
+    cannot touch all 4 bands), so recall is 1.0 by construction — a
+    provable guarantee LSH banding lacks (property-tested in
+    tests/test_quality.py).
+
+    Scale: candidates come from bucket equi-joins (never materalizing
+    n²); the verify stage is integer xor/popcount on 8-byte keys, and
+    the bands shuffle ~4 rows of 16 bytes per doc. The 32-bit/8-bit-
+    band geometry is matched to THIS corpus size — at 10⁹ docs an
+    8-bit band has only 256 values and buckets go quadratic, so
+    corpus-scale deployments widen to 64-bit signatures with 16-bit
+    bands (65k values/band, same pigeonhole guarantee at radius 3,
+    identical plan shape) and put the oversize-bucket star guard
+    (lsh_candidate_pairs) in front of the join."""
+    sig = _cache(_simhash_df(spark, sf_dir))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255).alias(f"k{b}")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b", "bk"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bk")
+    c = bands.select(F.col("doc_id").alias("doc_b"), "b", "bk")
+    cand = (
+        a.join(c, ["b", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        bits.select("doc_id", acc.cast("bigint").alias("simhash"))
-        .where(F.col("doc_id") <= 200)
-        .orderBy("doc_id")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(hamming <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -123,6 +123,7 @@ SWEEP_PRIORITY: list[str] = [
     "q12_shipmode_priority",
     "q11_important_stock",
     "text_bigram_lm_score",
+    "dedup_simhash_hamming_pairs",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
 ]

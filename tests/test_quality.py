@@ -166,6 +166,36 @@ def test_lsh_bucket_cap_boundary_preserves_components(spark):
     assert _partition(capped, doc) == _partition(uncapped, doc)
 
 
+def test_simhash_banding_pigeonhole_exact(spark):
+    """The 4x8-bit banding must have recall 1.0 at Hamming radius 3 BY
+    CONSTRUCTION (pigeonhole: 3 flipped bits cannot touch 4 bands):
+    every signature pair within radius 3 must appear in the declared
+    query's output, verified against an exhaustive pairwise scan of
+    the signatures."""
+    from spark_rapids_ml_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash_df,
+        dedup_simhash_hamming_pairs,
+        release_caches,
+    )
+
+    sigs = {r["doc_id"]: r["simhash"] for r in _simhash_df(spark, SF).collect()}
+    truth = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_simhash_hamming_pairs(spark, SF).collect()
+    }
+    release_caches()
+    assert got == truth, (
+        f"banding missed {len(truth - got)} true pairs / "
+        f"emitted {len(got - truth)} false pairs"
+    )
+
+
 def test_checkpoint_blocks_actually_released(spark):
     """release_caches() must free localCheckpoint STORAGE BLOCKS.
     Dataset.unpersist() alone is a no-op for checkpoints (their blocks
