@@ -124,6 +124,7 @@ SWEEP_PRIORITY: list[str] = [
     "q11_important_stock",
     "text_bigram_lm_score",
     "dedup_simhash_hamming_pairs",
+    "sim_quantized_topk",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
 ]

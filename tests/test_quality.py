@@ -59,6 +59,20 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert np.mean(recalls) >= 0.85, f"mean recall {np.mean(recalls):.3f}"
 
 
+def test_quantized_recall_vs_bruteforce(spark):
+    """The int8-quantized tier re-ranks exactly, so with 4k candidates
+    its top-k must match brute force almost perfectly (measured 1.0 on
+    this corpus; reconstruction error ~1.4e-3/element)."""
+    from spark_rapids_ml_spark.operators.similarity import sim_quantized_topk
+
+    truth = _exact_topk(spark)
+    got = {}
+    for r in sim_quantized_topk(spark, SF).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()]
+    assert np.mean(recalls) >= 0.95, f"mean recall {np.mean(recalls):.3f}"
+
+
 def test_minhash_lsh_finds_true_duplicates(spark):
     """Every pair with true 3-gram Jaccard >= 0.9 must be an LSH
     candidate (the banding threshold is ~0.71), and candidates must
