@@ -280,3 +280,84 @@ def join_composite_key_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# Width of a range-join bin in days. Chosen equal to the interval span
+# + 1 so every interval overlaps at most TWO bins (each interval row is
+# duplicated <= 2x) while each point maps to exactly ONE bin, so a
+# (point, interval) pair can meet in only the point's bin — no
+# post-join dedup needed.
+_RANGE_BIN_DAYS = 8
+
+
+@register(
+    "join_range_binned_count",
+    tags=("join", "scale"),
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(*) AS n_shipped,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY
+WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+)
+def join_range_binned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via temporal binning — the scale
+    path for interval joins with NO equi-key (cf. the reference's
+    row-wise comparator joins; Spark would otherwise plan a
+    BroadcastNestedLoopJoin that is O(points x intervals) at any
+    cluster size).
+
+    Both sides map time to ``floor(epoch_day / BIN)`` bins sized so an
+    interval spans <= 2 bins; the join becomes a plain equi-join on the
+    bin key (shuffle-partitionable, AQE-skew-splittable) with the exact
+    BETWEEN as a post-condition. Cost: O(pairs sharing a bin), i.e.
+    data-density-bounded instead of cardinality-product-bounded; the
+    <= 2x interval duplication is the only blowup, independent of
+    cluster and data size. tests/test_plans.py asserts no
+    cartesian/nested-loop appears.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .withColumn("d1", F.date_add("d0", 7))
+        .withColumn("day0", F.datediff("d0", epoch))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col("day0") / _RANGE_BIN_DAYS),
+                        F.floor((F.col("day0") + F.lit(7)) / _RANGE_BIN_DAYS),
+                    )
+                )
+            ),
+        )
+    )
+    p = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.to_date("l_shipdate").alias("pd"), "l_quantity")
+        .withColumn("bin", F.floor(F.datediff("pd", epoch) / _RANGE_BIN_DAYS))
+    )
+    return (
+        p.join(
+            o,
+            (p["bin"] == o["bin"])
+            & (F.col("pd") >= F.col("d0"))
+            & (F.col("pd") <= F.col("d1")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -313,3 +313,15 @@ def test_q13_left_outer_survives_on_clause_filter(spark):
     plan = plan_of(q13_customer_distribution(spark, SF))
     assert "LeftOuter" in plan
     assert plan.count("HashAggregate") >= 4  # two aggs x (partial+final)
+
+
+def test_range_binned_join_is_equi(spark):
+    """The binned range join must plan as an equi-join on the bin key
+    (hash/sort-merge partitionable) with the BETWEEN as a
+    post-condition — never a cartesian/nested-loop, which is what a
+    bare point-in-interval predicate would force."""
+    from spark_rapids_ml_spark.operators.joins import join_range_binned_count
+
+    plan = plan_of(join_range_binned_count(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # partial+final agg after the join
