@@ -242,3 +242,78 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+# Session gap threshold: a new session starts after > 6 idle hours.
+_SESSION_GAP_SECONDS = 21600
+
+
+@register(
+    "window_sessionize_gaps",
+    tags=("window", "timeseries"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR datediff('second', prev, ts) > 21600 THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), g AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev,
+         datediff('second', MIN(ts), MAX(ts)) AS dur
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(dur) AS BIGINT) AS total_active_seconds
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at > 6-hour idle gaps (lag -> new-session flag -> running
+    sum as session id), then roll up per-user session stats.
+
+    Scale: the classic gap-and-island pattern — one shuffle on
+    user_id for the windows (lag and running sum share the same
+    sort), a (user, sid) partial-aggregated rollup, then the tiny
+    per-user merge. Linear in events, no self-join; the per-user
+    state is one sort run, which AQE can skew-split if one user
+    dominates. Second-boundary gap arithmetic (unix_timestamp
+    difference == DuckDB datediff('second')) keeps the engines
+    bit-identical.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_SECONDS), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sid = flagged.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+            F.max("n_ev").cast("bigint").alias("max_session_events"),
+            F.sum("dur").cast("bigint").alias("total_active_seconds"),
+        )
+        .orderBy("user_id")
+    )
