@@ -140,3 +140,73 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "sink_merge_upsert",
+    tags=("sink", "scale"),
+    oracle="""
+WITH agg AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders, MAX(o_totalprice) AS new_bal
+  FROM orders GROUP BY o_custkey
+),
+upd AS (SELECT k, new_bal FROM agg WHERE n_orders >= 8),
+ins AS (
+  SELECT k + 1000000 AS k, 'NEW-' || CAST(k AS VARCHAR) AS name, new_bal
+  FROM agg WHERE n_orders >= 12
+),
+merged AS (
+  SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+         CASE WHEN u.k IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS bal,
+         CASE WHEN u.k IS NOT NULL THEN 'U' ELSE 'K' END AS op
+  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+  UNION ALL
+  SELECT k, name, new_bal, 'I' FROM ins
+)
+SELECT c_custkey, c_name, CAST(ROUND(bal, 2) AS DOUBLE) AS bal, op
+FROM merged ORDER BY c_custkey
+""",
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) as a copy-on-write sink: a change set
+    derived from orders updates matched customers' balances and
+    inserts rows for guaranteed-new keys; the merged table is written
+    to parquet and read back (what Delta/Iceberg MERGE does under the
+    formats, expressed on plain parquet).
+
+    Scale: MERGE = one equi-join of base x changes on the merge key +
+    a rewrite of affected files. The change set here is an aggregate
+    of the fact table (bounded by distinct keys), so AQE converts the
+    join to broadcast; at 100 TB the rewrite is bounded by
+    partitioning the base on the merge key (see
+    sink_dynamic_partition_overwrite) so only touched partitions are
+    rewritten, never the full table.
+    """
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.max("o_totalprice").alias("new_bal"))
+    )
+    upd = agg.where(F.col("n_orders") >= 8).select("k", "new_bal")
+    ins = agg.where(F.col("n_orders") >= 12).select(
+        (F.col("k") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("k").cast("string")).alias("c_name"),
+        F.col("new_bal").alias("bal"),
+        F.lit("I").alias("op"),
+    )
+    matched = c.join(upd, c.c_custkey == upd.k, "left").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("k").isNotNull(), F.col("new_bal")).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("k").isNotNull(), F.lit("U")).otherwise(F.lit("K")).alias("op"),
+    )
+    merged = matched.unionByName(ins)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join("/root/repo/.tmp/sinks", tag, "customer_merged")
+    merged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .select("c_custkey", "c_name", F.round("bal", 2).cast("double").alias("bal"), "op")
+        .orderBy("c_custkey")
+    )
