@@ -446,3 +446,132 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy("doc_id")
+
+
+@register(
+    "text_repetition_stats",
+    tags=("text", "quality"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id <= 300
+),
+uni AS (
+  SELECT doc_id, u.tok, COUNT(*) AS c
+  FROM t, UNNEST(toks) AS u(tok)
+  GROUP BY doc_id, u.tok
+),
+ustat AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_uni
+  FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, toks[CAST(u.g AS INT)] || ' ' || toks[CAST(u.g + 1 AS INT)] AS bg
+  FROM t CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - 1))
+  ) u(g)
+),
+bstat AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_bigrams_distinct
+  FROM bi GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(max_uni AS DOUBLE) / n_tokens, 6) AS top_unigram_frac,
+       ROUND(1.0 - CAST(n_bigrams_distinct AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+FROM ustat u JOIN bstat b ON u.doc_id = b.doc_id
+ORDER BY u.doc_id
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): fraction
+    of tokens taken by the single most frequent unigram, and fraction
+    of bigram occurrences that are repeats. High values mark
+    boilerplate / keyword-stuffed documents a training pipeline drops.
+
+    Scale: explode + two-level partial-aggregated group-bys keyed on
+    (doc_id, gram) then doc_id — linear in corpus token count, and the
+    doc_id-keyed shuffles are maximally spreadable (one doc's grams
+    land on one reducer only for its own rollup). No per-doc O(n^2)
+    higher-order-function scan, which would look shuffle-free but burn
+    quadratic CPU inside each row at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("max_uni"))
+    )
+    n = F.size("toks")
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bstat = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_bigrams_distinct"),
+    )
+    return (
+        uni.join(bstat, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("max_uni").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("n_bigrams_distinct").cast("double") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Term blocklist for redaction; \b word boundaries are supported by
+# both Java regex (Spark) and RE2 (DuckDB) with identical semantics
+# on [a-z ] text.
+_REDACT_PATTERN = r"\b(customer|order|value)\b"
+
+
+@register(
+    "text_term_redaction",
+    tags=("text", "quality"),
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|order|value)\b')) AS BIGINT)
+         AS n_redacted,
+       CAST(length(regexp_replace(text, '\b(customer|order|value)\b', '[MASK]', 'g'))
+         AS BIGINT) AS redacted_chars,
+       substr(regexp_replace(text, '\b(customer|order|value)\b', '[MASK]', 'g'), 1, 80)
+         AS sample
+FROM documents WHERE doc_id <= 300
+ORDER BY doc_id
+""",
+)
+def text_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based scrubbing (the PII/blocklist-redaction shape):
+    replace every whole-word blocklist hit with a mask token and count
+    hits per document.
+
+    Scale: a stateless projection — regexp runs JVM-side inside
+    whole-stage codegen, no shuffle, no UDF; at 100 TB this is a pure
+    map stage whose cost is one linear scan of the text bytes, and
+    column pruning keeps non-text columns out of the scan.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    red = F.regexp_replace("text", _REDACT_PATTERN, "[MASK]")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_REDACT_PATTERN)).cast("bigint").alias("n_redacted"),
+        F.length(red).cast("bigint").alias("redacted_chars"),
+        F.substring(red, 1, 80).alias("sample"),
+    ).orderBy("doc_id")
