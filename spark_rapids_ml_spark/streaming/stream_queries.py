@@ -64,14 +64,27 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _read_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str | None = None,
+    one_file_per_trigger: bool = False,
+) -> DataFrame:
     """Stream the events parquet with the batch-inferred schema; ts
-    arrives as raw nanos (see sources.catalog) → timestamp[us]."""
+    arrives as raw nanos (see sources.catalog) → timestamp[us].
+    ``src_dir`` overrides the default single-file staging dir;
+    ``one_file_per_trigger`` makes availableNow process the staged
+    files as separate micro-batches in mtime order (needed whenever a
+    query's emission depends on the watermark advancing *between*
+    batches, e.g. outer-join null emission)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if sf_dir not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[sf_dir] = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(_SCHEMA_CACHE[sf_dir]).parquet(_stream_dir(sf_dir))
+    reader = spark.readStream.schema(_SCHEMA_CACHE[sf_dir])
+    if one_file_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src_dir or _stream_dir(sf_dir))
     # integer division — see sources.catalog: double division loses
     # precision above 2^53 and mis-lands 1µs low on ~1.6% of rows
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -479,6 +492,129 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round("max_value", 6).alias("max_value"),
             (F.col("total_value_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _staged_outer_src(sf_dir: str) -> str:
+    """Staging dir for the left-outer stream-stream join: the real
+    events file plus two far-future sentinel files (reserved
+    user_id = -1, one click + one error each, +30 / +60 days).
+
+    Outer-join null rows are emitted only when a LATER micro-batch
+    runs with a watermark past ``left.ts + interval``; on a finite
+    file source the final rows' watermark never advances again, so
+    without sentinels the unmatched tail would stay in state forever
+    (batch-vs-stream would diverge). Two sentinel batches guarantee
+    every real left row is finalized: batch 2 carries the +30d event
+    time, and batch 3 runs with the watermark computed FROM it. On a
+    real deployment the bus's ongoing traffic plays this role —
+    sentinels make the finite replay faithful to it.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/root/repo/.tmp/stream_src_outer/{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events_0.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    if os.path.exists(os.path.join(d, "sentinel_2.parquet")):
+        return d
+    events = pq.read_table(table_path(sf_dir, "events"), columns=["ts"])
+    max_ns = pc.max(events.column("ts").cast(pa.int64())).as_py()
+    day_ns = 86_400_000_000_000
+    now = os.stat(link, follow_symlinks=True).st_mtime
+    for i, horizon in enumerate((30 * day_ns, 60 * day_ns), start=1):
+        t0 = max_ns + horizon
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-2 * i, -2 * i - 1], pa.int64()),
+                "ts": pa.array([t0, t0 + 600_000_000_000], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "error"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        path = os.path.join(d, f"sentinel_{i}.parquet")
+        pq.write_table(tbl, path)
+        # the file source takes micro-batches in mtime order; pin
+        # events -> sentinel_1 -> sentinel_2 explicitly
+        os.utime(path, (now + 10 * i, now + 10 * i))
+    return d
+
+
+@register(
+    "stream_stream_left_outer_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT a.user_id,
+       COUNT(*) AS n_rows,
+       COUNT(b.event_id) AS n_matched
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY a.user_id
+ORDER BY a.user_id
+""",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, joined to
+    errors within the following 30 minutes, with clicks that saw no
+    error emitted as null-extended rows once the watermark proves no
+    match can still arrive — the attribution join where absence (no
+    error after click) is itself the signal.
+
+    Scale: state bounded exactly as the inner interval join (watermark
+    horizon x per-key rate); the extra cost of LEFT OUTER is only the
+    deferred emission buffer, which the watermark drains monotonically.
+    The staged sentinel batches (see _staged_outer_src) make the
+    finite replay emit the full outer result, so the batch LEFT JOIN
+    oracle checks both the matched AND the null-extended sides.
+    """
+    src = _staged_outer_src(sf_dir)
+    s1 = _read_stream(spark, sf_dir, src_dir=src, one_file_per_trigger=True)
+    s2 = _read_stream(spark, sf_dir, src_dir=src, one_file_per_trigger=True)
+    a = (
+        s1.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+    )
+    b = (
+        s2.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    res = _run_to_memory(joined.select("a_user", "a_id", "b_id"), "append")
+    return (
+        res.where(F.col("a_user") >= 0)  # drop watermark sentinels
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("b_id").alias("n_matched"),
         )
         .orderBy("user_id")
     )
