@@ -319,3 +319,54 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RESERVOIR_K = 5  # fixed sample size per stratum
+
+
+@register(
+    "pipe_group_reservoir_sample",
+    tags=("llm-pipe", "sample"),
+    oracle=f"""
+WITH r AS (
+  SELECT lang, source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {sql_hash60('text')}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+FROM r WHERE rn <= {RESERVOIR_K}
+ORDER BY lang, source, rn
+""",
+)
+def pipe_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample (the distributed
+    stand-in for reservoir sampling): rank documents inside each
+    (lang, source) stratum by a content hash and keep the first K.
+    Content-keyed order makes the sample a pure function of the data —
+    identical across engines, partitionings, and re-runs — unlike
+    rand()-based reservoirs, which are irreproducible, and unlike
+    LIMIT, which samples whatever partition order delivers first.
+
+    Scale: one shuffle on the stratum key; Catalyst pushes rn <= K
+    into the sort as a WindowGroupLimit, so each map task keeps only
+    K candidates per stratum before the exchange — the same
+    merge-of-local-reservoirs structure classic reservoir sampling
+    uses, with the hash standing in for the random tags.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(hash60("text"), "doc_id")
+    return (
+        d.select(
+            "lang",
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= RESERVOIR_K)
+        .select("lang", "source", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "source", "rn")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
@@ -209,4 +209,100 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(path)
         .select("c_custkey", "c_name", F.round("bal", 2).cast("double").alias("bal"), "op")
         .orderBy("c_custkey")
+    )
+
+
+# Z-order curve: 10 bits per dimension -> 20-bit interleaved key.
+_Z_BITS = 10
+_Z_MASK = (1 << _Z_BITS) - 1
+_Z_BUCKETS = 32
+
+# identical bit arithmetic as a DuckDB SQL expression over x, y
+_Z_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+def zorder_key(xc, yc):
+    """Interleave the low _Z_BITS of two non-negative int columns into
+    a Morton (Z-order) key. Disjoint bit positions let plain addition
+    assemble the word — stays inside whole-stage codegen."""
+    total = None
+    for i in range(_Z_BITS):
+        xb = F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xb + yb
+        total = term if total is None else total + term
+    return total
+
+
+@register(
+    "layout_zorder_buckets",
+    tags=("sink", "scale"),
+    oracle=f"""
+WITH k AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % {_Z_MASK + 1} AS x,
+         l_orderkey % {_Z_MASK + 1} AS y
+  FROM lineitem WHERE l_orderkey <= 6000
+),
+z AS (
+  SELECT l_orderkey, l_linenumber, x, y, {_Z_SQL} AS zkey
+  FROM k
+),
+b AS (
+  SELECT x, y,
+         NTILE({_Z_BUCKETS}) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS bucket
+  FROM z
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering — the multi-dimensional
+    data-layout operator behind Delta/Iceberg ``ZORDER BY``: interleave
+    the bits of two join/filter columns into one sort key, range-bucket
+    by it, and report each bucket's (x, y) bounding box. Because the
+    curve preserves 2-D locality, every bucket's min/max bounds BOTH
+    dimensions, so file-level stats prune scans for predicates on
+    EITHER column — a linear sort on x alone leaves y unconstrained
+    per file (its mean per-bucket y-extent is the full domain, so a
+    y-only predicate prunes nothing). tests/test_quality.py pins the
+    win as the expected fraction of buckets a single-dimension
+    predicate fails to prune.
+
+    Scale: the key is pure bit arithmetic inside whole-stage codegen;
+    the production write path is repartitionByRange(zkey) +
+    sortWithinPartitions(zkey) + write (one range shuffle, identical
+    cost to any global sort-write). NTILE over the zkey order stands
+    in for the range partitioner here so bucket membership is
+    deterministic and cross-engine checkable.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 6000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % (_Z_MASK + 1)).alias("x"),
+            (F.col("l_orderkey") % (_Z_MASK + 1)).alias("y"),
+        )
+    )
+    z = li.withColumn("zkey", zorder_key(F.col("x"), F.col("y")))
+    w = Window.orderBy("zkey", "l_orderkey", "l_linenumber")
+    b = z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+    return (
+        b.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .orderBy("bucket")
     )

@@ -127,6 +127,15 @@ SWEEP_PRIORITY: list[str] = [
     "sim_quantized_topk",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
+    # new operators added late in round 4, never driver-checked
+    "join_range_binned_count",
+    "window_sessionize_gaps",
+    "sink_merge_upsert",
+    "text_repetition_stats",
+    "text_term_redaction",
+    "stream_stream_left_outer_join",
+    "layout_zorder_buckets",
+    "pipe_group_reservoir_sample",
 ]
 
 

@@ -542,3 +542,88 @@ def test_audio_frames_match_numpy_replay(spark):
         assert len(frames) == max(1, len(sig) // FRAME_LEN)
         fr0 = sig[:FRAME_LEN]
         assert frames[0]["rms"] == pytest.approx(float(np.sqrt(np.mean(fr0**2))), abs=1e-5)
+
+
+# ------------------------------------------------------- z-order locality
+
+def test_zorder_buckets_prune_both_dimensions(spark):
+    """Z-order bucketing must bound BOTH dimensions per bucket: for a
+    uniform random equality predicate on one dimension, the expected
+    fraction of buckets whose [min,max] range contains the probe (=
+    the buckets a stats-based reader cannot skip) must be far below
+    the linear-sort layout's on the non-sorted dimension, while
+    staying useful on the sorted one."""
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        _Z_BUCKETS,
+        _Z_MASK,
+        layout_zorder_buckets,
+        zorder_key,
+    )
+
+    def unpruned_frac(rows, lo_key, hi_key, domain):
+        # P(bucket range contains a uniform probe) averaged over buckets
+        return float(
+            np.mean([(r[hi_key] - r[lo_key] + 1) / domain for r in rows])
+        )
+
+    # sf0.01: both dims cover the full 10-bit domain (partkey spans
+    # 1..2000 -> x wraps 1024; at sf0.001 x stops at 200 and domain
+    # clipping distorts the extent ratios)
+    SF01 = "/root/testdata/sf0.01"
+    zrows = layout_zorder_buckets(spark, SF01).collect()
+
+    li = (
+        load(spark, SF01, "lineitem")
+        .where(F.col("l_orderkey") <= 6000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % (_Z_MASK + 1)).alias("x"),
+            (F.col("l_orderkey") % (_Z_MASK + 1)).alias("y"),
+        )
+    )
+    w = Window.orderBy("x", "l_orderkey", "l_linenumber")
+    lin = (
+        li.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .collect()
+    )
+
+    x_dom = max(r["max_x"] for r in lin) - min(r["min_x"] for r in lin) + 1
+    y_dom = max(r["max_y"] for r in lin) - min(r["min_y"] for r in lin) + 1
+
+    lin_y = unpruned_frac(lin, "min_y", "max_y", y_dom)
+    z_y = unpruned_frac(zrows, "min_y", "max_y", y_dom)
+    z_x = unpruned_frac(zrows, "min_x", "max_x", x_dom)
+
+    # linear-by-x leaves y unconstrained (~every bucket spans ~the
+    # full y domain); z-order must cut the unprunable fraction >= 2x
+    assert lin_y > 0.5, f"fixture not adversarial: lin_y={lin_y:.2f}"
+    assert z_y * 2 <= lin_y, f"z_y={z_y:.2f} lin_y={lin_y:.2f}"
+    # and still bound x well enough that an x-predicate skips most
+    # buckets (the trade z-order makes vs a perfect x sort)
+    assert z_x <= 0.5, f"z_x={z_x:.2f}"
+
+    # sanity: the zorder key is the exact bit interleave (python oracle)
+    import itertools
+
+    def py_z(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    probe = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product([0, 1, 5, 1023], repeat=2)], "x long, y long"
+    ).select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in probe:
+        assert r["z"] == py_z(r["x"], r["y"])
