@@ -136,6 +136,7 @@ SWEEP_PRIORITY: list[str] = [
     "stream_stream_left_outer_join",
     "layout_zorder_buckets",
     "pipe_group_reservoir_sample",
+    "graph_pagerank_bipartite",
 ]
 
 
@@ -163,6 +164,7 @@ def load_all_modules() -> None:
         analytics_extra,
         arrays_json,
         dedup,
+        graph,
         joins,
         similarity,
     )
