@@ -423,3 +423,53 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_part"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    tags=("agg", "approx", "scale"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       CAST(1 AS BIGINT) AS within_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the REUSABLE form of the 100 TB
+    distinct count (vs agg_approx_count_distinct's one-shot): build
+    one Datasketches HLL sketch per (returnflag, linestatus) leaf,
+    then UNION the leaf sketches per returnflag and estimate. This is
+    the precompute-then-rollup pattern: daily/partition sketches are
+    materialized once and any coarser rollup (monthly, global) merges
+    them in O(sketch bytes) without rescanning the fact table.
+
+    Same self-verifying contract as the other approx aggregates:
+    exact + |approx-exact| <= 10% flag in one result, oracle expects
+    the flag true (sketch bytes themselves are engine-specific).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    leaves = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sk"),
+        F.countDistinct("l_partkey").alias("leaf_exact"),
+    )
+    merged = leaves.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    return (
+        exact.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx").cast("double") - F.col("exact_parts").cast("double"))
+                <= 0.1 * F.col("exact_parts").cast("double")
+            )
+            .cast("bigint")
+            .alias("within_tolerance"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -183,3 +183,93 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+# ---- Python Data Source API (Spark 4): a custom connector ----------
+
+_SYNTH_N = 20000
+_SYNTH_PARTS = 4
+_SYNTH_MULT = 2654435761  # Knuth multiplicative-hash constant
+_SYNTH_MOD = 1000003
+
+
+def _make_synthetic_datasource():
+    """Build the DataSource class lazily (the pyspark.sql.datasource
+    import is only needed when this query runs)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangeSlice(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SyntheticRangeReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", _SYNTH_N))
+            self.parts = int(options.get("partitions", _SYNTH_PARTS))
+
+        def partitions(self):
+            step = -(-self.n // self.parts)  # ceil-div
+            return [
+                _RangeSlice(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, i % 16, (i * _SYNTH_MULT) % _SYNTH_MOD)
+
+    class SyntheticRangeDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_range"
+
+        def schema(self):
+            return "id bigint, bucket bigint, score bigint"
+
+        def reader(self, schema):
+            return _SyntheticRangeReader(self.options)
+
+    return SyntheticRangeDataSource
+
+
+@register(
+    "source_python_datasource",
+    tags=("source", "scale"),
+    oracle=f"""
+SELECT id % 16 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((id * {_SYNTH_MULT}) % {_SYNTH_MOD}) AS BIGINT) AS score_sum
+FROM (SELECT unnest(generate_series(0, {_SYNTH_N - 1})) AS id)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4): a
+    deterministic synthetic generator that reports its own input
+    partitions, so the scan parallelizes like any file source — the
+    template for wrapping an internal feed/API no built-in source
+    covers. tests/test_plans.py asserts the 4-way split is real.
+
+    Scale: ``partitions()`` is the contract that matters — a custom
+    source that returns one partition serializes the whole ingest
+    through a single task no matter the cluster size; this one slices
+    the keyspace evenly, and each slice generates independently (no
+    driver materialization). All-integer rows keep the DuckDB oracle
+    exact.
+    """
+    spark.dataSource.register(_make_synthetic_datasource())
+    df = (
+        spark.read.format("synthetic_range")
+        .option("n", str(_SYNTH_N))
+        .option("partitions", str(_SYNTH_PARTS))
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("bigint").alias("score_sum"),
+        )
+        .orderBy("bucket")
+    )

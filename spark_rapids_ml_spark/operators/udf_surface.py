@@ -147,3 +147,49 @@ def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(weighted_avg("c_acctbal", "c_nationkey").alias("weighted_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "udf_map_in_arrow_textstats",
+    tags=("udf", "text"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+FROM documents WHERE doc_id <= 200
+ORDER BY doc_id
+""",
+)
+def udf_map_in_arrow_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy end of the Python UDF surface:
+    the batch arrives as a pyarrow RecordBatch and is transformed with
+    Arrow compute kernels (C++, SIMD), skipping the pandas conversion
+    ``mapInPandas`` pays. The right tier for byte/string-level work
+    where pandas object-dtype boxing dominates.
+
+    Scale: identical distribution story to mapInPandas (per-batch
+    Arrow transfer, no shuffle), minus one copy per batch; all-integer
+    outputs keep the oracle comparison exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200).select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column(1)
+            toks = pc.list_value_length(pc.split_pattern(text, " "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    toks.cast(pa.int64()),
+                    pc.utf8_length(text).cast(pa.int64()),
+                    pc.utf8_length(pc.replace_substring(text, " ", "")).cast(pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars", "n_nonspace"],
+            )
+
+    out = d.mapInArrow(stats, "doc_id long, n_tokens long, n_chars long, n_nonspace long")
+    return out.orderBy("doc_id")

@@ -137,6 +137,9 @@ SWEEP_PRIORITY: list[str] = [
     "layout_zorder_buckets",
     "pipe_group_reservoir_sample",
     "graph_pagerank_bipartite",
+    "agg_hll_sketch_merge",
+    "udf_map_in_arrow_textstats",
+    "source_python_datasource",
 ]
 
 

@@ -325,3 +325,18 @@ def test_range_binned_join_is_equi(spark):
     plan = plan_of(join_range_binned_count(spark, SF))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan  # partial+final agg after the join
+
+
+def test_python_datasource_partitioned_scan(spark):
+    """The custom Python data source must expose its keyspace slices
+    as real input partitions (a 1-partition custom source serializes
+    ingest through one task at any cluster size)."""
+    from spark_rapids_ml_spark.operators.sources_io import (
+        _SYNTH_PARTS,
+        _make_synthetic_datasource,
+    )
+
+    spark.dataSource.register(_make_synthetic_datasource())
+    df = spark.read.format("synthetic_range").load()
+    assert df.rdd.getNumPartitions() == _SYNTH_PARTS
+    assert df.count() == 20000
