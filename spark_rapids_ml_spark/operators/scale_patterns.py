@@ -306,3 +306,64 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+N_HOT_KEYS = 5
+
+
+@register(
+    "skew_join_hot_key_isolation",
+    tags=("join", "scale"),
+    oracle="""
+SELECT s.s_nationkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+""",
+)
+def skew_join_hot_key_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-isolated join — the join-side skew mitigation
+    (companion to salted_skew_aggregation's reduce-side one): count
+    key frequencies, peel the top-N hottest keys into a broadcast
+    join (no shuffle can straggle on them), sort-merge the cold
+    remainder, union the halves. Must be row-identical to the naive
+    single join (the oracle).
+
+    Scale: the frequency scan is a partial-aggregated count; only
+    N_HOT_KEYS rows ever reach the driver (bounded materialization).
+    At 100 TB this is what you reach for when AQE's skew splitting
+    can't help — e.g. the skewed side feeds a later stage that must
+    stay co-partitioned, or the hot set is known a priori (null-ish
+    sentinel keys, power-law ids). AQE's runtime skew-join handles
+    the common case automatically; the explicit form makes the
+    mitigation deterministic and testable.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    hot = [
+        r["l_suppkey"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_suppkey")
+        .limit(N_HOT_KEYS)
+        .collect()
+    ]
+    li_hot = li.where(F.col("l_suppkey").isin(hot))
+    li_cold = li.where(~F.col("l_suppkey").isin(hot))
+    joined_hot = li_hot.join(F.broadcast(s.where(F.col("s_suppkey").isin(hot))),
+                             li_hot.l_suppkey == s.s_suppkey)
+    joined_cold = li_cold.join(s, li_cold.l_suppkey == s.s_suppkey)
+    both = joined_hot.select("s_nationkey", "l_quantity").unionByName(
+        joined_cold.select("s_nationkey", "l_quantity")
+    )
+    return (
+        both.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -140,6 +140,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_hll_sketch_merge",
     "udf_map_in_arrow_textstats",
     "source_python_datasource",
+    "skew_join_hot_key_isolation",
 ]
 
 
