@@ -361,3 +361,85 @@ def join_range_binned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_interval_overlap_binned",
+    tags=("join", "scale"),
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_lo,
+         CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS a_hi
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey <= 6000
+),
+b AS (
+  SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_lo,
+         CAST(o_orderdate AS DATE) + INTERVAL 10 DAY AS b_hi
+  FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey <= 6000
+)
+SELECT a.a_key, COUNT(*) AS n_overlaps, MIN(b.b_key) AS first_b
+FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+GROUP BY a.a_key
+ORDER BY a.a_key
+""",
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (both sides are intervals, no equi-key):
+    urgent-order windows [d, d+7] against high-priority windows
+    [d, d+10], matched when they overlap. The binned-equi-join scale
+    path generalized from join_range_binned_count: each interval
+    explodes to its covered bins, the join runs on the bin key with
+    the exact overlap predicate as a post-condition, and the
+    first-common-bin guard ``bin == max(floor(a_lo), floor(b_lo))``
+    keeps exactly ONE copy of each overlapping pair (two overlapping
+    intervals always share their later start's bin) — no post-join
+    DISTINCT, which at 100 TB would be a second full shuffle of the
+    pair stream.
+
+    Scale: duplication factor = interval-span/bin-width + 1 (<= 2-3x
+    here), cost bounded by pairs-per-bin density; plan is a
+    shuffle-partitionable equi-join, never a nested loop
+    (tests/test_plans.py).
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    bin_w = 16  # > max span (10) so an interval covers <= 2 bins
+
+    def side(prio: str, span: int, key: str, lo: str, hi: str) -> DataFrame:
+        d = (
+            load(spark, sf_dir, "orders")
+            .where((F.col("o_orderpriority") == prio) & (F.col("o_orderkey") <= 6000))
+            .select(
+                F.col("o_orderkey").alias(key),
+                F.to_date("o_orderdate").alias(lo),
+                F.date_add(F.to_date("o_orderdate"), span).alias(hi),
+            )
+        )
+        lo_day = F.datediff(F.col(lo), epoch)
+        hi_day = F.datediff(F.col(hi), epoch)
+        return d.withColumn("lo_day", lo_day).withColumn(
+            "bin",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.floor(lo_day / bin_w), F.floor(hi_day / bin_w))
+                )
+            ),
+        )
+
+    a = side("1-URGENT", 7, "a_key", "a_lo", "a_hi").withColumnRenamed("lo_day", "a_lo_day")
+    b = side("2-HIGH", 10, "b_key", "b_lo", "b_hi").withColumnRenamed("lo_day", "b_lo_day")
+    pairs = a.join(
+        b,
+        (a["bin"] == b["bin"])
+        & (F.col("a_lo") <= F.col("b_hi"))
+        & (F.col("b_lo") <= F.col("a_hi"))
+        # first-common-bin guard: count each overlapping pair once
+        & (
+            a["bin"]
+            == F.floor(F.greatest(F.col("a_lo_day"), F.col("b_lo_day")) / bin_w)
+        ),
+    )
+    return (
+        pairs.groupBy("a_key")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"), F.min("b_key").alias("first_b"))
+        .orderBy("a_key")
+    )

@@ -340,3 +340,13 @@ def test_python_datasource_partitioned_scan(spark):
     df = spark.read.format("synthetic_range").load()
     assert df.rdd.getNumPartitions() == _SYNTH_PARTS
     assert df.count() == 20000
+
+
+def test_interval_overlap_join_is_equi(spark):
+    """The interval-overlap join must run as an equi-join on the bin
+    key with overlap + first-common-bin as post-conditions — never a
+    nested loop, and no post-join DISTINCT exchange."""
+    from spark_rapids_ml_spark.operators.joins import join_interval_overlap_binned
+
+    plan = plan_of(join_interval_overlap_binned(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
