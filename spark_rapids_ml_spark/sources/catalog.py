@@ -84,18 +84,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # times); pin it so results don't depend on the caller's session TZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # parquet stores ts as timestamp[ns]; Spark 4 rejects it unless
-        # nanos are read as raw longs. Set at runtime so this works on
-        # any caller-provided session, then surface as timestamp[us].
-        from pyspark.sql import functions as F
-
+        # The generator has shipped ts as either timestamp[ns] (read as
+        # raw longs under nanosAsLong) or timestamp[us] NTZ; normalize
+        # both to TIMESTAMP so every declared query sees one type. Set
+        # the conf at runtime so the nanos case works on any
+        # caller-provided session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division, not `/1000 → cast(long)`: epoch-ns (~1.7e18)
-        # exceeds double's 2^53 exact range, so the double path rounds by
-        # up to ±128ns and truncation then lands 1µs low on ~1.6% of rows
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Surface events.ts as TIMESTAMP (UTC instant) regardless of how
+    the parquet encodes it:
+
+    - int64 raw nanos (timestamp[ns] under nanosAsLong): integer
+      division, not ``/1000 → cast(long)`` — epoch-ns (~1.7e18) exceeds
+      double's 2^53 exact range, so the double path rounds by up to
+      ±128ns and truncation then lands 1µs low on ~1.6% of rows;
+    - TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false): the wall
+      time IS the UTC instant by the testdata's contract; cast under
+      the pinned UTC session timezone is value-preserving;
+    - TIMESTAMP: already normalized.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

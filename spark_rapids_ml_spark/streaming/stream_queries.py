@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load, table_path
+from spark_rapids_ml_spark.sources.catalog import load, normalize_event_ts, table_path
 
 _CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
 
@@ -71,7 +71,8 @@ def _read_stream(
     one_file_per_trigger: bool = False,
 ) -> DataFrame:
     """Stream the events parquet with the batch-inferred schema; ts
-    arrives as raw nanos (see sources.catalog) → timestamp[us].
+    normalized to TIMESTAMP whatever the writer used (see
+    sources.catalog.normalize_event_ts).
     ``src_dir`` overrides the default single-file staging dir;
     ``one_file_per_trigger`` makes availableNow process the staged
     files as separate micro-batches in mtime order (needed whenever a
@@ -85,9 +86,9 @@ def _read_stream(
     if one_file_per_trigger:
         reader = reader.option("maxFilesPerTrigger", 1)
     stream = reader.parquet(src_dir or _stream_dir(sf_dir))
-    # integer division — see sources.catalog: double division loses
-    # precision above 2^53 and mis-lands 1µs low on ~1.6% of rows
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts arrives as int64 nanos OR timestamp[us] NTZ depending on the
+    # generator's writer; normalize to TIMESTAMP (see sources.catalog)
+    return normalize_event_ts(stream)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
