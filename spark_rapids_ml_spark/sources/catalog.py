@@ -115,6 +115,12 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, T.TimestampNTZType):
+        # the NTZ->TIMESTAMP cast reinterprets the wall time in the
+        # session timezone; only UTC preserves the testdata's contract
+        # that the wall time IS the UTC instant — enforce it here
+        # rather than relying on every caller having gone through
+        # load()/_read_stream.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -525,18 +525,35 @@ def _staged_outer_src(sf_dir: str) -> str:
     link = os.path.join(d, "events_0.parquet")
     if not os.path.exists(link):
         os.symlink(table_path(sf_dir, "events"), link)
-    if os.path.exists(os.path.join(d, "sentinel_2.parquet")):
-        return d
+    # The sentinels MUST carry the same physical ts encoding as the
+    # source file: the stream reads with the batch-inferred schema, so
+    # an int64 sentinel against a timestamp[us] source (or vice versa)
+    # fails micro-batch 2 with PARQUET_COLUMN_DATA_TYPE_MISMATCH. The
+    # generator has shipped both encodings over time, so derive the
+    # type from the file and invalidate any cached sentinels written
+    # under a different one.
+    ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    sentinel_2 = os.path.join(d, "sentinel_2.parquet")
+    if os.path.exists(sentinel_2):
+        if pq.read_schema(sentinel_2).field("ts").type == ts_type:
+            return d
+        for i in (1, 2):  # stale encoding: rewrite
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(d, f"sentinel_{i}.parquet"))
+    if pa.types.is_timestamp(ts_type):
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    else:  # legacy raw int64 epoch-nanos
+        per_sec = 10**9
     events = pq.read_table(table_path(sf_dir, "events"), columns=["ts"])
-    max_ns = pc.max(events.column("ts").cast(pa.int64())).as_py()
-    day_ns = 86_400_000_000_000
+    max_t = pc.max(events.column("ts").cast(pa.int64())).as_py()
+    day = 86_400 * per_sec
     now = os.stat(link, follow_symlinks=True).st_mtime
-    for i, horizon in enumerate((30 * day_ns, 60 * day_ns), start=1):
-        t0 = max_ns + horizon
+    for i, horizon in enumerate((30 * day, 60 * day), start=1):
+        t0 = max_t + horizon
         tbl = pa.table(
             {
                 "event_id": pa.array([-2 * i, -2 * i - 1], pa.int64()),
-                "ts": pa.array([t0, t0 + 600_000_000_000], pa.int64()),
+                "ts": pa.array([t0, t0 + 600 * per_sec], pa.int64()).cast(ts_type),
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array(["click", "error"]),
                 "value": pa.array([0.0, 0.0], pa.float64()),

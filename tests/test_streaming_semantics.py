@@ -33,9 +33,11 @@ def multi_file_source(spark):
     """events split over 4 files (by event_id range), timestamps in
     microseconds to sidestep the ns issue."""
     d = f"{TMP}/multi_{uuid.uuid4().hex[:8]}"
-    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    from spark_rapids_ml_spark.sources.catalog import normalize_event_ts
+
+    # normalize whatever encoding the generator used (int64-ns legacy
+    # or timestamp[us] NTZ) instead of assuming raw nanos
+    src = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     pdf = src.select("event_id", "ts", "user_id", "event_type", "value").toPandas()
     for i in range(4):
         _write_parquet(pdf[pdf.event_id % 4 == i], f"{d}/part{i}.parquet")
@@ -239,3 +241,57 @@ def test_event_time_timeout_evicts_state(spark):
     # surviving store entry would have produced (1, 3)
     assert (1, 1) in got, f"state not evicted (no fresh restart): {got}"
     assert (1, 3) not in got, f"state survived eviction: {got}"
+
+
+def test_staged_sentinel_schema_matches_source():
+    """Watermark-sentinel files written by _staged_outer_src must carry
+    the SAME parquet schema as the source events file — the stream
+    reads with the batch-inferred schema, so any encoding drift (e.g.
+    int64-ns sentinels against a timestamp[us] source) crashes
+    micro-batch 2 with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Also pins
+    the staleness guard: a cached sentinel written under a different
+    ts encoding must be rewritten, not reused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_rapids_ml_spark.sources.catalog import table_path
+    from spark_rapids_ml_spark.streaming.stream_queries import _staged_outer_src
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = _staged_outer_src(sf_dir)
+    src = pq.read_schema(table_path(sf_dir, "events"))
+    for i in (1, 2):
+        sent = pq.read_schema(f"{d}/sentinel_{i}.parquet")
+        assert sent.field("ts").type == src.field("ts").type, (
+            f"sentinel_{i} ts encoding {sent.field('ts').type} != "
+            f"source {src.field('ts').type}"
+        )
+        assert set(sent.names) == set(src.names)
+
+    # corrupt the cache with a wrong-encoding sentinel: the next call
+    # must detect and rewrite it
+    bad = pa.table(
+        {
+            "event_id": pa.array([-99], pa.int64()),
+            "ts": pa.array([0], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    assert bad.schema.field("ts").type != src.field("ts").type
+    pq.write_table(bad, f"{d}/sentinel_2.parquet")
+    d2 = _staged_outer_src(sf_dir)
+    assert pq.read_schema(f"{d2}/sentinel_2.parquet").field("ts").type == src.field("ts").type
+
+    # sentinels must sit beyond the source horizon (they exist to push
+    # the watermark past every real row) — in the SOURCE's units
+    ts_max = pq.read_table(table_path(sf_dir, "events"), columns=["ts"]).column("ts")
+    import pyarrow.compute as pc
+
+    src_max = pc.max(ts_max.cast(pa.int64())).as_py()
+    s1_min = pc.min(
+        pq.read_table(f"{d}/sentinel_1.parquet", columns=["ts"]).column("ts").cast(pa.int64())
+    ).as_py()
+    assert s1_min > src_max
