@@ -473,3 +473,128 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Frequent-items sketch knobs: FREQ_CAP counters per leaf summary
+# (Misra-Gries capacity), FREQ_LEAVES leaf summaries (stand-ins for
+# per-partition/per-day summaries), top FREQ_TOPK terms reported.
+FREQ_CAP = 32
+FREQ_LEAVES = 8
+FREQ_TOPK = 10
+
+
+@register(
+    "agg_freq_items_merge",
+    tags=("agg", "approx", "scale", "text"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id % {FREQ_LEAVES} AS leaf, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+cnt AS (SELECT leaf, term, COUNT(*) AS n FROM tok GROUP BY leaf, term),
+rk AS (
+  SELECT leaf, term, n,
+         ROW_NUMBER() OVER (PARTITION BY leaf ORDER BY n DESC, term) AS rk
+  FROM cnt
+),
+kept AS (SELECT leaf, term, n FROM rk WHERE rk <= {FREQ_CAP}),
+resid AS (
+  SELECT l.leaf, COALESCE(r.n, 0) AS resid
+  FROM (SELECT DISTINCT leaf FROM cnt) l
+  LEFT JOIN (SELECT leaf, n FROM rk WHERE rk = {FREQ_CAP + 1}) r ON l.leaf = r.leaf
+),
+tot AS (SELECT CAST(SUM(resid) AS BIGINT) AS total_resid FROM resid),
+bounds AS (
+  SELECT k.term,
+         CAST(SUM(k.n) AS BIGINT) AS lower_n,
+         CAST(SUM(r.resid) AS BIGINT) AS covered
+  FROM kept k JOIN resid r ON k.leaf = r.leaf
+  GROUP BY k.term
+),
+exact AS (SELECT term, COUNT(*) AS exact_n FROM tok GROUP BY term),
+topk AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT {FREQ_TOPK})
+SELECT t.term,
+       CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(COALESCE(b.lower_n, 0) AS BIGINT) AS lower_n,
+       CAST(COALESCE(b.lower_n, 0) + tot.total_resid - COALESCE(b.covered, 0) AS BIGINT)
+         AS upper_n,
+       CAST(CASE WHEN COALESCE(b.lower_n, 0) <= t.exact_n
+                  AND t.exact_n <= COALESCE(b.lower_n, 0) + tot.total_resid
+                                   - COALESCE(b.covered, 0)
+             THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+FROM topk t LEFT JOIN bounds b ON t.term = b.term CROSS JOIN tot
+ORDER BY exact_n DESC, t.term
+""",
+)
+def agg_freq_items_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items (heavy-hitters) summaries — the
+    corpus-level top-k terms WITHOUT a full-vocabulary rollup: each
+    leaf (stand-in for a partition/day summary) keeps only its top
+    FREQ_CAP term counts plus one residual bound (the count at rank
+    FREQ_CAP+1 — the Misra-Gries decrement bound: any term NOT kept in
+    a leaf occurs at most resid times there). Merging leaf summaries
+    gives, for every term, lower = sum of kept counts and
+    upper = lower + Σ resid over leaves where the term was dropped —
+    the classic mergeable-summaries guarantee (Agarwal et al., 2012),
+    so lower ≤ true ≤ upper ALWAYS holds. The query is self-verifying
+    like agg_hll_sketch_merge (aggregates.py): it emits the exact
+    count next to the sketch bounds and a within_bound flag the oracle
+    expects true; the oracle replicates the full summary computation,
+    so the hash check covers the sketch math, not just the flag.
+
+    Scale: leaf summaries are O(FREQ_CAP) rows each — at 100 TB they
+    are materialized per ingest partition and any coarser rollup
+    (daily -> monthly -> global) merges summaries in O(cap × leaves)
+    without rescanning the corpus; the exact side exists only as the
+    in-query oracle. Error tightens as caps grow: property-tested in
+    tests/test_quality.py (bound holds for EVERY term, not just the
+    reported top-k).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.pmod("doc_id", F.lit(FREQ_LEAVES)).alias("leaf"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    cnt = tok.groupBy("leaf", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("leaf").orderBy(F.col("n").desc(), "term")
+    rk = cnt.withColumn("rk", F.row_number().over(w))
+    kept = rk.where(F.col("rk") <= FREQ_CAP).select("leaf", "term", "n")
+    resid = (
+        cnt.select("leaf")
+        .distinct()
+        .join(
+            rk.where(F.col("rk") == FREQ_CAP + 1).select("leaf", F.col("n").alias("r")),
+            "leaf",
+            "left",
+        )
+        .select("leaf", F.coalesce("r", F.lit(0)).alias("resid"))
+    )
+    total = resid.agg(F.sum("resid").cast("bigint").alias("total_resid"))
+    bounds = (
+        kept.join(resid, "leaf")
+        .groupBy("term")
+        .agg(
+            F.sum("n").cast("bigint").alias("lower_n"),
+            F.sum("resid").cast("bigint").alias("covered"),
+        )
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(F.col("exact_n").desc(), "term").limit(FREQ_TOPK)
+    lower = F.coalesce("lower_n", F.lit(0))
+    upper = lower + F.col("total_resid") - F.coalesce("covered", F.lit(0))
+    return (
+        topk.join(bounds, "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            lower.cast("bigint").alias("lower_n"),
+            upper.cast("bigint").alias("upper_n"),
+            ((lower <= F.col("exact_n")) & (F.col("exact_n") <= upper))
+            .cast("bigint")
+            .alias("within_bound"),
+        )
+        .orderBy(F.col("exact_n").desc(), "term")
+    )

@@ -187,11 +187,10 @@ def _sql_sig_union(src: str, id_col: str) -> str:
     )
 
 
-@register(
-    "sim_lsh_bucketed_topk",
-    tags=("similarity", "lsh"),
-    bench=True,
-    oracle=f"""
+# Shared by the ephemeral and persisted-index LSH tiers: persistence
+# changes the physical plan (bucketed table, zero-exchange probe), not
+# the result set, so both queries verify against the same batch oracle.
+_LSH_TOPK_ORACLE = f"""
 WITH e AS ({_SQL_E}),
 sig AS ({_sql_sig_union('e', 'vec_id')}),
 qsig AS (SELECT vec_id AS qid, tbl, bucket FROM sig WHERE vec_id < {N_QUERIES}),
@@ -213,7 +212,37 @@ ranked AS (
 )
 SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY qid, rk
-""",
+"""
+
+
+def _rerank_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of (qid, vec_id) candidate pairs: broadcast
+    the query vectors, join the corpus side on vec_id, keep TOP_K by
+    rounded cosine (vec_id tiebreak for cross-engine determinism)."""
+    from pyspark.sql import Window
+
+    eu = with_unit_vector(e, "embedding", "unit")
+    qe = eu.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(eu.select("vec_id", "unit"), "vec_id")
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_lsh_bucketed_topk",
+    tags=("similarity", "lsh"),
+    bench=True,
+    oracle=_LSH_TOPK_ORACLE,
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
@@ -225,8 +254,6 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear ANN path; tables/planes trade recall vs candidate count
     (recall asserted vs brute force in tests/test_quality.py).
     """
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
     sig = e.select(
         "vec_id",
@@ -243,19 +270,79 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    eu = with_unit_vector(e, "embedding", "unit")
-    qe = eu.select(F.col("vec_id").alias("qid"), F.col("unit").alias("qunit"))
-    scored = (
-        cand.join(F.broadcast(qe), "qid")
-        .join(eu.select("vec_id", "unit"), "vec_id")
-        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    return _rerank_topk(cand, e)
+
+
+def lsh_signature_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the LSH index ONCE as a bucketed+sorted table keyed
+    on (tbl, bucket) and return its name. Re-used across probes: the
+    signature computation (N_TABLES × PLANES_PER_TABLE hyperplane dot
+    products per vector) is paid at index-build time, and every probe
+    reads pre-bucketed files co-partitioned on the join key."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    db = f"simdb_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tbl = f"{db}.lsh_sig_b"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    # the in-memory catalog is per-session: clear any stale managed-
+    # table directory left by a previous session before saveAsTable
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("qid", "rk")
+    shutil.rmtree(os.path.join(warehouse, f"{db}.db", "lsh_sig_b"), ignore_errors=True)
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
+        ).alias("tbl", "bucket"),
     )
+    (
+        sig.write.mode("overwrite")
+        .bucketBy(8, "tbl", "bucket")
+        .sortBy("tbl", "bucket", "vec_id")
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
+@register(
+    "sim_lsh_persisted_probe",
+    tags=("similarity", "lsh", "scale"),
+    oracle=_LSH_TOPK_ORACLE,
+)
+def sim_lsh_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a PERSISTED index: the LSH signature table is written
+    once, bucketed+sorted on (tbl, bucket), and the probe derives BOTH
+    join sides from that table — query signatures are a filter over
+    the same bucketed files — so the candidate join is a per-bucket
+    local sort-merge with NO shuffle exchange on either side (pinned
+    in tests/test_plans.py::test_lsh_persisted_probe_no_exchange).
+    Same result as sim_lsh_bucketed_topk (same oracle); only the
+    physical plan changes.
+
+    Scale: at 100 TB the index build is the one full pass over the
+    corpus; every subsequent query set probes pre-bucketed parquet
+    where the bucket id doubles as the shuffle partition key, so a
+    probe touches only matching buckets and moves zero index rows
+    across the network.
+    """
+    tbl = lsh_signature_table(spark, sf_dir)
+    sig = spark.table(tbl)
+    qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    cand = (
+        qsig.join(sig, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    return _rerank_topk(cand, load(spark, sf_dir, "embeddings"))
 
 
 def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:

@@ -55,70 +55,22 @@ def register(
 # External correctness sweeps are budget-bound (50 queries/round) and
 # enumerate ``queries()`` in order, so the enumeration order is rotated
 # each round to give every declared operator a driver-visible verdict.
-# Rounds 1-3 covered the aggregate/array/dedup/join/relational/scalar/
-# setop/source/llm-pipe prefix; round 4 front-loads the 42 queries that
-# have never had a driver CORRECTNESS row (windows, text, streaming,
-# subqueries, ML, timeseries, UDF surface, materialized clusters), the
-# 3 multimodal queries whose oracles are new this round, and this
-# round's new/changed queries. Names absent from the registry are
-# skipped, so the list is safe across partial loads.
+# Round 4 checked the 42 never-checked-through-r03 queries plus the
+# multimodal oracles and round-4 additions (CORRECTNESS_r04.json).
+# Round 5 front-loads: (a) queries new, fixed, or refactored this
+# round, (b) the late-round-4 additions that have never had a driver
+# row, (c) the queries whose newest driver row is oldest (the r01/r02
+# aggregate/array/dedup/join prefix) — filling the 50-query window.
+# Names absent from the registry are skipped, so the list is safe
+# across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- never driver-checked through r03 (42) ------------------------
-    "subquery_in",
-    "subquery_exists_correlated",
-    "subquery_not_exists_correlated",
-    "subquery_correlated_scalar_agg",
-    "text_token_count",
-    "text_corpus_stats",
-    "text_tfidf_top_terms",
-    "text_quality_score",
-    "text_langid_profile",
-    "text_fingerprint",
-    "text_winnow_fingerprint",
-    "asof_join_latest_order",
-    "timeseries_multi_rollup",
-    "udf_grouped_map_zscore",
-    "udf_udtf_bigrams",
-    "udf_grouped_agg_weighted_avg",
-    "window_rank_family",
-    "window_distribution_ranks",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "window_first_last",
-    "window_topk_per_group",
-    "pca_mean_vector",
-    "pca_covariance_matrix",
-    "pca_covariance_spr",
-    "linreg_slope_1d",
-    "feature_standard_scale",
-    "feature_minmax_scale",
-    "kmeans_embedding_clusters",
-    "pca_explained_variance",
-    "pca_transform_topk",
-    "stream_tumbling_window",
-    "stream_tumbling_append_watermark",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_static_join",
-    "stream_stream_interval_join",
-    "stream_dedup",
-    "stream_foreachbatch_sink",
-    "stream_stateful_user_stats",
-    "dedup_clusters_materialized",
-    # -- oracles new in round 4 (were no_oracle rows) -----------------
-    "mm_image_decode_features",
-    "mm_audio_frame_sample",
-    "mm_image_resize",
-    # -- queries new or changed in round 4 (the 50-query window is
-    # full: q10/q12 and the result-identical perf-only changes
-    # (sim_bruteforce_topk) rotate to the front of the NEXT round) ----
-    "dedup_lsh_skew_guard",
-    "q9_product_type_profit",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "sim_ivf_topk",
-    # -- round-5 front of queue ---------------------------------------
+    # -- round 5: new or changed this round (4) -----------------------
+    "stream_stream_left_outer_join",  # sentinel-schema fix
+    "sim_lsh_persisted_probe",  # new: persisted bucketed LSH index
+    "agg_freq_items_merge",  # new: mergeable heavy-hitters sketch
+    "sim_lsh_bucketed_topk",  # refactored onto shared _rerank_topk
+    # -- never driver-checked (late round-4 additions) + stalest
+    # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",
     "q12_shipmode_priority",
     "q11_important_stock",
@@ -127,13 +79,11 @@ SWEEP_PRIORITY: list[str] = [
     "sim_quantized_topk",
     "sim_bruteforce_topk",
     "dedup_embedding_lsh_pairs",
-    # new operators added late in round 4, never driver-checked
     "join_range_binned_count",
     "window_sessionize_gaps",
     "sink_merge_upsert",
     "text_repetition_stats",
     "text_term_redaction",
-    "stream_stream_left_outer_join",
     "layout_zorder_buckets",
     "pipe_group_reservoir_sample",
     "graph_pagerank_bipartite",
@@ -141,6 +91,34 @@ SWEEP_PRIORITY: list[str] = [
     "udf_map_in_arrow_textstats",
     "source_python_datasource",
     "skew_join_hot_key_isolation",
+    # -- oldest remaining driver rows (r02), registration order (27) --
+    "agg_group_stats",
+    "agg_moments_exact",
+    "agg_corr",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_percentiles_exact",
+    "agg_approx_percentile",
+    "agg_collect_list_sorted",
+    "agg_approx_count_distinct",
+    "agg_count_distinct_multi",
+    "agg_argmax_argmin",
+    "scalar_datetime_extra",
+    "agg_bitwise",
+    "histogram_fixed_buckets",
+    "timeseries_gap_fill",
+    "array_basic_ops",
+    "array_explode_tokens",
+    "array_posexplode",
+    "array_higher_order_vec",
+    "array_set_ops",
+    "json_extract_events",
+    "json_from_json_agg",
+    "dedup_exact_text",
+    "dedup_exact_by_hash",
 ]
 
 

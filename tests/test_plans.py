@@ -350,3 +350,39 @@ def test_interval_overlap_join_is_equi(spark):
 
     plan = plan_of(join_interval_overlap_binned(spark, SF))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_persisted_probe_no_exchange(spark):
+    """The persisted LSH index must be probed without shuffling the
+    index: both candidate-join sides read the same (tbl, bucket)-
+    bucketed table, so the join is a per-bucket local sort-merge with
+    no Exchange hashpartitioning on either side — the write-index-once
+    / zero-exchange-probe shape the ANN tier claims at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import (
+        N_QUERIES,
+        lsh_signature_table,
+    )
+
+    tbl = lsh_signature_table(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        sig = spark.table(tbl)
+        qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "tbl", "bucket"
+        )
+        j = (
+            qsig.join(sig, ["tbl", "bucket"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+        )
+        j.collect()
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -627,3 +627,84 @@ def test_zorder_buckets_prune_both_dimensions(spark):
     ).select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
     for r in probe:
         assert r["z"] == py_z(r["x"], r["y"])
+
+
+# ---------------------------------------------------------------------------
+# frequent-items sketch: the mergeable-summaries error bound
+# ---------------------------------------------------------------------------
+
+
+def _freq_merge_bounds(leaves: list[list[str]], cap: int) -> dict[str, tuple[int, int]]:
+    """Pure-python mirror of agg_freq_items_merge's summary+merge math:
+    per leaf keep top-`cap` (count desc, term asc) counts plus the
+    rank-(cap+1) count as the residual bound; merged bounds for term t:
+    lower = Σ kept counts, upper = lower + Σ resid over leaves where t
+    was NOT kept. Returns bounds for EVERY term seen anywhere."""
+    from collections import Counter
+
+    kept_per_leaf: list[dict[str, int]] = []
+    resid_per_leaf: list[int] = []
+    for items in leaves:
+        cnt = Counter(items)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept_per_leaf.append(dict(ranked[:cap]))
+        resid_per_leaf.append(ranked[cap][1] if len(ranked) > cap else 0)
+    all_terms = {t for kept in kept_per_leaf for t in kept} | {
+        t for items in leaves for t in items
+    }
+    out = {}
+    for t in all_terms:
+        lower = sum(kept.get(t, 0) for kept in kept_per_leaf)
+        upper = lower + sum(
+            resid
+            for kept, resid in zip(kept_per_leaf, resid_per_leaf)
+            if t not in kept
+        )
+        out[t] = (lower, upper)
+    return out
+
+
+def test_freq_items_bound_property():
+    """The sketch guarantee — lower ≤ true ≤ upper for EVERY term (not
+    just the reported top-k) — must hold for arbitrary skew, leaf
+    splits, and capacities, including adversarial cases where heavy
+    terms concentrate in one leaf or tie at the capacity boundary."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        items=st.lists(
+            st.sampled_from([f"t{i}" for i in range(40)]), min_size=1, max_size=400
+        ),
+        n_leaves=st.integers(min_value=1, max_value=8),
+        cap=st.integers(min_value=1, max_value=12),
+        salt=st.integers(min_value=0, max_value=1000),
+    )
+    def check(items, n_leaves, cap, salt):
+        leaves = [
+            [t for j, t in enumerate(items) if (j + salt) % n_leaves == i]
+            for i in range(n_leaves)
+        ]
+        truth = Counter(items)
+        bounds = _freq_merge_bounds(leaves, cap)
+        for t, n in truth.items():
+            lo, hi = bounds[t]
+            assert lo <= n <= hi, (t, lo, n, hi, cap, n_leaves)
+
+    check()
+
+
+def test_freq_items_query_flag_and_bounds(spark):
+    """The declared query's within_bound flag must be 1 on every
+    reported row, and the bounds must tighten to exact when the
+    capacity covers the whole leaf vocabulary."""
+    from spark_rapids_ml_spark.operators.aggregates import agg_freq_items_merge
+
+    rows = agg_freq_items_merge(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["within_bound"] == 1, r
+        assert r["lower_n"] <= r["exact_n"] <= r["upper_n"], r
