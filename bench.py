@@ -1,18 +1,27 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": [...], "host": {...}}
 
 The headline set is every registry entry flagged bench=True — one per
 operator family (scan+agg, join, window, dedup, LSH, TF-IDF, PCA,
 streaming) — executed once after a warm-up query so JVM/codegen
 startup is not billed to the first query.
+
+Measurement hygiene: the whole suite is executed $SPARK_GRAFT_BENCH_RUNS
+times (default 3); ``value`` is the MEDIAN of the run totals, per-query
+timings are per-query medians, and the raw run totals plus the host
+identity (hostname / CPU model / core count / memory) are embedded in
+the JSON — so a host change between rounds is visible in the artifact
+itself instead of requiring ratio archaeology against BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,9 +31,35 @@ from spark_rapids_ml_spark.registry import all_queries
 from spark_rapids_ml_spark.session import get_spark
 
 
+def _host_identity() -> dict:
+    import platform
+    import socket
+
+    host: dict = {
+        "hostname": socket.gethostname(),
+        "machine": platform.machine(),
+        "cpu_count": os.cpu_count(),
+    }
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    host["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    host["mem_total_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return host
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,54 +73,67 @@ def main() -> None:
 
     from spark_rapids_ml_spark.operators.dedup import release_caches
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # consume EVERY output column (count() would let Catalyst prune
-        # the projections, under-billing expression-heavy queries); one
-        # hash-sum row also counts via the same pass. xxhash64 rejects
-        # MapType — serialize maps (and anything else unhashable)
-        # through to_json first.
-        hashable = [
-            F.to_json(c) if t.typeName() in ("map",) else F.col(c)
-            for c, t in ((f.name, f.dataType) for f in df.schema.fields)
-        ]
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*hashable).cast("decimal(28,0)")).alias("h"),
-        ).collect()[0]
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_caches()
-        print(f"# {name}: {timings[name]:.3f}s ({row['n']} rows)", file=sys.stderr)
-
-    # streaming throughput: rows/s of raw events through the watermarked
-    # tumbling-window pipeline (the 100 TB backfill rate indicator)
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    t0 = time.perf_counter()
-    specs_all = all_queries()
-    df = specs_all["stream_tumbling_window"].fn(spark, sf_dir)
-    df.agg(F.count(F.lit(1))).collect()
-    stream_wall = time.perf_counter() - t0
-    stream_rows_per_sec = round(n_events / stream_wall, 1)
-    print(
-        f"# streaming_throughput: {n_events} events in {stream_wall:.3f}s "
-        f"= {stream_rows_per_sec} rows/s",
-        file=sys.stderr,
-    )
 
-    total = round(sum(timings.values()), 3)
+    per_query: dict[str, list[float]] = {n: [] for n in sorted(specs)}
+    run_totals: list[float] = []
+    stream_rates: list[float] = []
+    for run in range(n_runs):
+        for name in sorted(specs):
+            spec = specs[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # consume EVERY output column (count() would let Catalyst
+            # prune the projections, under-billing expression-heavy
+            # queries); one hash-sum row also counts via the same pass.
+            # xxhash64 rejects MapType — serialize maps (and anything
+            # else unhashable) through to_json first.
+            hashable = [
+                F.to_json(c) if t.typeName() in ("map",) else F.col(c)
+                for c, t in ((f.name, f.dataType) for f in df.schema.fields)
+            ]
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*hashable).cast("decimal(28,0)")).alias("h"),
+            ).collect()[0]
+            dt = round(time.perf_counter() - t0, 3)
+            per_query[name].append(dt)
+            release_caches()
+            print(
+                f"# run {run + 1}/{n_runs} {name}: {dt:.3f}s ({row['n']} rows)",
+                file=sys.stderr,
+            )
+        run_totals.append(round(sum(per_query[n][-1] for n in per_query), 3))
+
+        # streaming throughput: rows/s of raw events through the
+        # watermarked tumbling-window pipeline (the 100 TB backfill
+        # rate indicator)
+        t0 = time.perf_counter()
+        df = all_queries()["stream_tumbling_window"].fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1))).collect()
+        stream_wall = time.perf_counter() - t0
+        stream_rates.append(round(n_events / stream_wall, 1))
+        print(
+            f"# run {run + 1}/{n_runs} streaming_throughput: {n_events} events "
+            f"in {stream_wall:.3f}s = {stream_rates[-1]} rows/s",
+            file=sys.stderr,
+        )
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in per_query.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": total,
+                "value": round(statistics.median(run_totals), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": cpus,
-                "streaming_rows_per_sec": stream_rows_per_sec,
+                "streaming_rows_per_sec": statistics.median(stream_rates),
+                "runs": run_totals,
+                "streaming_runs": stream_rates,
+                "n_runs": n_runs,
+                "host": _host_identity(),
             }
         )
     )
