@@ -598,3 +598,166 @@ def agg_freq_items_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "term")
     )
+
+
+# Quantile-sketch knobs: QSK_SIZE selected order statistics per leaf
+# summary, QSK_LEAVES leaf summaries.
+QSK_SIZE = 32
+QSK_LEAVES = 8
+
+
+@register(
+    "agg_quantile_sketch_merge",
+    tags=("agg", "approx", "scale"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, o_orderkey % {QSK_LEAVES} AS leaf,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+),
+rk AS (
+  SELECT g, leaf, v,
+         ROW_NUMBER() OVER (PARTITION BY g, leaf ORDER BY v) AS r,
+         COUNT(*) OVER (PARTITION BY g, leaf) AS n
+  FROM base
+),
+sel AS (SELECT g, leaf, v, r FROM rk WHERE (r * {QSK_SIZE}) // n > ((r - 1) * {QSK_SIZE}) // n),
+wgt AS (
+  SELECT g, leaf, v, r,
+         r - COALESCE(LAG(r) OVER (PARTITION BY g, leaf ORDER BY r), 0) AS w
+  FROM sel
+),
+tot AS (SELECT g, COUNT(*) AS n_rows FROM base GROUP BY g),
+cum AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v, leaf, r ROWS UNBOUNDED PRECEDING) AS cw
+  FROM wgt
+),
+est AS (
+  SELECT c.g, MIN(c.v) AS est_med
+  FROM cum c JOIN tot t ON c.g = t.g
+  WHERE c.cw >= (t.n_rows + 1) // 2
+  GROUP BY c.g
+),
+chk AS (
+  SELECT b.g, COUNT(*) FILTER (WHERE b.v <= e.est_med) AS est_rank
+  FROM base b JOIN est e ON b.g = e.g
+  GROUP BY b.g
+)
+SELECT t.g AS o_orderpriority,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       ROUND(m.exact_med, 6) AS exact_med,
+       ROUND(e.est_med, 6) AS est_med,
+       CAST(CASE WHEN ABS(c.est_rank - (t.n_rows + 1) // 2)
+                      <= CAST(t.n_rows AS DOUBLE) / {QSK_SIZE} + 2 * {QSK_LEAVES} + 2
+             THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+FROM tot t
+JOIN est e ON t.g = e.g
+JOIN chk c ON t.g = c.g
+JOIN (SELECT g, median(v) AS exact_med FROM base GROUP BY g) m ON t.g = m.g
+ORDER BY o_orderpriority
+""",
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries — the third mergeable sketch next
+    to agg_hll_sketch_merge (distinct) and agg_freq_items_merge (heavy
+    hitters): each leaf keeps a SYSTEMATIC RANK SAMPLE of QSK_SIZE
+    order statistics, every sampled value carrying an exact integer
+    weight = the run of leaf ranks it covers (so a leaf summary is
+    O(QSK_SIZE) rows and the weights sum to the leaf count exactly).
+    Merging = union the weighted samples and walk the value-sorted
+    cumulative weight to the target rank: for any merged value v the
+    cumulative weight undercounts the true rank by at most the leaf's
+    max sample gap ceil(n_leaf/QSK_SIZE), so the median estimate's
+    rank error is bounded by N/QSK_SIZE + O(#leaves) — the classic
+    mergeable epsilon-approximate-quantile guarantee. Every decision
+    (rank selection via integer division, weights, cumulative sums,
+    threshold crossing) is INTEGER arithmetic on identical inputs, so
+    the estimate is bit-identical cross-engine and the oracle
+    replicates the whole sketch, not just a flag.
+
+    Scale: leaf summaries are the materialize-once form — per-ingest-
+    partition samples roll up to any coarser quantile (daily -> global)
+    in O(size x leaves) without re-sorting the fact table; exact
+    percentile (agg_percentiles_exact) needs the full per-group sort.
+    The within_bound flag carries the guarantee into the hash check;
+    tests/test_quality.py property-tests the rank-error bound.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.pmod("o_orderkey", F.lit(QSK_LEAVES)).alias("leaf"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    wl = Window.partitionBy("g", "leaf")
+    rk = base.select(
+        "g",
+        "leaf",
+        "v",
+        F.row_number().over(wl.orderBy("v")).alias("r"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    sel = rk.where(
+        F.expr(f"(r * {QSK_SIZE}) div n") > F.expr(f"((r - 1) * {QSK_SIZE}) div n")
+    )
+    wgt = sel.select(
+        "g",
+        "leaf",
+        "v",
+        "r",
+        (
+            F.col("r")
+            - F.coalesce(
+                F.lag("r").over(Window.partitionBy("g", "leaf").orderBy("r")), F.lit(0)
+            )
+        ).alias("w"),
+    )
+    tot = base.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
+    cum = wgt.select(
+        "g",
+        "v",
+        F.sum("w")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("v", "leaf", "r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+    )
+    est = (
+        cum.join(tot, "g")
+        .where(F.col("cw") >= F.expr("(n_rows + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("est_med"))
+    )
+    chk = (
+        base.join(F.broadcast(est), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est_med"), 1).otherwise(0)).alias(
+                "est_rank"
+            )
+        )
+    )
+    exact = base.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("exact_med"))
+    tol = F.col("n_rows").cast("double") / QSK_SIZE + 2 * QSK_LEAVES + 2
+    return (
+        tot.join(est, "g")
+        .join(chk, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round("exact_med", 6).alias("exact_med"),
+            F.round("est_med", 6).alias("est_med"),
+            (
+                F.abs(F.col("est_rank") - F.expr("(n_rows + 1) div 2")).cast("double")
+                <= tol
+            )
+            .cast("bigint")
+            .alias("within_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -69,6 +69,7 @@ SWEEP_PRIORITY: list[str] = [
     "sim_lsh_persisted_probe",  # new: persisted bucketed LSH index
     "agg_freq_items_merge",  # new: mergeable heavy-hitters sketch
     "sim_lsh_bucketed_topk",  # refactored onto shared _rerank_topk
+    "agg_quantile_sketch_merge",  # new: mergeable quantile summaries
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",

@@ -708,3 +708,78 @@ def test_freq_items_query_flag_and_bounds(spark):
     for r in rows:
         assert r["within_bound"] == 1, r
         assert r["lower_n"] <= r["exact_n"] <= r["upper_n"], r
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch: the merged systematic-rank-sample error bound
+# ---------------------------------------------------------------------------
+
+
+def _quantile_sketch_estimate(leaves: list[list[float]], size: int) -> float:
+    """Pure-python mirror of agg_quantile_sketch_merge: per leaf keep
+    the order statistics at ranks {r : (r*size)//n > ((r-1)*size)//n}
+    with integer weight = covered-rank run length; merge all weighted
+    samples value-sorted and return the smallest value whose
+    cumulative weight reaches ceil(N/2)."""
+    samples = []  # (value, weight)
+    for items in leaves:
+        if not items:
+            continue
+        xs = sorted(items)
+        n = len(xs)
+        prev = 0
+        for r in range(1, n + 1):
+            if (r * size) // n > ((r - 1) * size) // n:
+                samples.append((xs[r - 1], r - prev))
+                prev = r
+    samples.sort(key=lambda t: t[0])
+    total = sum(w for _, w in samples)
+    target = (total + 1) // 2
+    cw = 0
+    for v, w in samples:
+        cw += w
+        if cw >= target:
+            return v
+    return samples[-1][0]
+
+
+def test_quantile_sketch_rank_bound_property():
+    """The merged estimate's exact rank must sit within
+    N/size + 2*leaves + 2 of the target rank ceil(N/2) for arbitrary
+    distributions, duplicate-heavy data, and uneven leaf splits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=500
+        ),
+        n_leaves=st.integers(min_value=1, max_value=8),
+        size=st.integers(min_value=2, max_value=32),
+        salt=st.integers(min_value=0, max_value=1000),
+    )
+    def check(vals, n_leaves, size, salt):
+        leaves = [
+            [float(v) for j, v in enumerate(vals) if (j + salt) % n_leaves == i]
+            for i in range(n_leaves)
+        ]
+        est = _quantile_sketch_estimate(leaves, size)
+        n = len(vals)
+        est_rank = sum(1 for v in vals if v <= est)
+        target = (n + 1) // 2
+        tol = n / size + 2 * n_leaves + 2
+        assert abs(est_rank - target) <= tol, (est, est_rank, target, tol, n, size)
+
+    check()
+
+
+def test_quantile_sketch_query_flag(spark):
+    """The declared query's within_bound flag must be 1 on every group
+    and the estimate must be an actual data value."""
+    from spark_rapids_ml_spark.operators.aggregates import agg_quantile_sketch_merge
+
+    rows = agg_quantile_sketch_merge(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["within_bound"] == 1, r
