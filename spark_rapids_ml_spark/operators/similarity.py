@@ -388,10 +388,9 @@ cent{i + 1} AS (
     return ",".join(parts)
 
 
-@register(
-    "sim_ivf_topk",
-    tags=("similarity", "ivf", "ml"),
-    oracle=f"""
+# Shared by the ephemeral and persisted IVF tiers (same result set;
+# the persisted tier changes only the physical access path).
+_IVF_TOPK_ORACLE = f"""
 WITH e AS ({_SQL_E}),
 {_sql_kmeans_cells()},
 q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
@@ -416,7 +415,13 @@ ranked AS (
 )
 SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY qid, rk
-""",
+"""
+
+
+@register(
+    "sim_ivf_topk",
+    tags=("similarity", "ivf", "ml"),
+    oracle=_IVF_TOPK_ORACLE,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF ANN: coarse cells LEARNED by distributed Lloyd's
@@ -606,6 +611,105 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         rer.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the IVF index ONCE: the cell-assignment table
+    PARTITIONED BY cell id (so a probe reads only matching partitions)
+    plus the k-row centroid table. Returns (cells_table, centroids_
+    table). Training is the same deterministic fixed-iteration k-means
+    as sim_ivf_topk (ml/kmeans.py), so the persisted index is
+    hash-checkable through the shared oracle."""
+    import os
+    import shutil
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    db = f"simdb_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    cells_tbl, cent_tbl = f"{db}.ivf_cells_p", f"{db}.ivf_centroids"
+    if spark.catalog.tableExists(cells_tbl) and spark.catalog.tableExists(cent_tbl):
+        return cells_tbl, cent_tbl
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for t in ("ivf_cells_p", "ivf_centroids"):
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db", t), ignore_errors=True)
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    model = KMeans(
+        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+    ).fit(ed)
+    (
+        model.transform(ed, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(cells_tbl)
+    )
+    spark.createDataFrame(
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        schema="cl bigint, cemb array<double>",
+    ).write.mode("overwrite").saveAsTable(cent_tbl)
+    return cells_tbl, cent_tbl
+
+
+@register(
+    "sim_ivf_persisted_probe",
+    tags=("similarity", "ivf", "scale"),
+    oracle=_IVF_TOPK_ORACLE,
+)
+def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PERSISTED index: the cell-assignment table is
+    written once PARTITIONED BY cell, so probing the IVF_NPROBE
+    nearest cells per query prunes the scan to exactly the probed
+    partitions — the scan never touches the other cells' files
+    (plan-asserted in tests/test_plans.py::
+    test_ivf_persisted_probe_partition_pruning). The probed cell set
+    is bounded driver state (≤ K_CELLS ids). Same result and oracle as
+    sim_ivf_topk; only the access path changes.
+
+    Scale: this is IVF-Flat's disk layout at 100 TB — the corpus
+    partitioned by cell id; a query set touching nprobe/k of the cells
+    reads nprobe/k of the bytes. Re-partitioning is the one-time index
+    build; probes are pure pruned scans plus a broadcast of the tiny
+    (qid, cell) probe list.
+    """
+    from pyspark.sql import Window
+
+    cells_tbl, cent_tbl = ivf_index_tables(spark, sf_dir)
+    cent = spark.table(cent_tbl)
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).where(F.col("qid") < N_QUERIES)
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
+            ),
+        )
+        .where(F.col("prk") <= IVF_NPROBE)
+        .select("qid", F.col("cl").alias("pcell"))
+    )
+    # bounded driver state: at most K_CELLS distinct probed cell ids
+    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
+    idx = spark.table(cells_tbl).where(F.col("cell").isin(probed))
+    scored = (
+        q.join(F.broadcast(probe), "qid")
+        .join(idx, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", F.round(cosine_expr("qemb", "emb"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )

@@ -273,3 +273,42 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS n_supp,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+WHERE s_acctbal >= 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip: the second columnar format a
+    lakehouse ingests besides parquet (Hive-era feeds). Write the
+    filtered supplier table as ORC, re-read it, aggregate; the oracle
+    reproduces the aggregate from the original parquet, so the check
+    covers ORC type fidelity (decimals-as-doubles, strings, ints),
+    not just the transform.
+
+    Scale: same distributed write path as the parquet sink — one file
+    per partition, predicate pushdown and column pruning work through
+    the ORC reader exactly as for parquet.
+    """
+    path = _sink("supplier_orc", sf_dir)
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") >= 0)
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy(F.col("s_nationkey").cast("bigint").alias("s_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -70,6 +70,8 @@ SWEEP_PRIORITY: list[str] = [
     "agg_freq_items_merge",  # new: mergeable heavy-hitters sketch
     "sim_lsh_bucketed_topk",  # refactored onto shared _rerank_topk
     "agg_quantile_sketch_merge",  # new: mergeable quantile summaries
+    "sim_ivf_persisted_probe",  # new: cell-partitioned IVF index
+    "source_orc_roundtrip",  # new: ORC sink/source roundtrip
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",

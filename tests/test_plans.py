@@ -386,3 +386,31 @@ def test_lsh_persisted_probe_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_ivf_persisted_probe_partition_pruning(spark):
+    """Probing the persisted IVF index must prune the scan to the
+    probed cells' partitions — the nprobe/k byte-cost claim of the
+    IVF-Flat layout. The scan over the cell-partitioned table with an
+    IN-list on cell must carry a partition filter and read only the
+    matching partitions."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import ivf_index_tables
+
+    cells_tbl, _ = ivf_index_tables(spark, SF)
+    idx = spark.table(cells_tbl)
+    n_cells = idx.select("cell").distinct().count()
+    probed = [r["cell"] for r in idx.select("cell").distinct().limit(3).collect()]
+    pruned = idx.where(F.col("cell").isin(probed))
+    txt = formatted(pruned)
+    assert "PartitionFilters" in txt, txt
+    part_filters = txt.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, part_filters
+    # the pruned scan must enumerate fewer partition dirs than the full
+    # table: compare scanned file-partition counts via the plan's
+    # partition count when available, else via input files
+    full_files = len(idx.inputFiles())
+    pruned_files = len(pruned.inputFiles())
+    assert pruned_files < full_files, (pruned_files, full_files)
+    assert n_cells > 3  # the prune is non-trivial
