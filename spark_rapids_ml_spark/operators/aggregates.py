@@ -761,3 +761,59 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_unpivot_measures",
+    tags=("agg", "reshape"),
+    oracle="""
+WITH u AS (
+  SELECT l_returnflag, 'extendedprice' AS measure,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'quantity', CAST(l_quantity AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       COUNT(*) AS n,
+       CAST(SUM(val) AS DOUBLE) AS total
+FROM u
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshape): melt four lineitem measure
+    columns into (measure, value) rows, then aggregate per
+    (returnflag, measure) — the inverse of agg_pivot, via the native
+    DataFrame ``unpivot`` operator (Catalyst Expand node).
+
+    Scale: Expand emits 4 rows per input row map-side — no shuffle is
+    added beyond the final partial-aggregated group-by; the long form
+    is what metric stores and per-measure statistics jobs consume.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["extendedprice", "discount", "tax", "quantity"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

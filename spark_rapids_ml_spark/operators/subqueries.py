@@ -149,3 +149,58 @@ def subquery_correlated_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "subquery_lateral_topn",
+    tags=("subquery", "lateral"),
+    oracle="""
+SELECT c.c_custkey,
+       t.o_orderkey,
+       CAST(t.o_totalprice AS DOUBLE) AS price,
+       t.rk
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey <= 200
+ORDER BY c.c_custkey, t.rk
+""",
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-customer top-3 orders via a
+    correlated derived table (the SQL-standard alternative to a window
+    + filter). Catalyst decorrelates the lateral join into a ranked
+    join under DomainJoin rewriting rather than re-executing the inner
+    query per outer row.
+
+    Scale: decorrelation turns the apparent nested loop into one
+    shuffle on the join key plus a per-key group-limit — the same plan
+    family as window_topk_per_group; without it a lateral join is
+    O(outer × inner-scan) and unusable at 100 TB.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS price,
+               t.rk
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.rk
+        """
+    )

@@ -72,6 +72,8 @@ SWEEP_PRIORITY: list[str] = [
     "agg_quantile_sketch_merge",  # new: mergeable quantile summaries
     "sim_ivf_persisted_probe",  # new: cell-partitioned IVF index
     "source_orc_roundtrip",  # new: ORC sink/source roundtrip
+    "subquery_lateral_topn",  # new: LATERAL correlated derived table
+    "agg_unpivot_measures",  # new: native unpivot reshape
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",

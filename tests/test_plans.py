@@ -414,3 +414,57 @@ def test_ivf_persisted_probe_partition_pruning(spark):
     pruned_files = len(pruned.inputFiles())
     assert pruned_files < full_files, (pruned_files, full_files)
     assert n_cells > 3  # the prune is non-trivial
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """Runtime bloom-filter semi-join reduction — the 100 TB fact-scan
+    pruner: when a selective dim-side filter exists, Catalyst injects
+    a BloomFilterAggregate on the creation side and a might_contain
+    predicate on the fact scan, dropping non-matching rows BEFORE the
+    shuffle. Conf-gated here because the injection thresholds target
+    cluster-scale scans (applicationSideScanSizeThreshold defaults to
+    10GB); at warehouse scale the defaults fire on their own."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized[:2000]
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        # and the filtered result is still correct
+        rows = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        urgent = (
+            load(spark, SF, "lineitem")
+            .join(
+                load(spark, SF, "orders").where(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert rows == {"1-URGENT": urgent}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
