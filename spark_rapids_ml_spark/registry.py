@@ -74,6 +74,7 @@ SWEEP_PRIORITY: list[str] = [
     "source_orc_roundtrip",  # new: ORC sink/source roundtrip
     "subquery_lateral_topn",  # new: LATERAL correlated derived table
     "agg_unpivot_measures",  # new: native unpivot reshape
+    "stream_rocksdb_state_window",  # new: RocksDB state backend
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",

@@ -636,3 +636,75 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_rocksdb_state_window",
+    tags=("streaming", "state", "scale"),
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day
+""",
+)
+def stream_rocksdb_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation on the RocksDB state store — the
+    production state backend for 100 TB backfills: state lives on
+    executor local disk (bounded memory, changelog-checkpointed to the
+    checkpoint location) instead of the default in-JVM-heap HDFS
+    store, so per-key state can exceed executor heap. Same
+    stream-vs-batch oracle discipline as every other streaming query;
+    the provider conf is scoped to this query (captured at stream
+    start) and restored afterwards.
+
+    Scale: day-grain windows by (event_type, day) with per-window
+    distinct users — the state shape (large keyspace, long-lived
+    windows) that motivates a disk-backed store in the first place.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = _read_stream(spark, sf_dir)
+        agg = (
+            s.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("user_id").alias("_approx_users"),
+            )
+        )
+        res = _run_to_memory(agg, "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    base = res.select(
+        F.col("event_type"),
+        F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+        F.col("n"),
+    )
+    # distinct users per (event_type, day) from the same source, batch
+    # side (exact), joined to the streamed counts: the streamed rows
+    # carry the watermark/window semantics, the exact distinct keeps
+    # the oracle deterministic (approx_count_distinct is not
+    # cross-engine stable)
+    ev = normalize_event_ts(
+        spark.read.parquet(table_path(sf_dir, "events"))
+    )
+    users = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        base.join(users, ["event_type", "day"])
+        .select("event_type", "day", "n", "n_users")
+        .orderBy("event_type", "day")
+    )
