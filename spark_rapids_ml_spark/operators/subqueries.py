@@ -204,3 +204,59 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.rk
         """
     )
+
+
+@register(
+    "sql_recursive_cte_hierarchy",
+    tags=("sql", "recursive"),
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT n_nationkey AS nk, n_nationkey AS cur, 0 AS depth,
+         CAST(n_nationkey AS BIGINT) AS key_sum
+  FROM nation
+  UNION ALL
+  SELECT nk, cur // 2, depth + 1, key_sum + cur // 2
+  FROM walk WHERE cur > 0
+)
+SELECT w.nk AS n_nationkey, n.n_name,
+       CAST(MAX(w.depth) AS BIGINT) AS depth_to_root,
+       CAST(MAX(w.key_sum) AS BIGINT) AS path_key_sum
+FROM walk w JOIN nation n ON n.n_nationkey = w.nk
+GROUP BY w.nk, n.n_name
+ORDER BY n_nationkey
+""",
+)
+def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): walk a derived parent hierarchy
+    (parent(k) = k div 2, rooted at 0) from every nation key to the
+    root, computing depth and the path key sum — the WITH RECURSIVE
+    surface for hierarchy/graph walks that previously required
+    iterative DataFrame loops (cf. graph.py's label propagation).
+
+    Scale: each recursion step is one self-join shuffle, exactly like
+    a hand-written iteration; depth is bounded by log2(max key). For
+    unbounded/mutual recursion at 100 TB the iterative operators
+    (graph.py, dedup.py clusters) remain the managed path — this query
+    pins the declarative parity.
+    """
+    _views(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                 CAST(n_nationkey AS BIGINT) AS cur,
+                 CAST(0 AS BIGINT) AS depth,
+                 CAST(n_nationkey AS BIGINT) AS key_sum
+          FROM nation
+          UNION ALL
+          SELECT nk, cur DIV 2, depth + CAST(1 AS BIGINT), key_sum + cur DIV 2
+          FROM walk WHERE cur > 0
+        )
+        SELECT w.nk AS n_nationkey, n.n_name,
+               CAST(MAX(w.depth) AS BIGINT) AS depth_to_root,
+               CAST(MAX(w.key_sum) AS BIGINT) AS path_key_sum
+        FROM walk w JOIN nation n ON n.n_nationkey = w.nk
+        GROUP BY w.nk, n.n_name
+        ORDER BY n_nationkey
+        """
+    )

@@ -75,6 +75,8 @@ SWEEP_PRIORITY: list[str] = [
     "subquery_lateral_topn",  # new: LATERAL correlated derived table
     "agg_unpivot_measures",  # new: native unpivot reshape
     "stream_rocksdb_state_window",  # new: RocksDB state backend
+    "json_variant_extract",  # new: Spark 4 VARIANT typed extraction
+    "sql_recursive_cte_hierarchy",  # new: WITH RECURSIVE walk
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",
