@@ -219,3 +219,52 @@ def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("div_null_isnan"),
         F.when(bal > 5000, 1).otherwise(0).cast("bigint").alias("above_5k"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "scalar_xml_roundtrip",
+    tags=("scalar", "xml"),
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialize → parse round-trip (Spark 4 to_xml/from_xml):
+    encode each nation row as an XML document, parse it back with an
+    explicit schema, and aggregate the PARSED fields — the oracle
+    aggregates the original table, so the hash check proves the XML
+    codec preserved every value (the B2B-feed ingestion path, XML
+    being the one legacy interchange format parquet never displaced).
+
+    Scale: both directions are stateless row expressions inside
+    whole-stage codegen — no shuffle is added; schema-explicit
+    from_xml (never schema inference) keeps the parse a single pass.
+    """
+    n = load(spark, sf_dir, "nation")
+    xml = n.select(
+        F.to_xml(
+            F.struct(
+                F.col("n_nationkey").cast("int").alias("k"),
+                F.col("n_name").alias("name"),
+                F.col("n_regionkey").cast("int").alias("rk"),
+            )
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml("doc", "k INT, name STRING, rk INT").alias("s")
+    )
+    return (
+        parsed.groupBy(F.col("s.rk").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s.k").cast("bigint").alias("key_sum"),
+            F.min("s.name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -367,3 +367,49 @@ def skew_join_hot_key_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "layout_compaction_rewrite",
+    tags=("sink", "layout", "scale"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def layout_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every
+    streaming/incremental ingest needs: a fragmented table (64 tiny
+    files, the shape micro-batch sinks produce) is rewritten into few
+    right-sized files with a coalesce write, and downstream reads hit
+    the compacted layout. The aggregate over the compacted table must
+    match the oracle over the original — compaction is a pure layout
+    change. File-count reduction is pinned in
+    tests/test_plans.py::test_compaction_reduces_files.
+
+    Scale: at 100 TB compaction targets
+    spark.sql.files.maxPartitionBytes-sized outputs per partition
+    directory; coalesce (no shuffle) is the cheap path when
+    parallelism only needs reducing — repartition is reserved for
+    re-clustering (see layout_zorder_buckets).
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    frag = f"/root/repo/.tmp/sinks/{tag}/orders_fragmented"
+    compact = f"/root/repo/.tmp/sinks/{tag}/orders_compacted"
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

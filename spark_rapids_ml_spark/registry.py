@@ -77,6 +77,8 @@ SWEEP_PRIORITY: list[str] = [
     "stream_rocksdb_state_window",  # new: RocksDB state backend
     "json_variant_extract",  # new: Spark 4 VARIANT typed extraction
     "sql_recursive_cte_hierarchy",  # new: WITH RECURSIVE walk
+    "scalar_xml_roundtrip",  # new: to_xml/from_xml codec fidelity
+    "layout_compaction_rewrite",  # new: small-files compaction
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",

@@ -468,3 +468,21 @@ def test_runtime_bloom_filter_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_reduces_files(spark):
+    """layout_compaction_rewrite must actually shrink the file count:
+    64 fragment files in, ≤4 compacted parquet files out, same rows."""
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        layout_compaction_rewrite,
+    )
+
+    res = layout_compaction_rewrite(spark, SF)
+    res.collect()
+    tag = SF.strip("/").replace("/", "_")
+    frag = spark.read.parquet(f"/root/repo/.tmp/sinks/{tag}/orders_fragmented")
+    comp = spark.read.parquet(f"/root/repo/.tmp/sinks/{tag}/orders_compacted")
+    n_frag, n_comp = len(frag.inputFiles()), len(comp.inputFiles())
+    assert n_frag == 64, n_frag
+    assert n_comp <= 4, n_comp
+    assert frag.count() == comp.count()
