@@ -486,3 +486,15 @@ def test_compaction_reduces_files(spark):
     assert n_frag == 64, n_frag
     assert n_comp <= 4, n_comp
     assert frag.count() == comp.count()
+
+
+def test_lateral_subquery_decorrelated(spark):
+    """The LATERAL per-key top-n must decorrelate into a single join +
+    window group-limit — not a nested-loop re-execution of the inner
+    query per outer row (which would be O(outer × inner) at scale)."""
+    from spark_rapids_ml_spark.operators.subqueries import subquery_lateral_topn
+
+    plan = plan_of(subquery_lateral_topn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "WindowGroupLimit" in plan, plan
