@@ -318,3 +318,144 @@ def pca_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("proj", 1), 4).alias("pc1"),
         F.round(F.element_at("proj", 2), 4).alias("pc2"),
     ).orderBy("vec_id")
+
+
+def naive_bayes_confusion(
+    train, test, label_col: str, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Multinomial Naive Bayes trainer + scorer as one declarative
+    plan. Training is pure COUNTING (class priors, per-(class, term)
+    counts, class token totals, vocabulary size — exact integer
+    aggregations, so the learned model is bit-identical cross-engine);
+    scoring is Laplace-smoothed log-likelihood sums with the rank key
+    ROUNDed to 6dp before the argmax (absorbing libm-vs-JVM 1-ulp
+    ln() drift). Returns the held-out confusion matrix
+    (true_label, pred_label, n).
+
+    Scale: training = two map-side-combined group-bys over the token
+    stream; the model is a (vocab x classes) count table that
+    broadcasts when small and shuffle-joins on term when not; scoring
+    explodes test tokens once and joins the model — no per-row
+    Python, no iteration. The 100 TB form materializes the count
+    tables once (the precompute-then-merge pattern, cf. the mergeable
+    sketches)."""
+    from pyspark.sql import Window
+
+    tok_tr = train.select(
+        F.col(label_col).alias("y"), F.explode(F.split(text_col, " ")).alias("term")
+    )
+    prior = train.groupBy(F.col(label_col).alias("y")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_train = train.count()
+    c_lt = tok_tr.groupBy(F.col("y").alias("m_y"), "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t_l = tok_tr.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+    n_vocab = tok_tr.select("term").distinct().count()
+    classes = F.broadcast(
+        prior.join(t_l, "y").select(
+            F.col("y").alias("cand"),
+            F.log(F.col("n_docs").cast("double") / F.lit(float(n_train))).alias(
+                "logprior"
+            ),
+            "t",
+        )
+    )
+    tok_te = test.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("true_label"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    )
+    scored = (
+        tok_te.crossJoin(classes)
+        .join(
+            c_lt,
+            (F.col("m_y") == F.col("cand")) & (c_lt["term"] == tok_te["term"]),
+            "left",
+        )
+        .groupBy("_id", "true_label", "cand")
+        .agg(
+            (
+                F.max("logprior")
+                + F.sum(
+                    F.log(
+                        (F.coalesce("c", F.lit(0)) + F.lit(1.0))
+                        / (F.col("t") + F.lit(float(n_vocab)))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.round("score", 6).desc(), F.col("cand"))
+    pred = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        pred.groupBy(
+            F.col("true_label").alias("true_lang"),
+            F.col("cand").alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    tags=("ml", "text", "classify"),
+    oracle="""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tok_tr AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
+prior AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+ntr AS (SELECT COUNT(*) AS n FROM train),
+c_lt AS (SELECT lang, term, COUNT(*) AS c FROM tok_tr GROUP BY lang, term),
+t_l AS (SELECT lang, COUNT(*) AS t FROM tok_tr GROUP BY lang),
+v AS (SELECT COUNT(DISTINCT term) AS nv FROM tok_tr),
+tok_te AS (
+  SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS term
+  FROM test
+),
+cand AS (
+  SELECT te.doc_id, te.true_lang, te.term, p.lang AS cand,
+         LN(CAST(p.n_docs AS DOUBLE) / ntr.n) AS logprior, t.t
+  FROM tok_te te CROSS JOIN prior p CROSS JOIN ntr JOIN t_l t ON t.lang = p.lang
+),
+scored AS (
+  SELECT cand.doc_id, cand.true_lang, cand.cand,
+         MAX(cand.logprior)
+           + SUM(LN((COALESCE(c.c, 0) + 1.0) / (cand.t + v.nv))) AS score
+  FROM cand CROSS JOIN v
+  LEFT JOIN c_lt c ON c.lang = cand.cand AND c.term = cand.term
+  GROUP BY cand.doc_id, cand.true_lang, cand.cand
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(score, 6) DESC, cand) AS rk
+  FROM scored
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n
+FROM pred WHERE rk = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+""",
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes over the documents table: train on
+    doc_id %% 5 != 0, emit the held-out confusion matrix on lang (see
+    naive_bayes_confusion for the mechanics and scale notes). The
+    DuckDB oracle replicates the full train+score pipeline, so the
+    hash check covers the learned counts, smoothing, and argmax.
+
+    Honest caveat: the synthetic corpus's lang labels are INDEPENDENT
+    of token content (all languages draw from one shared vocabulary),
+    so no classifier can beat the prior here and the matrix is
+    near-uniformly confused BY CONSTRUCTION — the declared artifact is
+    the verified training/scoring pipeline, not corpus accuracy.
+    tests/test_quality.py::test_naive_bayes_separable_corpus gates
+    >= 95%% accuracy on a corpus whose classes genuinely differ.
+    """
+    d = load(spark, sf_dir, "documents")
+    train = d.where(F.pmod("doc_id", F.lit(5)) != 0)
+    test = d.where(F.pmod("doc_id", F.lit(5)) == 0)
+    return naive_bayes_confusion(train, test, "lang")

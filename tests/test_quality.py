@@ -783,3 +783,55 @@ def test_quantile_sketch_query_flag(spark):
     assert len(rows) == 5
     for r in rows:
         assert r["within_bound"] == 1, r
+
+
+def test_naive_bayes_separable_corpus(spark):
+    """NB must reach >= 95% held-out accuracy when classes genuinely
+    differ (disjoint-ish vocabularies) — gating the pipeline mechanics
+    the declared query hash-verifies. (The testdata corpus's lang
+    labels are content-independent by construction, so the declared
+    query's confusion matrix is prior-bound there; this test supplies
+    a corpus where the signal exists.)"""
+    import random
+
+    from spark_rapids_ml_spark.ml_queries import naive_bayes_confusion
+
+    vocab = {
+        "red": ["apple", "cherry", "rose", "brick", "wine", "ruby"],
+        "blue": ["sky", "ocean", "jeans", "sapphire", "berry", "navy"],
+        "green": ["grass", "leaf", "lime", "moss", "jade", "fern"],
+    }
+    shared = ["the", "a", "of", "and"]
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        lab = ["red", "blue", "green"][i % 3]
+        toks = [rng.choice(vocab[lab] + shared) for _ in range(30)]
+        rows.append((i, lab, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    train = df.where(F.pmod("doc_id", F.lit(5)) != 0)
+    test = df.where(F.pmod("doc_id", F.lit(5)) == 0)
+    out = naive_bayes_confusion(train, test, "lang").collect()
+    total = sum(r["n"] for r in out)
+    correct = sum(r["n"] for r in out if r["true_lang"] == r["pred_lang"])
+    assert total == 60
+    assert correct / total >= 0.95, (correct, total, out)
+
+
+def test_naive_bayes_declared_query_shape(spark):
+    """The declared query's matrix must cover every test doc exactly
+    once (row sums == held-out count) — the pipeline-integrity check
+    that is meaningful on a content-independent corpus."""
+    from pyspark.sql import functions as FF
+
+    from spark_rapids_ml_spark.ml_queries import ml_naive_bayes_langid
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    rows = ml_naive_bayes_langid(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n"] for r in rows)
+    held_out = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .where(FF.pmod("doc_id", FF.lit(5)) == 0)
+        .count()
+    )
+    assert total == held_out
