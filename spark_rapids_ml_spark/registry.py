@@ -80,6 +80,7 @@ SWEEP_PRIORITY: list[str] = [
     "scalar_xml_roundtrip",  # new: to_xml/from_xml codec fidelity
     "layout_compaction_rewrite",  # new: small-files compaction
     "ml_naive_bayes_langid",  # new: NB train+score, exact counting
+    "graph_triangle_count",  # new: oriented triangle join
     # -- never driver-checked (late round-4 additions) + stalest
     # driver rows (r02) (19) ------------------------------------------
     "q10_returned_items",
