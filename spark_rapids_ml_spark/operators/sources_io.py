@@ -312,3 +312,113 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+def _make_jsonl_sink_datasource():
+    """Writer-side Python Data Source: JSON-lines sink with a real
+    two-phase commit — tasks write to a staging directory and return
+    the file path as their commit message; the driver's commit() moves
+    only the acknowledged files into the final directory (abort()
+    discards staging), so a failed/speculative task can never leak a
+    partial file into the sink."""
+    import json as _json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _FileMessage(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.target = options["path"]
+            self.staging = os.path.join(self.target, "_staging")
+
+        def write(self, iterator):
+            os.makedirs(self.staging, exist_ok=True)
+            path = os.path.join(self.staging, f"part-{_uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+            return _FileMessage(path)
+
+        def commit(self, messages):
+            for m in messages:
+                shutil.move(
+                    m.path, os.path.join(self.target, os.path.basename(m.path))
+                )
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+        def abort(self, messages):
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+@register(
+    "sink_python_datasource_writer",
+    tags=("sink", "scale"),
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source writer API (Spark 4) —
+    the other half of source_python_datasource's connector story: each
+    task streams its partition into a staged JSON-lines file, the
+    driver commits acknowledged files only (two-phase commit, so task
+    retries/speculation cannot leak partial output), and the check
+    re-reads the committed sink and matches the oracle aggregate over
+    the original table — write-path fidelity, not just the transform.
+
+    Scale: write() is per-task streaming (no driver materialization,
+    one file per partition); the commit protocol is the same
+    contract-shape file-committers use at 100 TB (staging + atomic
+    publish), expressed through the Python API for feeds no built-in
+    sink covers.
+    """
+    import shutil
+
+    path = _sink("customer_jsonl_pyds", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    spark.dataSource.register(_make_jsonl_sink_datasource())
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    (
+        c.select("c_custkey", "c_nationkey", F.col("c_acctbal").cast("double"))
+        .write.format("jsonl_sink")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    back = spark.read.schema("c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE").json(
+        path
+    )
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

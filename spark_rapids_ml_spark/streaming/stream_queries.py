@@ -708,3 +708,76 @@ def stream_rocksdb_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", "n_users")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "stream_file_sink_exactly_once",
+    tags=("streaming", "sink", "scale"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(0 AS BIGINT) AS files_added_on_rerun
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet FILE sink with exactly-once replay
+    protection: the filtered event stream is written to a parquet
+    directory under a checkpoint, then the SAME pipeline is started a
+    second time against the same checkpoint — the sink's transaction
+    log must recognize all input as committed and add ZERO files. The
+    measured second-run file delta is emitted as a column the oracle
+    pins to 0, so the exactly-once property itself is hash-checked,
+    alongside the data fidelity aggregate over the re-read sink.
+
+    Scale: the file sink + checkpoint pair is how a 100 TB backfill
+    lands in the lake idempotently — re-running a failed job appends
+    nothing already committed; the _spark_metadata transaction log is
+    the source of truth for readers.
+    """
+    import glob
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/root/repo/.tmp/sinks/{tag}/stream_events_sink"
+    ck = f"{_CHECKPOINT_ROOT}/file_sink_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+
+    def _run_once():
+        s = _read_stream(spark, sf_dir).where(
+            F.col("event_type").isin("click", "view")
+        )
+        with _state_shuffle(spark):
+            q = (
+                s.select("event_id", "event_type", "value")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    def _n_files():
+        return len(glob.glob(os.path.join(out, "*.parquet")))
+
+    _run_once()
+    before = _n_files()
+    _run_once()  # identical restart: the committed batch must replay as no-op
+    added = _n_files() - before
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .withColumn("files_added_on_rerun", F.lit(added).cast("bigint"))
+        .orderBy("event_type")
+    )
