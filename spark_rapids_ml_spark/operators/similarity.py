@@ -254,12 +254,20 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear ANN path; tables/planes trade recall vs candidate count
     (recall asserted vs brute force in tests/test_quality.py).
     """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
     e = load(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
-        ).alias("tbl", "bucket"),
+    # cached: the signature projection (32 hyperplane dots/row) feeds
+    # BOTH candidate-join sides; without the cache each side recomputes
+    # it (measured ~10% of query wall at sf0.1). The persisted-index
+    # tier (sim_lsh_persisted_probe) removes the recompute entirely.
+    sig = _cache(
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
+            ).alias("tbl", "bucket"),
+        )
     )
     qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
