@@ -124,3 +124,155 @@ def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "hour")
     )
+
+
+@register(
+    "timeseries_resample_ohlc",
+    tags=("timeseries", "window"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         date_trunc('hour', ts) AS hour, ts
+  FROM events WHERE user_id <= 50
+),
+rn AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT user_id,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n,
+       ROUND(MAX(CASE WHEN ra = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rd = 1 THEN value END), 6) AS close
+FROM rn
+GROUP BY user_id, hour
+ORDER BY user_id, hour
+""",
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the market-data / metrics downsample: per
+    (user, hour) bar with open (first value by event time, event_id
+    tiebreak), high, low, close (last value). First/last ride
+    row-number windows over the SAME (user, hour) partitioning the
+    final group-by uses, so the whole query is one shuffle.
+
+    Scale: the canonical pre-aggregation that turns an unbounded tick
+    stream into fixed-rate bars; at 100 TB the bar table is the
+    queryable artifact and this job is an incremental (per new
+    partition) append.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    e = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        "ts",
+    )
+    wa = Window.partitionBy("user_id", "hour_ts").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = e.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return (
+        rn.groupBy("user_id", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
+        )
+        .select(
+            "user_id",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT '2_click_after_view', COUNT(*) FROM s2
+  UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM s3
+) ORDER BY stage
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view → click → purchase): each stage
+    counts users whose stage event happened AT OR AFTER their first
+    qualifying previous-stage event — the product-analytics sequence
+    query. Stage timestamps are per-user conditional MINs chained
+    through joins, so ordering semantics are exact (not the lossy
+    'has all three types' approximation).
+
+    Scale: three user-keyed aggregations + two joins on user_id — all
+    shuffles share the user_id key, so AQE/co-partitioning reuses the
+    exchange; no window over the full event stream is needed.
+    """
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        )
+        .unionAll(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click_after_view").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
+    return rows.orderBy("stage")
