@@ -413,3 +413,98 @@ def layout_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "dq_constraint_checks",
+    tags=("quality", "scale"),
+    oracle="""
+SELECT check_name, n_violations, n_checked FROM (
+  SELECT 'customer_acctbal_range' AS check_name,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000) AS BIGINT) AS n_violations,
+         COUNT(*) AS n_checked
+  FROM customer
+  UNION ALL
+  SELECT 'customer_key_unique',
+         CAST((SELECT COUNT(*) FROM (
+            SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1
+         )) AS BIGINT),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_customer_fk',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'orders_totalprice_nonnull',
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+         COUNT(*)
+  FROM orders
+)
+ORDER BY check_name
+""",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ-style contract scan):
+    range, uniqueness, referential-integrity,
+    and completeness constraints evaluated in one job, emitted as a
+    long (check, violations, checked) table a pipeline gates on.
+
+    Scale: per-table checks are single-pass conditional aggregates
+    (one scan per table regardless of how many checks it carries);
+    uniqueness is a keyed group-by; the FK check is a left-anti join on
+    the key — the most expensive constraint, shuffling only the key
+    columns. At 100 TB the suite runs as the post-ingest gate and its
+    output table is the audit log.
+    """
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    range_chk = c.agg(
+        F.lit("customer_acctbal_range").alias("check_name"),
+        F.sum(
+            ((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)).cast("long")
+        ).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    dup_keys = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    uniq_chk = dup_keys.crossJoin(c.agg(F.count(F.lit(1)).alias("n_checked"))).select(
+        F.lit("customer_key_unique").alias("check_name"), "n_violations", "n_checked"
+    )
+    dates_chk = li.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    orphans = (
+        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    fk_chk = orphans.crossJoin(o.agg(F.count(F.lit(1)).alias("n_checked"))).select(
+        F.lit("orders_customer_fk").alias("check_name"), "n_violations", "n_checked"
+    )
+    nn_chk = o.agg(
+        F.lit("orders_totalprice_nonnull").alias("check_name"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    return (
+        range_chk.unionAll(uniq_chk)
+        .unionAll(dates_chk)
+        .unionAll(fk_chk)
+        .unionAll(nn_chk)
+        .orderBy("check_name")
+    )

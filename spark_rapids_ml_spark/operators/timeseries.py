@@ -276,3 +276,123 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.orderBy("stage")
+
+
+@register(
+    "events_cohort_retention",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       COUNT(*) AS n_users
+FROM activity
+WHERE week_offset <= 8
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-activity week, counted once per (cohort, week
+    offset) they were active in. The distinct collapses repeat
+    activity per user-week; offsets computed on week-truncated
+    boundaries so both engines bucket identically.
+
+    Scale: firsts is a user-keyed min; activity joins events back on
+    user_id (shuffle key shared with firsts) and the distinct +
+    group-by both ride the (user, cohort, offset) shuffle — at 100 TB
+    the cohort table is tiny and the whole cost is one pass over
+    events plus a co-partitioned join.
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_offset") <= 8)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "scd2_dimension_build",
+    tags=("sink", "warehouse"),
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND user_id <= 30
+)
+SELECT user_id,
+       rn AS version,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM changes
+ORDER BY user_id, version
+""",
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each state-change event
+    becomes a versioned row with [valid_from, valid_to) derived from
+    the NEXT change via lead(), open intervals closed with a sentinel
+    and flagged is_current — the standard dimension-history shape every
+    warehouse keeps (cf. sink_merge_upsert for the incremental MERGE
+    that maintains it).
+
+    Scale: one window over (user, ts) — the same single-shuffle shape
+    as sessionization; the history table appends per batch and the
+    as-of join (asof_join_latest_order) is its query-side dual.
+    """
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase") & (F.col("user_id") <= 30)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return ch.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    ).orderBy("user_id", "version")
