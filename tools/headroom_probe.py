@@ -194,6 +194,56 @@ def main() -> None:
     timed("simhash_guarded_candidates_x10 (50k sigs, dense buckets)", simhash_bands)
     release_caches()
 
+    # round-5 mergeable sketches at 10x: the leaf-summary claim is
+    # that cost tracks the token/row stream (the leaf pass) while the
+    # merge stays O(cap x leaves) regardless of volume
+    def freq_items_x10():
+        from pyspark.sql import Window
+
+        from spark_rapids_ml_spark.operators import aggregates as ag
+
+        tok = d10.select(
+            F.pmod("doc_id", F.lit(ag.FREQ_LEAVES)).alias("leaf"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        cnt = tok.groupBy("leaf", "term").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("leaf").orderBy(F.col("n").desc(), "term")
+        kept = cnt.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= ag.FREQ_CAP
+        )
+        return kept.groupBy("term").agg(F.sum("n")).count()
+
+    timed("freq_items_sketch_x10 (50k docs token stream)", freq_items_x10)
+    d10.unpersist()
+
+    def quantile_sketch_x10():
+        from pyspark.sql import Window
+
+        from spark_rapids_ml_spark.operators import aggregates as ag
+
+        o = load(spark, SF_DIR, "orders")
+        o10 = None
+        for i in range(COPIES):
+            c = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            o10 = c if o10 is None else o10.unionAll(c)
+        base = o10.select(
+            F.col("o_orderpriority").alias("g"),
+            F.pmod("o_orderkey", F.lit(ag.QSK_LEAVES)).alias("leaf"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        wl = Window.partitionBy("g", "leaf")
+        rk = base.select(
+            "g", "leaf", "v",
+            F.row_number().over(wl.orderBy("v")).alias("r"),
+            F.count(F.lit(1)).over(wl).alias("n"),
+        )
+        sel = rk.where(
+            F.expr(f"(r * {ag.QSK_SIZE}) div n") > F.expr(f"((r - 1) * {ag.QSK_SIZE}) div n")
+        )
+        return sel.count()
+
+    timed("quantile_sketch_leaves_x10 (1.5M orders)", quantile_sketch_x10)
+
 
 if __name__ == "__main__":
     main()
