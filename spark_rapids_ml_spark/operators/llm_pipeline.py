@@ -370,3 +370,149 @@ def pipe_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "rn", "doc_id", "n_chars")
         .orderBy("lang", "source", "rn")
     )
+
+
+# Mixture weights per source bucket: upsample-by-inclusion is not
+# possible without duplication, so weights here are KEEP RATES in
+# [0, 1] per source group (the downsampling half of mixture building;
+# epoch-style upsampling is a union of repeated passes at these rates).
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIXTURE_DEFAULT_RATE = 0.1
+MIXTURE_BUCKETS = 10_000
+
+
+@register(
+    "pipe_mixture_sampling",
+    tags=("llm-pipe", "sample"),
+    oracle=f"""
+WITH rated AS (
+  SELECT source, n_chars,
+         CASE source
+           WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+           ELSE {MIXTURE_DEFAULT_RATE} END AS rate,
+         {sql_hash60('text', seed=41)} % {MIXTURE_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE bucket < rate * {MIXTURE_BUCKETS}) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) FILTER (WHERE bucket < rate * {MIXTURE_BUCKETS}) AS BIGINT) AS kept_chars
+FROM rated
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipe_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source gets a configured keep
+    rate and every document's keep decision is a pure content-hash
+    threshold — deterministic (re-runs identical), stable under
+    corpus growth (old docs never flip), and duplicate-consistent
+    (copies of a doc are all kept or all dropped, composing with the
+    dedup stage). This is the downsampling half of mixture building;
+    upsampling is repeated passes at these rates.
+
+    Scale: a stateless per-row predicate — the mixture is applied
+    during the scan with zero shuffle; the reporting aggregate here
+    exists for the oracle. Rates live in one broadcastable map.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT_RATE)
+    for src, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = hash60("text", seed=41) % MIXTURE_BUCKETS
+    kept = bucket < rate * MIXTURE_BUCKETS
+    return (
+        d.select("source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_MERGES = 8
+BPE_VOCAB_CAP = 20_000
+
+
+def bpe_train_merges(word_counts: list[tuple[str, int]], n_merges: int = BPE_MERGES):
+    """Classic BPE training loop over a (word, count) vocabulary:
+    words start as character sequences; each iteration counts adjacent
+    symbol pairs weighted by word count, picks the most frequent pair
+    (count desc, then lexicographic pair — fully deterministic), and
+    merges it everywhere. Returns [(rank, left, right, pair_count)].
+
+    Pure function of the vocabulary, shared by the declared query and
+    its pytest oracle (tests/test_quality.py pins a hand-computed
+    corpus)."""
+    seqs = [(list(w), c) for w, c in word_counts]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in seqs:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        merged = a + b
+        new_seqs = []
+        for sym, c in seqs:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_seqs.append((out, c))
+        seqs = new_seqs
+    return merges
+
+
+@register(
+    "pipe_bpe_train_merges",
+    tags=("llm-pipe", "tokenizer"),
+    # No SQL oracle: BPE training is an iterative merge loop (the
+    # sanctioned rows-only case); tests/test_quality.py pins the
+    # learned rules on a hand-computed corpus and the declared run's
+    # determinism.
+)
+def pipe_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — the missing half of token counting:
+    ONE distributed pass reduces the corpus to a (word, count)
+    vocabulary (the only unbounded-data step), then the merge loop
+    runs on the driver over the BOUNDED vocabulary — the same
+    bounded-driver-state architecture as k-means centroids
+    (ml/kmeans.py) and exactly how production BPE trainers work
+    (corpus → word counts → in-memory merges). Vocabulary is capped at
+    the top BPE_VOCAB_CAP words by (count desc, word), the standard
+    fidelity/memory knob. Output: the learned merge table
+    (rank, left, right, pair_count) — deterministic: every tie in the
+    pair-count argmax breaks lexicographically.
+
+    Scale: the corpus pass is a map-side-combined group-by; at 100 TB
+    the vocab table is millions of rows — still driver-feasible capped,
+    and the merge loop never touches the corpus again. Tokenizer
+    APPLICATION at scale is text_token_count's regex path or a
+    broadcast of these rules.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(BPE_VOCAB_CAP)
+    )
+    word_counts = [(r["word"], r["cnt"]) for r in vocab.collect()]
+    merges = bpe_train_merges(word_counts)
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, left string, right string, pair_count bigint"
+    ).orderBy("merge_rank")

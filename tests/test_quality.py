@@ -835,3 +835,46 @@ def test_naive_bayes_declared_query_shape(spark):
         .count()
     )
     assert total == held_out
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer: hand-computed oracle + determinism
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_computed():
+    """Pin the merge loop on a corpus small enough to verify by hand:
+    vocab {"aaab": 3, "ab": 2}. Pair counts round 1: (a,a) 2*3=6,
+    (a,b) 3+2=5 → merge (a,a). Round 2: (aa,a) 3, (a,b) 3+2=5 →
+    merge (a,b). Round 3: sequences are [aa, ab] and [ab]:
+    (aa,ab) 3 → merge. Round 4: only [aaab] and [ab] single symbols
+    for aaab; remaining pairs: none for "ab" (merged) → loop ends."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import bpe_train_merges
+
+    merges = bpe_train_merges([("aaab", 3), ("ab", 2)], n_merges=8)
+    assert merges == [
+        (1, "a", "a", 6),
+        (2, "a", "b", 5),
+        (3, "aa", "ab", 3),
+    ], merges
+
+
+def test_bpe_tie_break_deterministic():
+    """Equal-count pairs must break lexicographically, so training is
+    order-independent (the distributed vocab arrives unordered)."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import bpe_train_merges
+
+    m1 = bpe_train_merges([("xy", 5), ("uv", 5)], n_merges=1)
+    m2 = bpe_train_merges([("uv", 5), ("xy", 5)], n_merges=1)
+    assert m1 == m2 == [(1, "u", "v", 5)]
+
+
+def test_bpe_declared_query_deterministic(spark):
+    """Two runs of the declared query must return identical merge
+    tables (vocab collection order must not leak into the rules)."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import pipe_bpe_train_merges
+
+    a = [tuple(r) for r in pipe_bpe_train_merges(spark, "/root/testdata/sf0.001").collect()]
+    b = [tuple(r) for r in pipe_bpe_train_merges(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b
+    assert len(a) > 0
