@@ -443,3 +443,72 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"), F.min("b_key").alias("first_b"))
         .orderBy("a_key")
     )
+
+
+@register(
+    "join_null_aware_anti",
+    tags=("join", "semantics"),
+    oracle="""
+WITH probe AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer WHERE c_custkey <= 500
+),
+keys AS (
+  SELECT DISTINCT CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END AS k
+  FROM nation WHERE n_regionkey <= 1
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM probe WHERE nk NOT IN (SELECT k FROM keys)) AS BIGINT)
+    AS n_not_in_with_null,
+  CAST((SELECT COUNT(*) FROM probe
+        WHERE nk NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)) AS BIGINT)
+    AS n_not_in_no_null,
+  CAST((SELECT COUNT(*) FROM probe p
+        WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = p.nk)) AS BIGINT)
+    AS n_not_exists
+""",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under NULLs — the null-aware anti join, SQL's most
+    famous silent-wrong-answer trap, pinned in one row: with a NULL in
+    the subquery, ``NOT IN`` is three-valued and returns ZERO rows
+    (every comparison is at best UNKNOWN); filtering the NULL out
+    restores the intuitive complement; ``NOT EXISTS`` ignores NULLs by
+    construction and differs from both when the probe side itself has
+    NULL keys. All three counts in one result so the semantic
+    distinctions are hash-locked against the oracle.
+
+    Scale: Spark plans the null-aware case as BroadcastNestedLoopJoin
+    ONLY when the build side may contain NULL (the semantics force
+    it); the null-free rewrite and NOT EXISTS get the normal hash anti
+    join — i.e. *writing* NOT IN on a nullable column is also a
+    performance bug, which is exactly why this query exists in the
+    declared surface.
+    """
+    _v = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    _v.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    ).createOrReplaceTempView("probe_nulls")
+    load(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1).select(
+        F.when(F.col("n_nationkey") == 13, F.lit(None))
+        .otherwise(F.col("n_nationkey"))
+        .alias("k")
+    ).distinct().createOrReplaceTempView("keys_nulls")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT COUNT(*) FROM probe_nulls
+                WHERE nk NOT IN (SELECT k FROM keys_nulls)) AS BIGINT)
+            AS n_not_in_with_null,
+          CAST((SELECT COUNT(*) FROM probe_nulls
+                WHERE nk NOT IN (SELECT k FROM keys_nulls WHERE k IS NOT NULL)) AS BIGINT)
+            AS n_not_in_no_null,
+          CAST((SELECT COUNT(*) FROM probe_nulls p
+                WHERE NOT EXISTS (SELECT 1 FROM keys_nulls x WHERE x.k = p.nk)) AS BIGINT)
+            AS n_not_exists
+        """
+    )
