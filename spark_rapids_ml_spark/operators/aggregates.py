@@ -817,3 +817,61 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    tags=("agg", "scale"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       CAST(1 AS BIGINT) AS bitmap_matches
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark 4 bitmap aggregates —
+    the deterministic sibling of agg_hll_sketch_merge: integer keys
+    are folded into per-(leaf, bucket) roaring-style bitmaps
+    (bitmap_bucket_number partitions the key space into 32768-bit
+    buckets, so OR-merging is only ever done within a bucket), leaf
+    bitmaps OR-merge into rollups without rescanning, and
+    bitmap_count sums per group give the exact distinct count. The
+    query emits the exact COUNT(DISTINCT) beside the bitmap-derived
+    count with an equality flag the oracle pins to 1 — unlike HLL's
+    tolerance band, bitmaps are exact, so the flag is equality.
+
+    Scale: bitmap bytes per bucket are bounded (4 KB), leaves merge in
+    O(buckets touched); for dense integer key spaces this beats HLL on
+    both accuracy (exact) and merge cost — the precompute-then-rollup
+    distinct pattern when keys are ints.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    leaf = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("b"))
+    )
+    merged = leaf.groupBy("l_returnflag", "bkt").agg(
+        F.expr("bitmap_or_agg(b)").alias("bm")
+    )
+    bitmap_counts = merged.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("bitmap_parts")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        exact.join(bitmap_counts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.col("bitmap_parts") == F.col("exact_parts")).cast("bigint").alias("bitmap_matches"),
+        )
+        .orderBy("l_returnflag")
+    )

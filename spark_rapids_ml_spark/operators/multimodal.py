@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -645,3 +646,87 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_video("text").alias("payload"))
     return sample_video_frames(payloads, "payload").orderBy("doc_id", "frame_idx")
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+        StructField("n_set_bits", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_image_perceptual_hash",
+    tags=("multimodal", "dedup"),
+    oracle="""
+-- average-hash over the decoded 16x8 RGB raster: per-pixel brightness
+-- s_k = r+g+b where channel c of flattened pixel k is the char code
+-- at (3k + c) % n_chars; bit_k = 1 iff s_k * 128 > S (total sum) —
+-- all integer arithmetic, bit-exact cross-engine.
+WITH d AS (
+  SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
+),
+px AS (
+  SELECT d.doc_id, g.k,
+         ascii(substr(d.text, CAST((3 * g.k) % d.L AS INTEGER) + 1, 1))
+       + ascii(substr(d.text, CAST((3 * g.k + 1) % d.L AS INTEGER) + 1, 1))
+       + ascii(substr(d.text, CAST((3 * g.k + 2) % d.L AS INTEGER) + 1, 1)) AS s
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 127)) AS k) g
+),
+tot AS (SELECT doc_id, SUM(s) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.k,
+         CASE WHEN px.s * 128 > tot.total THEN '1' ELSE '0' END AS bit
+  FROM px JOIN tot ON px.doc_id = tot.doc_id
+)
+SELECT doc_id,
+       string_agg(bit, '' ORDER BY k) AS phash,
+       CAST(SUM(CASE WHEN bit = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_set_bits
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def mm_image_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images — the bridge
+    between the multimodal tier and the dedup tier: each payload is
+    parsed by the PPM decoder, per-pixel brightness is compared to the
+    image mean (integer-exact: s_k·128 > Σs), and the 128-bit
+    signature is the near-duplicate key image dedup banding operates
+    on (identical crops/re-encodes collide; the banded Hamming search
+    of dedup_simhash_hamming_pairs applies unchanged to these
+    signatures). The DuckDB oracle recomputes the bits from the text
+    transcode arithmetic, so decode + hash are both value-checked.
+
+    Scale: stateless mapInPandas over payload batches (no shuffle);
+    the signature table is what ships to the dedup join — 16 bytes a
+    row instead of the image.
+    """
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(ppm_from_text)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                img = decode_ppm(bytes(pdf["payload"].iloc[i]))
+                s = img.astype(np.int64).sum(axis=2).reshape(-1)  # per-pixel r+g+b
+                total = int(s.sum())
+                bits = (s * s.size > total).astype(np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(pdf["doc_id"].iloc[i]),
+                        "phash": "".join("1" if b else "0" for b in bits),
+                        "n_set_bits": int(bits.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    payloads = d.select("doc_id", to_ppm("text").alias("payload"))
+    return payloads.mapInPandas(run, PHASH_SCHEMA).orderBy("doc_id")

@@ -396,3 +396,67 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@register(
+    "events_rolling_zscore_anomaly",
+    tags=("timeseries", "window", "analytics"),
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+         COUNT(*) OVER fr AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS ss
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, event_id, v,
+         (v - s / 20.0) / SQRT((ss - s * s / 20.0) / 20.0) AS zs
+  FROM w
+  WHERE cnt = 20 AND (ss - s * s / 20.0) / 20.0 > 0.0001
+)
+SELECT user_id, event_id, ROUND(zs, 6) AS zscore
+FROM z
+WHERE ABS(ROUND(zs, 6)) > 2.5
+ORDER BY user_id, event_id
+""",
+)
+def events_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the trailing 20 events of the same user (frame excludes the
+    current row, so the score is a true out-of-sample residual);
+    |z| > 2.5 rows are the anomaly stream. Sums and sum-of-squares
+    ride EXACT decimal window aggregates (the engine-wide power-sum
+    discipline, cf. agg_moments_exact), so mean/var/z are bit-identical
+    IEEE ops on identical inputs in both engines — the threshold
+    compares the ROUNDed score to stay boundary-safe.
+
+    Scale: one window over (user, time) — the same single-shuffle
+    shape as sessionization; streaming-side the same logic runs as a
+    stateful per-key ring buffer (applyInPandasWithState,
+    stream_stateful_user_stats's pattern).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    scored = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / 20.0) / 20.0
+    z = (F.col("v") - F.col("s") / 20.0) / F.sqrt(var)
+    return (
+        scored.where((F.col("cnt") == 20) & (var > 0.0001))
+        .select("user_id", "event_id", F.round(z, 6).alias("zscore"))
+        .where(F.abs(F.col("zscore")) > 2.5)
+        .orderBy("user_id", "event_id")
+    )
