@@ -455,7 +455,7 @@ WITH probe AS (
   FROM customer WHERE c_custkey <= 500
 ),
 keys AS (
-  SELECT DISTINCT CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END AS k
+  SELECT DISTINCT CASE WHEN n_nationkey = 11 THEN NULL ELSE n_nationkey END AS k
   FROM nation WHERE n_regionkey <= 1
 )
 SELECT
@@ -477,7 +477,11 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     restores the intuitive complement; ``NOT EXISTS`` ignores NULLs by
     construction and differs from both when the probe side itself has
     NULL keys. All three counts in one result so the semantic
-    distinctions are hash-locked against the oracle.
+    distinctions are hash-locked against the oracle. The NULL is
+    injected on n_nationkey=11, which survives the n_regionkey <= 1
+    filter (11 % 5 = 1), so the key set genuinely contains a NULL and
+    ``n_not_in_with_null`` is pinned to 0 — a non-null-aware anti-join
+    implementation would return the no-null count and hash-mismatch.
 
     Scale: Spark plans the null-aware case as BroadcastNestedLoopJoin
     ONLY when the build side may contain NULL (the semantics force
@@ -494,7 +498,7 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nk"),
     ).createOrReplaceTempView("probe_nulls")
     load(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1).select(
-        F.when(F.col("n_nationkey") == 13, F.lit(None))
+        F.when(F.col("n_nationkey") == 11, F.lit(None))
         .otherwise(F.col("n_nationkey"))
         .alias("k")
     ).distinct().createOrReplaceTempView("keys_nulls")
