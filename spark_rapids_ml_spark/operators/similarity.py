@@ -281,6 +281,24 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_topk(cand, e)
 
 
+def _index_tag(sf_dir: str) -> str:
+    """Cache key for persisted index databases: the sf_dir path PLUS a
+    fingerprint (size + mtime) of the source embeddings.parquet. If the
+    testdata under the same path is regenerated mid-session, the tag
+    changes and the index is rebuilt instead of silently reusing a
+    stale table whose probe results would diverge from oracles computed
+    on the fresh data."""
+    import os
+
+    base = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = f"{st.st_size:x}_{st.st_mtime_ns // 1_000_000:x}"
+    except OSError:
+        fp = "nosrc"
+    return f"{base}_{fp}"
+
+
 def lsh_signature_table(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the LSH index ONCE as a bucketed+sorted table keyed
     on (tbl, bucket) and return its name. Re-used across probes: the
@@ -290,7 +308,7 @@ def lsh_signature_table(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = _index_tag(sf_dir)
     db = f"simdb_{tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     tbl = f"{db}.lsh_sig_b"
@@ -636,7 +654,7 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from spark_rapids_ml_spark.ml.kmeans import KMeans
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = _index_tag(sf_dir)
     db = f"simdb_{tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     cells_tbl, cent_tbl = f"{db}.ivf_cells_p", f"{db}.ivf_centroids"

@@ -104,8 +104,9 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
       double's 2^53 exact range, so the double path rounds by up to
       ±128ns and truncation then lands 1µs low on ~1.6% of rows;
     - TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false): the wall
-      time IS the UTC instant by the testdata's contract; cast under
-      the pinned UTC session timezone is value-preserving;
+      time IS the UTC instant by the testdata's contract; converted
+      via wall-clock micros-since-epoch arithmetic, which is
+      session-timezone-independent (no conf read, no conf mutation);
     - TIMESTAMP: already normalized.
     """
     from pyspark.sql import functions as F
@@ -115,13 +116,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, T.TimestampNTZType):
-        # the NTZ->TIMESTAMP cast reinterprets the wall time in the
-        # session timezone; only UTC preserves the testdata's contract
-        # that the wall time IS the UTC instant — enforce it here
-        # rather than relying on every caller having gone through
-        # load()/_read_stream.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # A bare NTZ->TIMESTAMP cast reinterprets the wall time in the
+        # session timezone, so it is only correct under UTC — and
+        # setting the timezone here would mutate global session state
+        # under callers that deliberately run non-UTC. Instead compute
+        # the instant timezone-independently: wall-time micros since
+        # the NTZ epoch ARE the UTC epoch micros by the testdata's
+        # contract (the wall time IS the UTC instant), and
+        # timestampdiff on NTZ operands is pure wall-clock arithmetic.
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
