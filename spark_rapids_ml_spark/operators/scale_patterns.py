@@ -237,6 +237,52 @@ def zorder_key(xc, yc):
     return total
 
 
+def _zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-keyed projection shared by the write path and the report:
+    (l_orderkey, l_linenumber, x, y, zkey) with the Morton key computed
+    in whole-stage codegen."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 6000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % (_Z_MASK + 1)).alias("x"),
+            (F.col("l_orderkey") % (_Z_MASK + 1)).alias("y"),
+        )
+    )
+    return li.withColumn("zkey", zorder_key(F.col("x"), F.col("y")))
+
+
+def zorder_ranged_writer(df: DataFrame) -> DataFrame:
+    """The PRODUCTION Z-order layout frame: one range shuffle on the
+    Morton key (+ unique tiebreak so boundaries are total-ordered),
+    then a partition-local sort. Each output partition — hence each
+    written file — covers a disjoint zkey range, so file-level min/max
+    stats prune on either source dimension. This is a RangePartitioning
+    exchange, NEVER a single-partition global sort (plan-asserted in
+    tests/test_plans.py::test_zorder_ranged_write_plan)."""
+    return df.repartitionByRange(
+        _Z_BUCKETS, "zkey", "l_orderkey", "l_linenumber"
+    ).sortWithinPartitions("zkey", "l_orderkey", "l_linenumber")
+
+
+def zorder_write_path(spark: SparkSession, sf_dir: str) -> str:
+    """Execute the production Z-order write: range-shuffle the z-keyed
+    frame into _Z_BUCKETS disjoint-range partitions and write one
+    parquet file per partition. Returns the output directory (under the
+    session warehouse, rewritten each call)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out = os.path.join(warehouse, f"zorder_ranged_{tag}")
+    zorder_ranged_writer(_zorder_frame(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
 @register(
     "layout_zorder_buckets",
     tags=("sink", "scale"),
@@ -275,26 +321,30 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     win as the expected fraction of buckets a single-dimension
     predicate fails to prune.
 
+    The query EXECUTES the production write path (zorder_write_path:
+    repartitionByRange on zkey → sortWithinPartitions → parquet, one
+    range-shuffle exchange, plan-asserted RangePartitioning) and then
+    reports bucket bounding boxes over the files it just wrote. The
+    report layer re-ranks the read-back rows with NTILE over the total
+    (zkey, l_orderkey, l_linenumber) order — equal-height buckets the
+    DuckDB oracle can replicate exactly, invariant to the sampled range
+    boundaries the physical writer chose. The written files' OWN
+    per-file zkey ranges are pairwise disjoint by construction
+    (asserted in tests/test_quality.py); NTILE here is the
+    cross-engine verification layer, not the layout mechanism, and its
+    global window runs over the read-back report input only (capped at
+    l_orderkey <= 6000 rows — dimension-table-sized by design).
+
     Scale: the key is pure bit arithmetic inside whole-stage codegen;
-    the production write path is repartitionByRange(zkey) +
-    sortWithinPartitions(zkey) + write (one range shuffle, identical
-    cost to any global sort-write). NTILE over the zkey order stands
-    in for the range partitioner here so bucket membership is
-    deterministic and cross-engine checkable.
+    the write is one range shuffle, identical cost to any global
+    sort-write, and each of the _Z_BUCKETS output files is written by
+    its own reducer — no single-partition stage anywhere in the write
+    job.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") <= 6000)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (F.col("l_partkey") % (_Z_MASK + 1)).alias("x"),
-            (F.col("l_orderkey") % (_Z_MASK + 1)).alias("y"),
-        )
-    )
-    z = li.withColumn("zkey", zorder_key(F.col("x"), F.col("y")))
+    out = zorder_write_path(spark, sf_dir)
+    back = spark.read.parquet(out)
     w = Window.orderBy("zkey", "l_orderkey", "l_linenumber")
-    b = z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+    b = back.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
     return (
         b.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
         .agg(

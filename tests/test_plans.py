@@ -498,3 +498,20 @@ def test_lateral_subquery_decorrelated(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_zorder_ranged_write_plan(spark):
+    """The production Z-order write frame must be a RangePartitioning
+    exchange on (zkey, tiebreak) followed by a partition-local sort —
+    never a single-partition global sort (which is what the write
+    would degrade to if expressed as orderBy or NTILE)."""
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        _zorder_frame,
+        zorder_ranged_writer,
+    )
+
+    plan = plan_of(zorder_ranged_writer(_zorder_frame(spark, SF)))
+    assert "rangepartitioning(zkey" in plan.lower(), plan
+    assert "singlepartition" not in plan.lower(), plan
+    # the only Sort is the partition-local one (global=False)
+    assert "Sort [zkey" in plan and "false, 0" in plan, plan

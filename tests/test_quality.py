@@ -878,3 +878,32 @@ def test_bpe_declared_query_deterministic(spark):
     b = [tuple(r) for r in pipe_bpe_train_merges(spark, "/root/testdata/sf0.001").collect()]
     assert a == b
     assert len(a) > 0
+
+
+def test_zorder_written_files_have_disjoint_zkey_ranges(spark):
+    """The production write path must produce one file per range
+    partition with pairwise-DISJOINT zkey ranges — the property that
+    makes file-level min/max stats prune scans. A hash or round-robin
+    layout would interleave keys across every file and fail this."""
+    from spark_rapids_ml_spark.operators.scale_patterns import zorder_write_path
+
+    SF01 = "/root/testdata/sf0.01"
+    out = zorder_write_path(spark, SF01)
+    back = spark.read.parquet(out)
+    files = back.inputFiles()
+    assert len(files) > 1, files
+    bounds = []
+    for f in files:
+        one = spark.read.parquet(f.replace("file:", ""))
+        lo, hi = one.agg(F.min("zkey"), F.max("zkey")).first()
+        if lo is not None:
+            bounds.append((lo, hi))
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        # ranges may touch at a shared boundary key only if the range
+        # partitioner split inside a zkey tie (tiebreak columns); they
+        # must never properly overlap
+        assert hi1 <= lo2, (bounds,)
+    # and the layout covers multiple non-empty ranges (a single-file
+    # write would trivially pass disjointness)
+    assert len(bounds) >= 8, bounds
