@@ -19,6 +19,7 @@ the n-gram dedup verifier).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -516,3 +517,149 @@ def pipe_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank bigint, left string, right string, pair_count bigint"
     ).orderBy("merge_rank")
+
+
+# The merge table learned by pipe_bpe_train_merges on the sf0.001
+# documents corpus, pinned as the deployed tokenizer. This is the
+# production shape: a tokenizer is trained ONCE on a reference corpus
+# and then applied unchanged to every dataset — retraining per input
+# would change the vocabulary under the model. tests/test_quality.py
+# re-trains at sf0.001 and asserts equality with these constants, so
+# the train→apply pair stays coupled (the apply side provably uses
+# what the train side learns), mirroring PCA's fit→transform.
+BPE_FIXED_MERGES: list[tuple[int, str, str]] = [
+    (1, "e", "r"),
+    (2, "o", "r"),
+    (3, "i", "n"),
+    (4, "o", "w"),
+    (5, "s", "t"),
+    (6, "l", "u"),
+    (7, "a", "r"),
+    (8, "p", "ar"),
+]
+
+
+def bpe_apply(word: str, merges: list[tuple[int, str, str]]) -> list[str]:
+    """Apply learned BPE merges to one word, left-greedy in rank
+    order — the exact inverse-direction pass of bpe_train_merges'
+    merge step (same non-overlap semantics: after a merge the scan
+    resumes AFTER the merged pair). Pure function; shared by the
+    distributed query, its pytest oracle, and hand-computed cases in
+    tests/test_quality.py."""
+    syms = list(word)
+    for _, a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _sql_bpe_merge_values() -> str:
+    return ", ".join(
+        f"({r}, '{a}', '{b}')" for r, a, b in BPE_FIXED_MERGES
+    )
+
+
+_BPE_LAST_RANK = BPE_FIXED_MERGES[-1][0]
+
+
+@register(
+    "pipe_bpe_apply_tokens",
+    tags=("llm-pipe", "tokenizer"),
+    oracle=f"""
+WITH RECURSIVE
+merges(mrank, ma, mb) AS (VALUES {{merge_values}}),
+words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+dw AS (SELECT DISTINCT word FROM words),
+-- flattened per-word recursion: state (merge rank, emitted symbols,
+-- remaining symbols); one row per word advances one symbol per step,
+-- and an exhausted pass promotes acc to rest under the next rank.
+-- Rank {_BPE_LAST_RANK + 1} rows join no merge row, ending recursion.
+step(word, wrank, acc, rest) AS (
+  SELECT word, 1, CAST([] AS VARCHAR[]), string_split_regex(word, '')
+  FROM dw
+  UNION ALL
+  SELECT word,
+         CASE WHEN len(rest) = 0 THEN wrank + 1 ELSE wrank END,
+         CASE WHEN len(rest) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(rest) >= 2 AND rest[1] = ma AND rest[2] = mb
+                THEN list_append(acc, ma || mb)
+              ELSE list_append(acc, rest[1]) END,
+         CASE WHEN len(rest) = 0 THEN acc
+              WHEN len(rest) >= 2 AND rest[1] = ma AND rest[2] = mb
+                THEN list_slice(rest, 3, len(rest))
+              ELSE list_slice(rest, 2, len(rest)) END
+  FROM step JOIN merges ON mrank = wrank
+),
+wt AS (
+  SELECT word, len(rest) AS w_tokens, length(word) AS w_chars
+  FROM step WHERE wrank = {_BPE_LAST_RANK + 1}
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(t.w_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.w_chars) AS BIGINT) AS n_word_chars
+FROM words w JOIN wt t USING (word)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+""".replace("{merge_values}", _sql_bpe_merge_values()),
+)
+def pipe_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the corpus-wide step a tokenization
+    pipeline actually runs at 100 TB, completing pipe_bpe_train_merges'
+    train→apply pair the way PCA pairs fit with transform (reference:
+    RapidsPCA.scala:169's transform after fit). The deployed merge
+    table (BPE_FIXED_MERGES, provably equal to what training learns on
+    the reference corpus) rides into executors as a closure constant —
+    the broadcast-small-model pattern — and tokenization runs
+    distributed: one Arrow-batched pandas_udf evaluation per DISTINCT
+    word, then an equi-join maps word-level token counts back onto the
+    corpus. Output: per-document word/token/char counts under the
+    learned vocabulary.
+
+    Scale: applying an expensive pure function once per distinct key
+    and joining back is the canonical dedup-the-work pattern — the
+    distinct-word table is orders of magnitude smaller than the corpus
+    (Heaps' law), so the pandas_udf touches a vanishing fraction of
+    rows. The word→count join is a broadcast here (bounded vocab); at a
+    scale where the vocabulary itself outgrows broadcast, drop the hint
+    and the same plan runs as a shuffled hash join on the word key. The
+    DuckDB oracle independently re-implements left-greedy merge
+    application as a flattened recursive CTE, so the hash check pins
+    the apply semantics, not just row counts.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    merges = list(BPE_FIXED_MERGES)
+
+    @F.pandas_udf("long")
+    def n_tokens_udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: len(bpe_apply(w, merges)))
+
+    wt = (
+        words.select("word")
+        .distinct()
+        .select("word", n_tokens_udf("word").alias("w_tokens"))
+    )
+    return (
+        words.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -907,3 +907,40 @@ def test_zorder_written_files_have_disjoint_zkey_ranges(spark):
     # and the layout covers multiple non-empty ranges (a single-file
     # write would trivially pass disjointness)
     assert len(bounds) >= 8, bounds
+
+
+def test_bpe_fixed_merges_match_training(spark):
+    """The deployed merge table (BPE_FIXED_MERGES) must be exactly
+    what pipe_bpe_train_merges learns on the reference corpus
+    (sf0.001) — the train→apply coupling: if training semantics drift,
+    this pins it before the apply query silently tokenizes under a
+    stale vocabulary."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import BPE_FIXED_MERGES
+    from spark_rapids_ml_spark.registry import all_queries
+
+    trained = all_queries()["pipe_bpe_train_merges"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [(r["merge_rank"], r["left"], r["right"]) for r in trained] == [
+        (r, a, b) for r, a, b in BPE_FIXED_MERGES
+    ]
+
+
+def test_bpe_apply_hand_cases():
+    """Left-greedy merge application pinned on hand-computed cases,
+    including rank ordering (a later merge consumes an earlier merge's
+    output: p+ar) and the non-overlap scan-resume rule."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import (
+        BPE_FIXED_MERGES,
+        bpe_apply,
+    )
+
+    assert bpe_apply("part", BPE_FIXED_MERGES) == ["par", "t"]
+    assert bpe_apply("customer", BPE_FIXED_MERGES) == ["c", "u", "st", "o", "m", "er"]
+    assert bpe_apply("order", BPE_FIXED_MERGES) == ["or", "d", "er"]
+    # non-overlap: "rrr" under a hypothetical (r,r) merge pairs
+    # left-greedy then resumes AFTER the merged pair
+    assert bpe_apply("rrr", [(1, "r", "r")]) == ["rr", "r"]
+    assert bpe_apply("rrrr", [(1, "r", "r")]) == ["rr", "rr"]
+    # empty-ish and no-match words pass through as characters
+    assert bpe_apply("x", BPE_FIXED_MERGES) == ["x"]
