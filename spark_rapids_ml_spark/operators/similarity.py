@@ -574,8 +574,11 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: stats are one d-row aggregate; codes are a linear map
     (broadcast stats); the quantized scan is the same broadcast-Q×N
-    shape as brute force but over 8x smaller data — at 100 TB this is
-    the tier that keeps the index in memory. Quantizer arithmetic is
+    shape as brute force but over 8x smaller data — the tier trades
+    MEMORY, not comparisons: the coarse pass is still a linear O(N·Q)
+    scan by design, and sub-linear candidate generation is what the
+    LSH/IVF tiers alongside are for. At 100 TB this is the tier that
+    keeps the index in memory. Quantizer arithmetic is
     bit-identical cross-engine (three FP ops on identical doubles +
     floor), so even the codes themselves are hash-checkable."""
     from pyspark.sql import Window
