@@ -51,7 +51,16 @@ def dec2(c: Column | str) -> Column:
 
 
 def dsum(c: Column | str, alias: str) -> Column:
-    """Exact decimal sum, surfaced as double (identical cross-engine)."""
+    """Exact decimal sum, surfaced as double. The sum is exact in both
+    engines; the PORTABILITY hazard is the final decimal->double cast:
+    DuckDB's direct cast double-rounds (hugeint -> double, then /10^s),
+    so once |sum| exceeds ~2^53/10^scale the two roundings can straddle
+    a ULP and the 6dp-formatted values differ (first seen at the sf1
+    scale probe on q1's sum_charge: ...098007 vs ...098011). Spark's
+    BigDecimal.doubleValue() is correctly rounded; sql_dsum therefore
+    routes the oracle's cast through VARCHAR, whose strtod parse is
+    also correctly rounded — both engines then produce the bit-same
+    nearest double at ANY magnitude."""
     return F.sum(dec2(c)).cast("double").alias(alias)
 
 
@@ -62,12 +71,14 @@ def davg(c: Column | str, alias: str) -> Column:
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+    # CAST(... AS VARCHAR) first: DuckDB's direct DECIMAL->DOUBLE cast
+    # is not correctly rounded (see dsum); the string round-trip is.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
 

@@ -63,7 +63,10 @@ def pca_mean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH elem AS ({_SQL_ELEM})
 SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
-       ROUND(covar_samp(a.val, b.val), 6) AS cov
+       -- + 0 normalizes IEEE -0.0 to +0.0: near-zero covariances round
+       -- to a signed zero whose SIGN is summation-order-dependent and
+       -- so differs across engines (first seen at the sf1 scale probe)
+       ROUND(covar_samp(a.val, b.val), 6) + 0 AS cov
 FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY a.pos, b.pos
 ORDER BY i, j
@@ -97,7 +100,9 @@ def _cov_df(spark: SparkSession, cov):
         {
             "i": iu[0].astype("int64"),
             "j": iu[1].astype("int64"),
-            "cov": np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6,
+            # + 0.0 normalizes -0.0 (sign of a rounded-to-zero cov is
+            # summation-order noise, not signal — mirrors the oracle)
+            "cov": np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6 + 0.0,
         }
     )
     return spark.createDataFrame(pdf)  # Arrow path — no py4j row loop
@@ -109,7 +114,10 @@ def _cov_df(spark: SparkSession, cov):
     oracle=f"""
 WITH elem AS ({_SQL_ELEM})
 SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
-       ROUND(covar_samp(a.val, b.val), 6) AS cov
+       -- + 0 normalizes IEEE -0.0 to +0.0: near-zero covariances round
+       -- to a signed zero whose SIGN is summation-order-dependent and
+       -- so differs across engines (first seen at the sf1 scale probe)
+       ROUND(covar_samp(a.val, b.val), 6) + 0 AS cov
 FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY a.pos, b.pos
 ORDER BY i, j

@@ -36,8 +36,8 @@ SELECT
   l_linestatus,
   {sql_dsum('l_quantity', 'sum_qty')},
   {sql_dsum('l_extendedprice', 'sum_base_price')},
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   {sql_davg('l_quantity', 'avg_qty')},
   {sql_davg('l_extendedprice', 'avg_price')},
   {sql_davg('l_discount', 'avg_disc')},
