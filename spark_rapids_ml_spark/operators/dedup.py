@@ -315,10 +315,12 @@ def lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFram
     )
 
 
-def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
-    """Unordered guarded LSH candidate pairs over any (doc_id, text)
-    frame (shared by the declared queries, which add the determinism
-    ORDER BY, and the clustering stage, which doesn't need a sort)."""
+def band_projection(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band signatures over any (doc_id,
+    text) frame — ONE posexplode projection over the minhash matrix
+    (NOT a 4-way union, which would re-evaluate the whole shingle+hash
+    pipeline per band). Shared by the batch candidate generator and the
+    incremental streaming probe (streaming/stream_queries.py)."""
     mh = _minhash_of(docs)
     band_keys = [
         hash60(
@@ -332,14 +334,18 @@ def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    # one posexplode projection (NOT a 4-way union, which would
-    # re-evaluate the whole shingle+hash pipeline per band); cached
-    # because the guarded candidate join consumes it multiple times
-    bands = _cache(
-        mh.select(
-            "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
-        )
+    return mh.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
+
+
+def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
+    """Unordered guarded LSH candidate pairs over any (doc_id, text)
+    frame (shared by the declared queries, which add the determinism
+    ORDER BY, and the clustering stage, which doesn't need a sort).
+    Cached because the guarded candidate join consumes the band
+    projection multiple times."""
+    bands = _cache(band_projection(docs))
     return lsh_candidate_pairs(bands)
 
 

@@ -781,3 +781,189 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("files_added_on_rerun", F.lit(added).cast("bigint"))
         .orderBy("event_type")
     )
+
+
+# incremental dedup: doc_id % DEDUP_STREAM_MOD == 0 arrive as the
+# stream (in doc_id order, DEDUP_STREAM_BATCHES micro-batches); the
+# rest are the already-ingested base corpus behind the persisted index
+DEDUP_STREAM_MOD = 5
+DEDUP_STREAM_BATCHES = 4
+
+
+def _incremental_dedup_oracle() -> str:
+    from spark_rapids_ml_spark.operators.dedup import (
+        _sql_bands_cte,
+        _sql_minhash_cte,
+    )
+
+    return f"""
+WITH {_sql_minhash_cte()},
+{_sql_bands_cte()},
+s AS (SELECT doc_id, band, band_key FROM bands
+      WHERE doc_id % {DEDUP_STREAM_MOD} = 0),
+m AS (
+  SELECT s.doc_id, MIN(e.doc_id) AS dup_of
+  FROM s JOIN bands e
+    ON s.band = e.band AND s.band_key = e.band_key
+   AND (e.doc_id % {DEDUP_STREAM_MOD} <> 0 OR e.doc_id < s.doc_id)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, m.dup_of,
+       CAST(m.dup_of IS NOT NULL AS BIGINT) AS is_dup
+FROM (SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % {DEDUP_STREAM_MOD} = 0) d
+LEFT JOIN m ON d.doc_id = m.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "stream_incremental_dedup_lsh",
+    tags=("streaming", "dedup", "minhash", "scale"),
+    oracle=_incremental_dedup_oracle(),
+)
+def stream_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection on ingest — the continuous form
+    of dedup_minhash_lsh_pairs, and the shape a production LLM-data
+    pipeline actually runs: the corpus is already indexed, new
+    documents arrive as a stream, and each micro-batch must answer
+    "is this a near-duplicate of ANYTHING ingested before it?"
+    without rescanning the corpus.
+
+    The persisted index stores one row per (band, band_key): the
+    BUCKET REPRESENTATIVE (min doc_id) — a dedup probe needs one
+    witness, not the posting list, so the index is bounded by distinct
+    buckets regardless of cohort sizes (the same skew argument as the
+    batch path's bucket cap, taken to its limit). Each micro-batch:
+    (1) computes band signatures for its docs (band_projection — the
+    exact pipeline the batch query uses), (2) equi-joins them against
+    the index for earlier-arrival witnesses, (3) resolves WITHIN-batch
+    earlier witnesses with a window min over the same (band, band_key)
+    partitioning, (4) appends its own bucket minima to the index, and
+    (5) writes per-doc verdicts to a batch-id-keyed sink (the
+    idempotent exactly-once pattern). Because every source contributes
+    its MINIMUM earlier sharer and min composes, the emitted dup_of is
+    invariant to micro-batch boundaries — pinned by the batch oracle,
+    which computes the same "min earlier doc sharing any band bucket"
+    with arrival order = (base corpus first, then streamed docs in
+    doc_id order).
+
+    Scale: the probe is an equi-join on (band, band_key) against a
+    bucket-bounded index — no corpus rescan, no posting-list blowup;
+    index maintenance is an append of per-batch bucket minima. On a
+    real deployment the index lives in a bucketed table (see
+    sim_lsh_persisted_probe for the zero-exchange probe shape) and the
+    stream is a bus; availableNow over staged files is the same code
+    path run as a backfill.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from spark_rapids_ml_spark.operators.dedup import band_projection
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/stream_dedup/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir, idx_dir, out_dir = (
+        os.path.join(root, d) for d in ("src", "index", "verdicts")
+    )
+    os.makedirs(src_dir)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % DEDUP_STREAM_MOD != 0)
+    incoming = docs.where(F.col("doc_id") % DEDUP_STREAM_MOD == 0)
+
+    # write-once index build: bucket representatives of the base corpus
+    (
+        band_projection(base)
+        .groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .write.mode("overwrite")
+        .parquet(idx_dir)
+    )
+
+    # stage the incoming docs as doc_id-ordered range files; mtime pins
+    # the micro-batch order (harness scaffolding for the finite replay
+    # — on a deployment the bus delivers arrival order)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = incoming.orderBy("doc_id").toPandas()
+    n = len(pdf)
+    now = None
+    for k in range(DEDUP_STREAM_BATCHES):
+        part = pdf.iloc[
+            k * n // DEDUP_STREAM_BATCHES : (k + 1) * n // DEDUP_STREAM_BATCHES
+        ]
+        path = os.path.join(src_dir, f"batch_{k}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        if now is None:
+            now = os.stat(path).st_mtime
+        os.utime(path, (now + 10 * k, now + 10 * k))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sig = band_projection(batch).localCheckpoint(eager=True)
+        vs_index = (
+            sig.join(spark.read.parquet(idx_dir), ["band", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.min("min_doc").alias("dup_idx"))
+        )
+        w = Window.partitionBy("band", "band_key")
+        within = (
+            sig.withColumn("first_in_bucket", F.min("doc_id").over(w))
+            .where(F.col("doc_id") > F.col("first_in_bucket"))
+            .groupBy("doc_id")
+            .agg(F.min("first_in_bucket").alias("dup_batch"))
+        )
+        verdicts = (
+            batch.select("doc_id")
+            .join(vs_index, "doc_id", "left")
+            .join(within, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("dup_idx", "dup_batch").alias("dup_of"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # index maintenance AFTER the probe: this batch's bucket minima
+        # become witnesses for later batches only
+        (
+            sig.groupBy("band", "band_key")
+            .agg(F.min("doc_id").alias("min_doc"))
+            .write.mode("append")
+            .parquet(idx_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation",
+                f"{_CHECKPOINT_ROOT}/incdedup_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().cast("bigint").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

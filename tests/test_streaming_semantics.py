@@ -295,3 +295,22 @@ def test_staged_sentinel_schema_matches_source():
         pq.read_table(f"{d}/sentinel_1.parquet", columns=["ts"]).column("ts").cast(pa.int64())
     ).as_py()
     assert s1_min > src_max
+
+
+def test_incremental_dedup_batch_boundary_invariance(spark, monkeypatch):
+    """The emitted dup_of must be invariant to micro-batch boundaries:
+    every source of witnesses (persisted index, earlier batches'
+    appended minima, within-batch window) contributes its MINIMUM
+    earlier sharer, and min composes — so replaying the same stream as
+    1 batch, 4 batches, or 7 batches yields byte-identical verdicts."""
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    results = {}
+    for n_batches in (1, 4, 7):
+        monkeypatch.setattr(sq, "DEDUP_STREAM_BATCHES", n_batches)
+        rows = sq.stream_incremental_dedup_lsh(spark, sf).collect()
+        results[n_batches] = [tuple(r) for r in rows]
+    assert results[1] == results[4] == results[7]
+    # and the stream actually found something (non-degenerate corpus)
+    assert any(r[2] == 1 for r in results[1])
