@@ -152,9 +152,18 @@ def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window at any partition count (partition-invariance
     pinned in tests)."""
     d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return _pack_token_counts(t)
+
+
+def _pack_token_counts(tokens: DataFrame) -> DataFrame:
+    """The distributed-scan packer over any (doc_id, n_tokens) frame
+    (see pipe_sequence_packing for the algorithm and scale notes;
+    pipe_bpe_tokenize_pack feeds it learned-tokenizer counts)."""
     t = (
-        d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-        .repartitionByRange(PACK_PARTITIONS, "doc_id")
+        tokens.repartitionByRange(PACK_PARTITIONS, "doc_id")
         .withColumn("pid", F.spark_partition_id())
     )
     t = t.localCheckpoint(eager=False)  # pin pid: both consumers must see ONE layout
@@ -569,12 +578,12 @@ def _sql_bpe_merge_values() -> str:
 _BPE_LAST_RANK = BPE_FIXED_MERGES[-1][0]
 
 
-@register(
-    "pipe_bpe_apply_tokens",
-    tags=("llm-pipe", "tokenizer"),
-    oracle=f"""
-WITH RECURSIVE
-merges(mrank, ma, mb) AS (VALUES {{merge_values}}),
+def _sql_bpe_wt_ctes() -> str:
+    """The WITH-RECURSIVE CTE chain computing ``words(doc_id, word)``
+    and ``wt(word, w_tokens, w_chars)`` under BPE_FIXED_MERGES —
+    shared by the apply and tokenize-pack oracles. Must follow a
+    ``WITH RECURSIVE`` keyword in the consuming statement."""
+    return f"""merges(mrank, ma, mb) AS (VALUES {_sql_bpe_merge_values()}),
 words AS (
   SELECT doc_id, w AS word FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -604,7 +613,15 @@ step(word, wrank, acc, rest) AS (
 wt AS (
   SELECT word, len(rest) AS w_tokens, length(word) AS w_chars
   FROM step WHERE wrank = {_BPE_LAST_RANK + 1}
-)
+)"""
+
+
+@register(
+    "pipe_bpe_apply_tokens",
+    tags=("llm-pipe", "tokenizer"),
+    oracle=f"""
+WITH RECURSIVE
+{{wt_ctes}}
 SELECT w.doc_id,
        COUNT(*) AS n_words,
        CAST(SUM(t.w_tokens) AS BIGINT) AS n_tokens,
@@ -612,7 +629,7 @@ SELECT w.doc_id,
 FROM words w JOIN wt t USING (word)
 GROUP BY w.doc_id
 ORDER BY w.doc_id
-""".replace("{merge_values}", _sql_bpe_merge_values()),
+""".replace("{wt_ctes}", _sql_bpe_wt_ctes()),
 )
 def pipe_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION — the corpus-wide step a tokenization
@@ -638,6 +655,24 @@ def pipe_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     application as a flattened recursive CTE, so the hash check pins
     the apply semantics, not just row counts.
     """
+    words = _bpe_tokenized_words(spark, sf_dir)
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_tokenized_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, w_tokens) — every corpus word joined with its
+    BPE token count under BPE_FIXED_MERGES, via the
+    tokenize-distinct-words-then-join-back pattern (see
+    pipe_bpe_apply_tokens). Shared by the apply and tokenize-pack
+    queries."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -653,13 +688,54 @@ def pipe_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("word", n_tokens_udf("word").alias("w_tokens"))
     )
-    return (
-        words.join(F.broadcast(wt), "word")
+    return words.join(F.broadcast(wt), "word")
+
+
+@register(
+    "pipe_bpe_tokenize_pack",
+    tags=("llm-pipe", "tokenizer", "packing"),
+    oracle=f"""
+WITH RECURSIVE
+{{wt_ctes}},
+t AS (
+  SELECT w.doc_id, CAST(SUM(wt.w_tokens) AS BIGINT) AS n_tokens
+  FROM words w JOIN wt USING (word)
+  GROUP BY w.doc_id
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT CAST(FLOOR(cum_excl / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY 1
+ORDER BY seq_id
+""".replace("{wt_ctes}", _sql_bpe_wt_ctes()),
+)
+def pipe_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-then-pack — the two-stage shape a pretraining data
+    job actually ships: per-document token counts under the DEPLOYED
+    tokenizer (BPE_FIXED_MERGES, the learned vocabulary — not the
+    whitespace proxy pipe_sequence_packing uses) feed the
+    concatenate-then-chunk packer that cuts the corpus into
+    {PACK_BUDGET}-token training sequences. Token counting is the
+    distinct-word pandas_udf + join-back of pipe_bpe_apply_tokens;
+    packing is the same distributed-scan prefix sum as
+    pipe_sequence_packing (range-partition, parallel local cumsums,
+    tiny driver offset merge) — composition changes NEITHER stage's
+    plan, which is the point: operators that compose without
+    re-shuffling are what keep a 100 TB pipeline at one pass per
+    stage. Output: per-sequence doc/token totals, hash-checked
+    against the recursive-CTE BPE oracle feeding the same window
+    arithmetic.
+    """
+    t = (
+        _bpe_tokenized_words(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
-            F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
-        )
-        .orderBy("doc_id")
+        .agg(F.sum("w_tokens").cast("bigint").alias("n_tokens"))
     )
+    return _pack_token_counts(t)
