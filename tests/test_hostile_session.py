@@ -24,6 +24,9 @@ SAMPLED = [
     "stream_tumbling_window",  # streaming + state clamp restore
     "feature_minmax_scale",  # mapInPandas fit + pandas_udf transform
     "scalar_datetime_extra",  # timezone/nanos handling
+    "layout_zorder_buckets",  # round 6: range-shuffle write under foreign shuffle width
+    "pipe_bpe_apply_tokens",  # round 6: pandas_udf under arrow disabled
+    "stream_incremental_dedup_lsh",  # round 6: foreachBatch + index under non-UTC tz
 ]
 
 
