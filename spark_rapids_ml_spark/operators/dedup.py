@@ -1169,3 +1169,132 @@ def dedup_clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipe_cluster_aware_split",
+    tags=("dedup", "llm-pipe", "split"),
+    oracle=f"""
+WITH RECURSIVE {_sql_lsh_edges()},
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+lab AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+alldocs AS (
+  SELECT d.doc_id, d.text, COALESCE(l.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+),
+s AS (
+  SELECT doc_id, rep,
+         CASE WHEN {sql_hash60("CAST(rep AS VARCHAR)")} % 100 < 80 THEN 'train'
+              WHEN {sql_hash60("CAST(rep AS VARCHAR)")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN {sql_hash60("text")} % 100 < 80 THEN 'train'
+              WHEN {sql_hash60("text")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM alldocs
+),
+leak_aware AS (
+  SELECT COUNT(*) AS n FROM
+    (SELECT rep FROM s GROUP BY rep HAVING COUNT(DISTINCT split) > 1)
+),
+leak_naive AS (
+  SELECT COUNT(*) AS n FROM
+    (SELECT rep FROM s GROUP BY rep HAVING COUNT(DISTINCT naive_split) > 1)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep) AS n_clusters,
+       CAST((SELECT n FROM leak_aware) AS BIGINT) AS leaked_clusters,
+       CAST((SELECT n FROM leak_naive) AS BIGINT) AS leaked_clusters_naive
+FROM s
+GROUP BY split
+ORDER BY split
+""",
+)
+def pipe_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split — the
+    leakage-proof form of pipe_deterministic_split, and the step real
+    eval hygiene requires: hashing each DOCUMENT's content splits
+    near-duplicate pairs across train and test (the eval set then
+    contains near-copies of training docs — benchmark contamination by
+    construction), so the split key must be the duplicate CLUSTER, not
+    the doc. Every doc is assigned its LSH connected-component
+    representative (singletons: itself — total coverage, unlike the
+    dedup view which only lists docs in the candidate graph), and the
+    content-hash split is taken on the REPRESENTATIVE id: all members
+    of a cluster land in one split by construction.
+
+    The output carries both leak counters computed from the
+    assignment: ``leaked_clusters`` (clusters spanning >1 split under
+    the aware assignment — the oracle pins the arithmetic, and it is 0
+    by construction) next to ``leaked_clusters_naive`` (what the
+    per-doc text-hash split would have leaked on the same clusters —
+    nonzero exactly when near-dup clusters with differing texts
+    exist, as on this corpus). The pair is the design argument in one
+    row: same data, same hash, one changed split key.
+
+    Scale: clustering cost is the dedup pipeline already paid
+    (candidate pairs → components); the split itself stays a
+    stateless hash predicate on the rep id, so the assignment is one
+    equi-join of the corpus against the bounded label table — no new
+    shuffle shape at 100 TB, and re-runs are byte-stable because every
+    input is content-derived.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = dedup_duplicate_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_rep").alias("rep")
+    )
+    alldocs = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"),
+    )
+
+    def split_expr(bucket):
+        return (
+            F.when(bucket < TRAIN_LT, "train")
+            .when(bucket < VAL_LT, "val")
+            .otherwise("test")
+        )
+
+    from spark_rapids_ml_spark.operators.llm_pipeline import (
+        SPLIT_BUCKETS,
+        TRAIN_LT,
+        VAL_LT,
+    )
+
+    s = alldocs.select(
+        "doc_id",
+        "rep",
+        split_expr(
+            hash60(F.col("rep").cast("string")) % SPLIT_BUCKETS
+        ).alias("split"),
+        split_expr(hash60("text") % SPLIT_BUCKETS).alias("naive_split"),
+    )
+    s = _cache(s)
+    leak_aware = (
+        s.groupBy("rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_clusters"))
+    )
+    leak_naive = (
+        s.groupBy("rep")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_clusters_naive"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak_aware))  # 1-row scalar attach
+        .crossJoin(F.broadcast(leak_naive))  # 1-row scalar attach
+        .orderBy("split")
+    )

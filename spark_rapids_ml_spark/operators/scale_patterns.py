@@ -10,6 +10,7 @@ be semantically identical to its naive form via the DuckDB oracle.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -558,3 +559,92 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(nn_chk)
         .orderBy("check_name")
     )
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of a query build+execution,
+    restoring previous values after — deployment knobs must not leak
+    into unrelated queries on the shared session."""
+    keys = {k.replace("__", "."): v for k, v in confs.items()}
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_PRICE_CUTOFF = 400_000
+
+
+@register(
+    "scale_runtime_bloom_filter_join",
+    tags=("join", "scale"),
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > {BLOOM_PRICE_CUTOFF}
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def scale_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — Catalyst's injected
+    semi-join reduction: the selective side (orders filtered to the
+    top price band) builds a Bloom filter on the join key during its
+    own scan, and the probe side (lineitem, the 100 TB fact table)
+    applies ``might_contain`` BEFORE the shuffle, so rows that cannot
+    join never leave their input partition. This is the declarative
+    form of the hand-built filter-pushdown join a native engine ships:
+    express the join + filter, and the optimizer inserts the reduction
+    (plan-asserted: bloom_filter_agg on the build side,
+    might_contain ahead of the probe-side exchange —
+    tests/test_plans.py::test_runtime_bloom_filter_injected).
+
+    Scale: at 100 TB the shuffle of non-joining fact rows IS the cost;
+    a Bloom filter built from the dimension's qualifying keys prunes
+    them at scan time for one extra aggregate over the (small) build
+    side. The thresholds are deployment knobs (defaults assume a 10 GB
+    probe side); they are scoped to this query and restored, the same
+    discipline as the streaming state-width clamp. Broadcast is
+    disabled within the scope because a broadcast join already prunes
+    at the hash table — the Bloom path exists for the shuffle-join
+    regime where BOTH sides are too large to broadcast.
+    """
+    with _scoped_conf(
+        spark,
+        **{
+            "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "0",
+            "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "100MB",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        o = load(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > BLOOM_PRICE_CUTOFF
+        )
+        l = load(spark, sf_dir, "lineitem")
+        res = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize INSIDE the scope so the injected plan executes
+        # under the intended confs; return a stable local relation
+        rows = res.collect()
+    return spark.createDataFrame(rows, res.schema)

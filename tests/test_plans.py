@@ -515,3 +515,42 @@ def test_zorder_ranged_write_plan(spark):
     assert "singlepartition" not in plan.lower(), plan
     # the only Sort is the partition-local one (global=False)
     assert "Sort [zkey" in plan and "false, 0" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The shuffle join under the bloom confs must carry Catalyst's
+    injected semi-join reduction: a bloom_filter_agg over the selective
+    (orders) side and a might_contain predicate on the probe (lineitem)
+    side BEFORE its exchange — the fact rows that cannot join are
+    dropped at scan time, not shuffled."""
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        BLOOM_PRICE_CUTOFF,
+        _scoped_conf,
+    )
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    with _scoped_conf(
+        spark,
+        **{
+            "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "0",
+            "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "100MB",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        o = load(spark, SF, "orders").where(F.col("o_totalprice") > BLOOM_PRICE_CUTOFF)
+        li = load(spark, SF, "lineitem")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the reduction must sit on the PROBE side, upstream of its
+        # exchange: the might_contain filter references the lineitem key
+        probe_part = plan[plan.index("might_contain"):]
+        assert "l_orderkey" in probe_part[:400], probe_part[:400]
