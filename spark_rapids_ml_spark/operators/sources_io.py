@@ -422,3 +422,174 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey")
     )
+
+
+DV_DELETE_MOD = 9  # orders with o_orderkey % 9 == 0 get deletion-vector entries
+
+
+@register(
+    "sink_merge_on_read_deletes",
+    tags=("sink", "scale"),
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_live,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS live_value
+FROM orders
+WHERE o_orderkey % {DV_DELETE_MOD} <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes via a deletion-vector sidecar — the
+    lakehouse delete shape (Delta deletion vectors / Iceberg
+    positional+equality deletes) expressed on plain parquet: instead of
+    rewriting data files to drop rows (copy-on-write, the
+    sink_merge_upsert shape), a DELETE writes only the deleted KEYS to
+    a small sidecar table, and every read applies the sidecar as an
+    anti-join. The base table is written once and never touched by the
+    delete; the read reconstructs the live view.
+
+    Scale: a delete of k rows costs O(k) sidecar writes instead of
+    rewriting every file containing a match — the difference between a
+    GDPR erasure batch finishing in seconds vs rewriting terabytes.
+    The read-side anti-join is an equi-join on the table key (AQE
+    broadcasts the sidecar while it is small); compaction
+    (layout_compaction_rewrite) is the background process that
+    eventually folds large sidecars back into data files — the two
+    operators together are the full MOR lifecycle.
+    """
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/sinks/{tag}/mor_orders"
+    base_path, dv_path = os.path.join(root, "base"), os.path.join(root, "deletes")
+    o = load(spark, sf_dir, "orders")
+    # base write: the immutable data files
+    o.write.mode("overwrite").parquet(base_path)
+    # DELETE: only the keys travel to the sidecar
+    (
+        o.where(F.col("o_orderkey") % DV_DELETE_MOD == 0)
+        .select("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(dv_path)
+    )
+    base = spark.read.parquet(base_path)
+    dv = spark.read.parquet(dv_path)
+    live = base.join(dv, "o_orderkey", "left_anti")
+    return (
+        live.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("live_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SNAP_PRICE_BUMP = 1.10  # v2 restates top-band order prices by +10%
+
+
+@register(
+    "sink_snapshot_time_travel",
+    tags=("sink", "scale"),
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+  FROM orders GROUP BY o_orderpriority
+),
+v2src AS (
+  SELECT o_orderpriority,
+         -- restated prices are money: the bump rounds to cents in the
+         -- restatement itself (exact decimal, half-away in both engines)
+         CASE WHEN o_totalprice > 300000
+              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST({SNAP_PRICE_BUMP} AS DECIMAL(4,2)), 2) AS DOUBLE)
+              ELSE o_totalprice END AS price
+  FROM orders
+),
+v2 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+  FROM v2src GROUP BY o_orderpriority
+)
+SELECT 1 AS version, o_orderpriority, n, total FROM v1
+UNION ALL
+SELECT 2 AS version, o_orderpriority, n, total FROM v2
+ORDER BY version, o_orderpriority
+""",
+)
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel — the lakehouse versioned-read shape
+    (Delta VERSION AS OF / Iceberg snapshot-id reads) on plain
+    parquet: each commit writes its snapshot under an immutable
+    version directory plus a tiny manifest row (version, dir, row
+    count), and a reader resolves ANY historical version through the
+    manifest — no mutation ever touches a committed snapshot. Version
+    2 restates top-band order prices (+10%, exact decimal arithmetic);
+    the query reads BOTH versions through the manifest and returns
+    their per-priority aggregates side by side, so the hash check pins
+    that committing v2 left v1 byte-stable (the time-travel
+    guarantee).
+
+    Scale: manifests are O(versions) driver-readable metadata; data
+    dirs are immutable so concurrent readers need no locks and a
+    version is reproducible forever (the audit/backfill contract).
+    Real formats add file-level pruning inside a snapshot — that
+    composes with the partitioned/Z-ordered layouts
+    (partitioned_write_pruned_read, layout_zorder_buckets) unchanged.
+    """
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/sinks/{tag}/snap_orders"
+    o = load(spark, sf_dir, "orders")
+    v2 = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_totalprice") > 300000,
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(SNAP_PRICE_BUMP).cast("decimal(4,2)"),
+                2,
+            ).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    manifest = []
+    for version, snap in ((1, o), (2, v2)):
+        vdir = os.path.join(root, f"v{version}")
+        snap.write.mode("overwrite").parquet(vdir)
+        manifest.append((version, vdir))
+    (
+        spark.createDataFrame(manifest, "version INT, dir STRING")
+        .write.mode("overwrite")
+        .json(os.path.join(root, "_manifest"))
+    )
+    # time-travel read: resolve each version through the manifest
+    mrows = (
+        spark.read.schema("version INT, dir STRING")
+        .json(os.path.join(root, "_manifest"))
+        .collect()
+    )
+    out = None
+    for r in sorted(mrows, key=lambda r: r["version"]):
+        agg = (
+            spark.read.parquet(r["dir"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .select(
+                F.lit(r["version"]).cast("int").alias("version"),
+                "o_orderpriority",
+                "n",
+                "total",
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("version", "o_orderpriority")
