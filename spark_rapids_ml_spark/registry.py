@@ -157,6 +157,7 @@ def load_all_modules() -> None:
         aggregates,
         analytics_extra,
         arrays_json,
+        curation,
         dedup,
         graph,
         joins,
