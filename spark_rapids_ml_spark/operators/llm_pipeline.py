@@ -739,3 +739,99 @@ def pipe_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w_tokens").cast("bigint").alias("n_tokens"))
     )
     return _pack_token_counts(t)
+
+
+# pipeline-filter thresholds: minimum tokens, maximum mean chars/token,
+# and the language allowlist (drops zh in the testdata distribution)
+MIN_TOKENS, MAX_MEAN_TOKEN_LEN = 30, 6.0
+KEEP_LANGS = ("de", "en", "es", "fr")
+
+
+@register(
+    "pipe_end_to_end_curation",
+    tags=("llm-pipe", "dedup", "quality", "split"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND CAST(n_chars AS DOUBLE) / n_tokens <= {MAX_MEAN_TOKEN_LEN}
+    AND lang IN ('de', 'en', 'es', 'fr')
+),
+deduped AS (
+  SELECT * FROM filtered
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM filtered GROUP BY {sql_hash60('text')}
+  )
+),
+assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {sql_hash60('text')} % {SPLIT_BUCKETS} < {TRAIN_LT} THEN 'train'
+              WHEN {sql_hash60('text')} % {SPLIT_BUCKETS} < {VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM assigned
+GROUP BY split
+ORDER BY split
+""",
+)
+def pipe_end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline — quality filter → language
+    filter → exact dedup → deterministic split — as one declared DAG,
+    the C4/RefinedWeb-style shape a training-data pipeline actually
+    runs, hash-locked end to end against the same four stages in SQL.
+
+    Stage properties that make the composition one job, not four:
+    quality + language filters are row-local predicates (fused into
+    the scan, no shuffle); exact dedup is ONE shuffle on the content
+    hash keeping min(doc_id) (deterministic representative); the
+    split is again row-local on the same content hash (computed once,
+    reused by dedup and split); the reporting rollup is the only
+    other exchange. At 100 TB: two shuffles total, both on bounded
+    aggregation state — and every stage is individually declared
+    above (text_quality_score, dedup_exact_text,
+    pipe_deterministic_split), so this query pins that composing them
+    changes nothing semantically.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    filtered = (
+        d.withColumn("n_tokens", n_tokens)
+        .where(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_chars").cast("double") / F.col("n_tokens") <= MAX_MEAN_TOKEN_LEN)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        .withColumn("thash", hash60("text"))
+    )
+    deduped = (
+        filtered.withColumn(
+            "rep_id", F.min("doc_id").over(Window.partitionBy("thash"))
+        )
+        .where(F.col("doc_id") == F.col("rep_id"))
+    )
+    bucket = F.col("thash") % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.select("lang", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

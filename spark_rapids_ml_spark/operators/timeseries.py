@@ -460,3 +460,71 @@ def events_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.abs(F.col("zscore")) > 2.5)
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "events_sequence_pattern_match",
+    tags=("timeseries", "analytics", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3,
+         lead(ts, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+matches AS (
+  SELECT user_id, ts
+  FROM ordered
+  WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+    AND t3 <= ts + INTERVAL 1 DAY
+)
+SELECT CAST(hour(ts) AS BIGINT) AS view_hour,
+       COUNT(*) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM matches
+GROUP BY 1
+ORDER BY view_hour
+""",
+)
+def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: STRICTLY CONSECUTIVE
+    view → click → purchase triples per user (no intervening event of
+    any type), with the purchase within one day of the view —
+    bucketed by the view's hour of day. This is the contiguous-pattern
+    complement of events_funnel_conversion's eventually-ordered
+    funnel: lead(n) over the per-user event order expresses fixed-
+    length contiguous patterns without a dedicated operator, the same
+    plan SQL MATCH_RECOGNIZE engines lower to for bounded patterns.
+
+    Scale: ONE shuffle (partition by user_id), per-user sort feeds
+    both lead()s and the pattern predicate; the tie-broken sort key
+    (ts, event_id) makes the match set partition-invariant. At 100 TB
+    the per-user state is two lookahead rows — no state explosion,
+    unlike regex-NFA pattern engines with unbounded quantifiers.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    matches = ordered.where(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (F.col("t3") <= F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        matches.groupBy(F.hour("ts").cast("bigint").alias("view_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("view_hour")
+    )
