@@ -528,3 +528,172 @@ def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("view_hour")
     )
+
+
+@register(
+    "join_asof_nearest_tolerance",
+    tags=("timeseries", "join"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_id AS bk, c.ts AS bt
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+f AS (
+  SELECT p.event_id, c.click_id AS fk, c.ts AS ft
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts
+),
+pick AS (
+  SELECT b.event_id, b.user_id,
+         CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                   date_diff('microsecond', bt, b.ts) <= date_diff('microsecond', b.ts, ft))
+              THEN bk ELSE fk END AS click_id,
+         CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                   date_diff('microsecond', bt, b.ts) <= date_diff('microsecond', b.ts, ft))
+              THEN date_diff('microsecond', bt, b.ts)
+              ELSE -date_diff('microsecond', b.ts, ft) END AS lag_us
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id, click_id, lag_us
+FROM pick
+WHERE click_id IS NOT NULL AND abs(lag_us) <= 3600000000
+ORDER BY event_id
+""",
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance (pandas merge_asof
+    direction='nearest'): each 'error' event matches the closest
+    'click' by the same user in EITHER direction, within 1 hour,
+    ties broken toward the preceding click. Complements
+    asof_join_latest_order's backward-only semantics.
+
+    Spark plan: ONE union of both sides, ONE shuffle on user_id, two
+    window sorts over the same partitioning — ascending carries the
+    latest preceding click forward, descending carries the earliest
+    following click backward — then an argmin on the two microsecond
+    gaps. No range cross-product, no join-back; state per row is two
+    (id, time) pairs. DuckDB's native ASOF JOIN pair (>= and <)
+    verifies the composition exactly, microsecond-exact.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("tag"),
+            "click_id",
+            F.lit(None).cast("long").alias("probe_id"),
+        )
+    )
+    probes = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("probe_id"),
+    )
+    merged = clicks.unionByName(probes)
+    # ascending: clicks (tag 0) sort before probes at equal t -> inclusive >=
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # descending: probes (tag 1 -> -tag -1) sort before clicks at equal
+    # t, so an equal-time click is NOT visible forward (strict >)
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("tag").desc(), F.col("click_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctime = F.when(F.col("tag") == 0, F.col("t"))
+    ann = (
+        merged.withColumn("bk", F.last("click_id", ignorenulls=True).over(w_b))
+        .withColumn("bt", F.last(ctime, ignorenulls=True).over(w_b))
+        .withColumn("fk", F.last("click_id", ignorenulls=True).over(w_f))
+        .withColumn("ft", F.last(ctime, ignorenulls=True).over(w_f))
+        .where(F.col("probe_id").isNotNull())
+    )
+    gap_b = F.expr("timestampdiff(MICROSECOND, bt, t)")
+    gap_f = F.expr("timestampdiff(MICROSECOND, t, ft)")
+    take_b = F.col("bt").isNotNull() & (F.col("ft").isNull() | (gap_b <= gap_f))
+    picked = ann.select(
+        F.col("probe_id").alias("event_id"),
+        "user_id",
+        F.when(take_b, F.col("bk")).otherwise(F.col("fk")).alias("click_id"),
+        F.when(take_b, gap_b).otherwise(-gap_f).cast("bigint").alias("lag_us"),
+    )
+    return (
+        picked.where(F.col("click_id").isNotNull() & (F.abs("lag_us") <= 3_600_000_000))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_trailing_distinct_users",
+    tags=("timeseries", "window", "agg", "scale"),
+    oracle="""
+WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS a, user_id FROM events),
+days AS (SELECT DISTINCT a AS d FROM act),
+ex AS (
+  SELECT user_id, a,
+         CAST(unnest(generate_series(a, a + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM act
+)
+SELECT strftime(ex.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT ex.user_id) AS n_active_7d,
+       COUNT(DISTINCT CASE WHEN ex.a = ex.d THEN ex.user_id END) AS n_active_1d
+FROM ex JOIN days ON ex.d = days.d
+GROUP BY ex.d
+ORDER BY day
+""",
+)
+def window_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (rolling DAU/WAU)
+    — the windowed COUNT(DISTINCT) that neither Spark nor most
+    engines support as a window function, in its scalable form:
+    distinct (user, day) pre-aggregation, then each activity day
+    FANS OUT to the <=7 report days it can influence (a bounded
+    explode, not a range self-join), then one exact distinct count
+    per report day.
+
+    Scale: the pre-agg collapses raw events to at most |users| x
+    |days| rows before any expansion; the x7 fan-out is a per-row
+    projection (no shuffle); the final distinct shuffles on (day,
+    user) — partial-deduped map-side. An unbounded-preceding variant
+    would instead use the mergeable bitmap/HLL partials
+    (agg_bitmap_distinct_rollup, agg_hll_sketch_merge); the bounded
+    window makes the exact fan-out form cheaper here.
+    """
+    act = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("a"), "user_id")
+        .distinct()
+    )
+    days = act.select(F.col("a").alias("d")).distinct()
+    ex = act.select(
+        "user_id", "a", F.explode(F.sequence(F.col("a"), F.date_add("a", 6))).alias("d")
+    )
+    return (
+        ex.join(days, "d")
+        .groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("n_active_7d"),
+            F.countDistinct(F.when(F.col("a") == F.col("d"), F.col("user_id"))).alias(
+                "n_active_1d"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_active_7d",
+            "n_active_1d",
+        )
+        .orderBy("day")
+    )
