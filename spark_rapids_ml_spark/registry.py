@@ -64,60 +64,44 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 5: new or changed this round (4) -----------------------
-    "stream_stream_left_outer_join",  # sentinel-schema fix
-    "sim_lsh_persisted_probe",  # new: persisted bucketed LSH index
-    "agg_freq_items_merge",  # new: mergeable heavy-hitters sketch
-    "sim_lsh_bucketed_topk",  # refactored onto shared _rerank_topk
-    "agg_quantile_sketch_merge",  # new: mergeable quantile summaries
-    "sim_ivf_persisted_probe",  # new: cell-partitioned IVF index
-    "source_orc_roundtrip",  # new: ORC sink/source roundtrip
-    "subquery_lateral_topn",  # new: LATERAL correlated derived table
-    "agg_unpivot_measures",  # new: native unpivot reshape
-    "stream_rocksdb_state_window",  # new: RocksDB state backend
-    "json_variant_extract",  # new: Spark 4 VARIANT typed extraction
-    "sql_recursive_cte_hierarchy",  # new: WITH RECURSIVE walk
-    "scalar_xml_roundtrip",  # new: to_xml/from_xml codec fidelity
-    "layout_compaction_rewrite",  # new: small-files compaction
-    "ml_naive_bayes_langid",  # new: NB train+score, exact counting
-    "graph_triangle_count",  # new: oriented triangle join
-    # -- never driver-checked (late round-4 additions) + stalest
-    # driver rows (r02) (19) ------------------------------------------
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q11_important_stock",
-    "text_bigram_lm_score",
-    "dedup_simhash_hamming_pairs",
-    "sim_quantized_topk",
-    "sim_bruteforce_topk",
-    "dedup_embedding_lsh_pairs",
-    "join_range_binned_count",
-    "window_sessionize_gaps",
-    "sink_merge_upsert",
-    "text_repetition_stats",
-    "text_term_redaction",
-    "layout_zorder_buckets",
-    "pipe_group_reservoir_sample",
-    "graph_pagerank_bipartite",
-    "agg_hll_sketch_merge",
-    "udf_map_in_arrow_textstats",
-    "source_python_datasource",
-    "skew_join_hot_key_isolation",
-    # -- oldest remaining driver rows (r02), registration order (27) --
-    "agg_group_stats",
-    "agg_moments_exact",
-    "agg_corr",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_percentiles_exact",
-    "agg_approx_percentile",
-    "agg_collect_list_sorted",
-    "agg_approx_count_distinct",
-    "agg_count_distinct_multi",
-    "agg_argmax_argmin",
+    # -- round 6 refresh: the 8 queries added late in round 6, then the
+    # earlier round-6 additions and every other query that has NEVER
+    # had a driver correctness row across r01-r05 (31 never-checked
+    # total -- each was judge- or pytest-verified, but a driver row is
+    # the stronger artifact), then the stalest surviving driver rows
+    # (r02 vintage). Fills the driver's 50-query sample window.
+    "pipe_end_to_end_curation",
+    "join_fuzzy_blocked_levenshtein",
+    "profile_table_summary",
+    "agg_distinct_overlap_bitmap",
+    "sink_incremental_agg_maintenance",
+    "events_sequence_pattern_match",
+    "join_asof_nearest_tolerance",
+    "window_trailing_distinct_users",
+    "pipe_cluster_aware_split",
+    "scale_runtime_bloom_filter_join",
+    "sink_merge_on_read_deletes",
+    "sink_snapshot_time_travel",
+    "stream_incremental_dedup_lsh",
+    "pipe_bpe_apply_tokens",
+    "pipe_bpe_tokenize_pack",
+    "pipe_mixture_sampling",
+    "pipe_bpe_train_merges",
+    "mm_video_frame_sample",
+    "mm_image_perceptual_hash",
+    "dq_constraint_checks",
+    "sink_python_datasource_writer",
+    "timeseries_resample_ohlc",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "scd2_dimension_build",
+    "events_rolling_zscore_anomaly",
+    "udf_arrow_scalar_tokenstats",
+    "stream_file_sink_exactly_once",
+    "agg_bitmap_distinct_rollup",
+    "join_interval_overlap_binned",
+    "join_null_aware_anti",
+    # -- stalest remaining driver rows (r02), registration order ------
     "scalar_datetime_extra",
     "agg_bitwise",
     "histogram_fixed_buckets",
@@ -131,6 +115,12 @@ SWEEP_PRIORITY: list[str] = [
     "json_from_json_agg",
     "dedup_exact_text",
     "dedup_exact_by_hash",
+    "dedup_exact_all_columns",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
 ]
 
 
