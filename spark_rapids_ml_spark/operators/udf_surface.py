@@ -21,6 +21,8 @@ salted pattern in aggregates_salted instead).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -239,4 +241,60 @@ def udf_arrow_scalar_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_long_tokens("text").alias("n_long_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+# deterministic "model" for the iterator-UDF inference tier: 64 exact
+# rational weights (shared by the Spark UDF and the DuckDB oracle)
+_MODEL_DIM = 64
+_MODEL_WEIGHTS = [((i * 37) % 19 - 9) / 19.0 for i in range(_MODEL_DIM)]
+
+
+@register(
+    "udf_iter_batch_inference",
+    tags=("udf", "ml", "scale"),
+    oracle=f"""
+SELECT vec_id,
+       CAST(label AS BIGINT) AS label,
+       ROUND(list_dot_product(
+         CAST(embedding AS DOUBLE[]),
+         {_MODEL_WEIGHTS!r}::DOUBLE[]), 6) AS score
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def udf_iter_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas_udf (SCALAR_ITER) — the ML batch-inference
+    tier: the 'model' (a 64-dim linear scorer) is materialized ONCE
+    per task, OUTSIDE the batch loop, then scores every Arrow batch
+    via one BLAS matmul. This is the pattern that makes per-task model
+    load O(1) instead of O(batches) — at 100 TB with a real
+    checkpoint, the load is seconds and batches are thousands, so the
+    plain scalar pandas_udf (which would re-enter per batch anyway)
+    vs iterator matters for weight setup, warm caches, and pinned
+    buffers. The oracle recomputes the identical float64 dot product
+    with the same literal weights in DuckDB.
+
+    Scale: embarrassingly parallel scan -> Arrow batches -> matmul;
+    no shuffle, no driver state; weights ride the closure (broadcast
+    would be used for real multi-MB checkpoints).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        w = np.asarray(_MODEL_WEIGHTS, dtype=np.float64)  # once per task
+        for vecs in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            yield pd.Series(m @ w)
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(score("embedding"), 6).alias("score"),
+        )
+        .orderBy("vec_id")
     )
