@@ -967,3 +967,108 @@ def stream_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _make_stream_datasource():
+    """Streaming Python Data Source (Spark 4 SimpleDataSourceStreamReader):
+    offset-tracked micro-batches over the same deterministic keyspace
+    as the batch connector (operators/sources_io.py)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from spark_rapids_ml_spark.operators.sources_io import _SYNTH_MOD, _SYNTH_MULT
+
+    class _SynthStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 10000))
+            self.chunk = int(options.get("chunk", 1000))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _rows(self, lo, hi):
+            return [(i, i % 16, (i * _SYNTH_MULT) % _SYNTH_MOD) for i in range(lo, hi)]
+
+        def read(self, start):
+            pos = int(start["pos"])
+            end = min(pos + self.chunk, self.n)
+            return iter(self._rows(pos, end)), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            # replay contract: offsets alone reproduce the exact batch
+            return iter(self._rows(int(start["pos"]), int(end["pos"])))
+
+    class SynthStreamDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_stream"
+
+        def schema(self):
+            return "id bigint, bucket bigint, score bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SynthStreamReader(self.options)
+
+    return SynthStreamDataSource
+
+
+_STREAM_DS_N = 12000
+
+
+@register(
+    "stream_python_datasource_reader",
+    tags=("streaming", "source", "scale"),
+    oracle=f"""
+SELECT id % 16 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS score_sum
+FROM (SELECT unnest(generate_series(0, {_STREAM_DS_N - 1})) AS id)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def stream_python_datasource_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Python Data Source API —
+    the third tier of that surface next to the batch reader
+    (source_python_datasource) and the committing writer
+    (sink_python_datasource_writer): an offset-tracked source whose
+    read(start) -> (rows, nextOffset) contract lets Structured
+    Streaming checkpoint progress, and whose readBetweenOffsets
+    replays any micro-batch exactly from its offset pair — the
+    exactly-once recovery contract. The stream drains with
+    processAllAvailable (availableNow snapshots a single read() for
+    this reader tier), so the run genuinely spans n/chunk = 8
+    micro-batches; the complete-mode aggregate must equal the batch
+    oracle over the same keyspace.
+
+    Scale: offsets are O(1) driver state (a position integer, the
+    Kafka-offset shape); each micro-batch materializes only its chunk.
+    The simple-reader tier reads on the driver by design (prefetch
+    + distribute) — a partition-parallel streaming source would
+    implement the full DataSourceStreamReader with partitions();
+    this query pins the offset/replay semantics, which are identical
+    across both tiers.
+    """
+    spark.dataSource.register(_make_stream_datasource())
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("n", str(_STREAM_DS_N))
+        .option("chunk", "1500")
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/{name}")
+            .start()
+        )
+        q.processAllAvailable()  # drain every offset chunk, then stop
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("bucket")
