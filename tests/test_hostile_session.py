@@ -27,6 +27,10 @@ SAMPLED = [
     "layout_zorder_buckets",  # round 6: range-shuffle write under foreign shuffle width
     "pipe_bpe_apply_tokens",  # round 6: pandas_udf under arrow disabled
     "stream_incremental_dedup_lsh",  # round 6: foreachBatch + index under non-UTC tz
+    "udf_iter_batch_inference",  # round 6: iterator pandas_udf under arrow disabled
+    "stream_python_datasource_reader",  # round 6: python stream source, foreign conf
+    "agg_distinct_overlap_bitmap",  # round 6: bitmap partials at 200 shuffle partitions
+    "events_sequence_pattern_match",  # round 6: hour() bucketing under non-UTC session tz
 ]
 
 
