@@ -730,3 +730,69 @@ def mm_image_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     return payloads.mapInPandas(run, PHASH_SCHEMA).orderBy("doc_id")
+
+
+_TENSOR_BATCH = 64  # vectors per exported tensor batch
+_TENSOR_DIM = 64  # embedding dim (testdata contract)
+
+
+@register(
+    "mm_tensor_export_batches",
+    tags=("multimodal", "llm-pipe", "sink", "scale"),
+    oracle=f"""
+SELECT vec_id // {_TENSOR_BATCH} AS batch_id,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) * {_TENSOR_DIM} * 4 AS BIGINT) AS n_bytes,
+       CAST(SUM(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> floor(x * 1000)))) AS BIGINT) AS checksum
+FROM embeddings
+GROUP BY 1
+ORDER BY batch_id
+""",
+)
+def mm_tensor_export_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-tensor export — the LAST stage of a data pipeline:
+    embeddings are packed into fixed-shape float32 tensor batches
+    (the bytes a training loader mmaps), batch membership keyed by
+    vec_id div 64 so the batching is deterministic and shuffle-local
+    (no global sort). Each applyInPandas group materializes the
+    actual (n, 64) float32 buffer via numpy .tobytes(), then
+    re-reads THAT buffer (np.frombuffer) to report byte length and
+    an integer content checksum (sum of floor(v*1000)) — so the hash
+    oracle verifies the exported bytes, not just the row bookkeeping.
+
+    Scale: one shuffle on batch_id (at 100 TB: range-partition by id
+    so consecutive batches co-locate into right-sized output files);
+    each group is a bounded 64x64 buffer; float32→float64 widening
+    is exact, and floor() keeps the checksum engine-identical.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") / _TENSOR_BATCH).cast("bigint").alias("batch_id")
+    )
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("checksum", LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        tensor = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+        buf = tensor.tobytes()  # the exported training batch
+        back = np.frombuffer(buf, dtype=np.float32).reshape(tensor.shape)
+        checksum = int(np.floor(back.astype(np.float64) * 1000).sum())
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf["batch_id"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "n_bytes": [len(buf)],
+                "checksum": [checksum],
+            }
+        )
+
+    return (
+        e.groupBy("batch_id").applyInPandas(pack, schema).orderBy("batch_id")
+    )

@@ -697,3 +697,59 @@ def window_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_transition_matrix",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM pairs WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       -- ratio of identical ints: unrounded, IEEE-identical cross-engine
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur) AS p
+FROM c
+ORDER BY cur, nxt
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: P(next event type |
+    current event type) from per-user ordered event streams — the
+    first model behind journey analytics, next-action prediction
+    baselines, and funnel-drop diagnosis.
+
+    Scale: lead() needs ONE shuffle on user_id; the pair counts
+    reduce to a |types|^2-row matrix (bounded: 25 cells here) with
+    map-side partial aggregation, and the row-normalization window
+    runs on that tiny matrix — a pattern where the heavy stage is
+    provably the first shuffle and everything after is constant-size
+    regardless of corpus volume.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("cur")
+    return (
+        counts.select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(total)).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
