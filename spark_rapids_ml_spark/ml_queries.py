@@ -467,3 +467,81 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(F.pmod("doc_id", F.lit(5)) != 0)
     test = d.where(F.pmod("doc_id", F.lit(5)) == 0)
     return naive_bayes_confusion(train, test, "lang")
+
+
+# ---- closed-form ridge regression (shared Spark/DuckDB formulas) ----
+# Sufficient statistics are EXACT decimal sums; the 3x3 Cramer solve
+# below is the IDENTICAL double expression tree on both engines, so
+# the coefficients are bit-identical before round(6).
+_RIDGE_L = "0.5"  # L2 penalty on the two feature diagonals (not intercept)
+
+_RIDGE_STATS_SQL = """
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(15,4))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,4)) * CAST(l_discount AS DECIMAL(15,4))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(l_discount AS DECIMAL(15,4)) * CAST(l_discount AS DECIMAL(15,4))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,4)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(l_discount AS DECIMAL(15,4)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS s2y
+  FROM lineitem
+"""
+
+_RIDGE_DET = (
+    f"(n_*((s11+{_RIDGE_L})*(s22+{_RIDGE_L})-s12*s12)"
+    f" - sx1*(sx1*(s22+{_RIDGE_L})-s12*sx2)"
+    f" + sx2*(sx1*s12-(s11+{_RIDGE_L})*sx2))"
+)
+_RIDGE_DET0 = (
+    f"(sy*((s11+{_RIDGE_L})*(s22+{_RIDGE_L})-s12*s12)"
+    f" - sx1*(s1y*(s22+{_RIDGE_L})-s12*s2y)"
+    f" + sx2*(s1y*s12-(s11+{_RIDGE_L})*s2y))"
+)
+_RIDGE_DET1 = (
+    f"(n_*(s1y*(s22+{_RIDGE_L})-s12*s2y)"
+    f" - sy*(sx1*(s22+{_RIDGE_L})-s12*sx2)"
+    f" + sx2*(sx1*s2y-s1y*sx2))"
+)
+_RIDGE_DET2 = (
+    f"(n_*((s11+{_RIDGE_L})*s2y-s1y*s12)"
+    f" - sx1*(sx1*s2y-s1y*sx2)"
+    f" + sy*(sx1*s12-(s11+{_RIDGE_L})*sx2))"
+)
+_RIDGE_SELECT_LIST = [
+    "CAST(n_ AS BIGINT) AS n",
+    f"ROUND({_RIDGE_DET0}/{_RIDGE_DET}, 6) AS intercept",
+    f"ROUND({_RIDGE_DET1}/{_RIDGE_DET}, 6) AS beta_quantity",
+    f"ROUND({_RIDGE_DET2}/{_RIDGE_DET}, 6) AS beta_discount",
+]
+_RIDGE_SELECT = ", ".join(_RIDGE_SELECT_LIST)
+
+
+@register(
+    "ml_ridge_closed_form",
+    tags=("ml", "regression", "scale"),
+    oracle=f"SELECT {_RIDGE_SELECT} FROM ({_RIDGE_STATS_SQL})",
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate ridge regression in CLOSED FORM: predict
+    l_extendedprice from (l_quantity, l_discount) with L2 = 0.5 on the
+    feature diagonal — ONE pass computes the 9 exact-decimal
+    sufficient statistics (the Gram matrix and moment vector), then an
+    unrolled 3x3 Cramer solve runs as a scalar projection. The Spark
+    side and the DuckDB oracle execute the SAME formula strings, so
+    the coefficients are bit-identical before rounding — the hash
+    oracle pins the multivariate algebra itself (the numpy-oracled
+    ml/linreg.py covers the general-d API; this pins d=2+intercept at
+    the value level).
+
+    Scale: this is THE pattern for linear models at 100 TB — O(d^2)
+    mergeable state (here 9 numbers) from one map-side-combined scan,
+    solve on bounded state; no gradient iterations, no per-row Python.
+    Adding features grows state quadratically but the pass count stays
+    one (the reference's covariance-then-eigendecompose PCA,
+    RapidsRowMatrix.scala:147, is the same shape).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    stats = spark.sql(_RIDGE_STATS_SQL)
+    return stats.selectExpr(*_RIDGE_SELECT_LIST)
