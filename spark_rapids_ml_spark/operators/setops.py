@@ -107,3 +107,48 @@ def setop_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "setop_bag_except_intersect_all",
+    tags=("setop",),
+    oracle=f"""
+SELECT op, nationkey, COUNT(*) AS n FROM (
+  SELECT 'except_all' AS op, nationkey
+  FROM ({_CUST_SQL} EXCEPT ALL {_SUPP_SQL})
+  UNION ALL
+  SELECT 'intersect_all' AS op, nationkey
+  FROM ({_CUST_SQL} INTERSECT ALL {_SUPP_SQL})
+)
+GROUP BY op, nationkey
+ORDER BY op, nationkey
+""",
+)
+def setop_bag_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiset
+    difference and intersection preserve multiplicities — the variants
+    the distinct-flavored setop_except/setop_intersect can't express
+    (a key appearing 5x on the left and 2x on the right survives 3x /
+    matches 2x). Spark's exceptAll/intersectAll vs DuckDB's native
+    EXCEPT ALL / INTERSECT ALL.
+
+    Scale: both plan as a count-per-row-value aggregation + replicate
+    (one shuffle on the projected key, like a group-by) — NOT a join
+    explosion; same state bound as distinct, plus a multiplicity
+    counter.
+    """
+    c = _cust_nations(spark, sf_dir)
+    s = _supp_nations(spark, sf_dir)
+    ex = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    it = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    return ex.unionByName(it).orderBy("op", "nationkey")

@@ -9,6 +9,7 @@ per-row re-execution.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
@@ -259,4 +260,58 @@ def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w.nk, n.n_name
         ORDER BY n_nationkey
         """
+    )
+
+
+@register(
+    "subquery_quantified_all_any",
+    tags=("subquery", "sql"),
+    oracle="""
+WITH p AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P'),
+     nope AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'X')
+SELECT COUNT(*) FILTER (o_totalprice > ALL (SELECT o_totalprice FROM p)) AS n_gt_all_p,
+       COUNT(*) FILTER (o_totalprice >= ANY (SELECT o_totalprice FROM p)) AS n_ge_any_p,
+       COUNT(*) FILTER (o_totalprice < ALL (SELECT o_totalprice FROM p)) AS n_lt_all_p,
+       COUNT(*) FILTER (o_totalprice > ALL (SELECT o_totalprice FROM nope)) AS n_gt_all_empty,
+       COUNT(*) AS total
+FROM orders
+""",
+)
+def subquery_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries (> ALL / >= ANY / < ALL) —
+    SQL surface Spark has NO native predicate for; expressed
+    Spark-first as the MIN/MAX rewrite with the empty-set corner
+    handled explicitly: `x > ALL (S)` is `x > max(S) OR S = empty`
+    (vacuously true), `x >= ANY (S)` is `x >= min(S) AND S nonempty`.
+    The 'nope' branch pins the vacuous-truth semantics the naive
+    rewrite (`x > max(S)` alone, NULL when S is empty) silently gets
+    wrong. The oracle runs DuckDB's native ALL/ANY.
+
+    Scale: each subquery collapses to a 1-row (min, max, count)
+    aggregate broadcast to the probe scan — O(1) state, no join; the
+    quantified predicate family never needs the O(N^2) comparison its
+    syntax suggests. (Subquery columns here are non-null; a nullable
+    S adds the three-valued branch join_null_aware_anti pins for IN.)
+    """
+    o = load(spark, sf_dir, "orders")
+    p = o.where(F.col("o_orderstatus") == "P").agg(
+        F.max("o_totalprice").alias("p_max"),
+        F.min("o_totalprice").alias("p_min"),
+        F.count(F.lit(1)).alias("p_cnt"),
+    )
+    nope = o.where(F.col("o_orderstatus") == "X").agg(
+        F.max("o_totalprice").alias("x_max"),
+        F.count(F.lit(1)).alias("x_cnt"),
+    )
+    joined = o.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(nope))  # 1-row aggs
+    gt_all_p = (F.col("p_cnt") == 0) | (F.col("o_totalprice") > F.col("p_max"))
+    ge_any_p = (F.col("p_cnt") > 0) & (F.col("o_totalprice") >= F.col("p_min"))
+    lt_all_p = (F.col("p_cnt") == 0) | (F.col("o_totalprice") < F.col("p_min"))
+    gt_all_empty = (F.col("x_cnt") == 0) | (F.col("o_totalprice") > F.col("x_max"))
+    return joined.agg(
+        F.count(F.when(gt_all_p, 1)).alias("n_gt_all_p"),
+        F.count(F.when(ge_any_p, 1)).alias("n_ge_any_p"),
+        F.count(F.when(lt_all_p, 1)).alias("n_lt_all_p"),
+        F.count(F.when(gt_all_empty, 1)).alias("n_gt_all_empty"),
+        F.count(F.lit(1)).alias("total"),
     )
