@@ -875,3 +875,56 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_pivot_dynamic",
+    tags=("agg", "scale"),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot — the two-phase pattern for when the pivot
+    column's value set is NOT known ahead of time: phase 1 collects
+    the distinct values (bounded driver state — a pivot is only
+    meaningful for low-cardinality columns, and the collect makes
+    that bound explicit); phase 2 pivots on the discovered list,
+    which lets Spark skip its own implicit values-discovery job AND
+    yields deterministic column order (sorted). The oracle pins the
+    converged value set: discovery must find exactly the five
+    priorities. Column names are sanitized to SQL identifiers the
+    same way on both sides.
+
+    Scale: phase 1 is a map-side-combined distinct on one column;
+    unbounded-cardinality pivots are a modeling error this pattern
+    surfaces at the collect (cap it in production). agg_pivot is the
+    static-list variant.
+    """
+    o = load(spark, sf_dir, "orders")
+    vals = sorted(
+        r[0] for r in o.select("o_orderpriority").distinct().collect()
+    )  # bounded: pivot cardinality
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(
+                v.lower().replace("-", "_").replace(" ", "_").replace("1_", "p1_").replace("2_", "p2_").replace("3_", "p3_").replace("4_", "p4_").replace("5_", "p5_")
+            )
+            for v in vals
+        ],
+    )
+    return renamed.orderBy("o_orderstatus")

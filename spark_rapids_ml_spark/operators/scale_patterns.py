@@ -648,3 +648,65 @@ def scale_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFra
         # under the intended confs; return a stable local relation
         rows = res.collect()
     return spark.createDataFrame(rows, res.schema)
+
+
+@register(
+    "scale_manifest_file_pruning",
+    tags=("scale", "sink", "source"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-09-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scale_manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based data skipping — the Iceberg/Delta pattern
+    distilled: the table is written as date-range-clustered files
+    (repartitionByRange on o_orderdate), a MANIFEST of per-file
+    (path, min_date, max_date) is derived in one pass, and the query
+    consults the KB-sized manifest first, handing the scan ONLY the
+    files whose stats ranges overlap the predicate — the rest are
+    never opened. The result must equal the full-scan filter (the
+    oracle), because stats pruning is sound by construction: a
+    skipped file provably contains no qualifying row.
+
+    Scale: at 100 TB the manifest is the difference between listing/
+    footer-reading a million files and reading a few thousand; range
+    clustering at write time is what makes per-file min/max tight
+    (random layout makes every file overlap every predicate). The
+    manifest collect is bounded driver state (n_files rows), and the
+    pruned-set contract (subset of files, same rows) is pinned in
+    tests/test_round6_ops.py.
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/root/repo/.tmp/sinks/{tag}/orders_ranged"
+    o = load(spark, sf_dir, "orders")
+    o.repartitionByRange(12, "o_orderdate").write.mode("overwrite").parquet(path)
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()  # bounded: one row per data file
+    )
+    lo, hi = "1995-06-01", "1995-09-01"
+    picked = [
+        r.file
+        for r in manifest
+        if str(r.hi) >= lo and str(r.lo) < hi  # stats-range overlap
+    ]
+    pruned = spark.read.parquet(*picked).where(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

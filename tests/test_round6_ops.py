@@ -76,3 +76,29 @@ def test_stream_datasource_offset_replay():
         seen.extend(rows)
         off = nxt
     assert [r[0] for r in seen] == list(range(100))
+
+
+def test_manifest_pruning_skips_files(spark):
+    """The manifest must actually prune: the selected file set for the
+    3-month predicate is a strict subset of the range-clustered files."""
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        scale_manifest_file_pruning,
+    )
+
+    scale_manifest_file_pruning(spark, SF).collect()  # writes + reads
+    tag = SF.strip("/").replace("/", "_")
+    path = f"/root/repo/.tmp/sinks/{tag}/orders_ranged"
+    files = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    lo, hi = "1995-06-01", "1995-09-01"
+    picked = [r for r in files if str(r.hi) >= lo and str(r.lo) < hi]
+    assert len(files) > 1
+    assert 0 < len(picked) < len(files), (
+        f"pruning skipped nothing: {len(picked)}/{len(files)} files selected"
+    )
