@@ -268,3 +268,91 @@ def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "scalar_url_parse",
+    tags=("scalar", "string"),
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang
+           || '?id=' || CAST(doc_id AS VARCHAR) || '&v=2' AS url
+  FROM documents WHERE doc_id <= 200
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param,
+       regexp_extract(url, '^([a-z]+):', 1) AS protocol
+FROM u
+ORDER BY doc_id
+""",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's parse_url family (HOST / PATH /
+    QUERY / QUERY:key / PROTOCOL) over deterministically constructed
+    URLs — the log-analytics scalar tier. The oracle decomposes the
+    same URLs with anchored regexes, so the hash pins parse_url's
+    component semantics exactly.
+
+    Scale: parse_url is JVM codegen (one pass per row, no UDF) —
+    the correct tool against regexp_extract chains that rescan the
+    string per component."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_try_functions",
+    tags=("scalar", "dq"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity / NULLIF(l_discount, 0.0) AS DOUBLE) AS qty_per_disc,
+       TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS line_as_int,
+       CAST(CASE WHEN l_linenumber = 0 THEN NULL
+                 ELSE l_orderkey % l_linenumber END AS BIGINT) AS key_mod_line
+FROM lineitem
+WHERE l_orderkey <= 300
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (try_divide / try_cast / try_mod) —
+    the ANSI-mode production-hardening tier: divide-by-zero and bad
+    casts yield NULL instead of failing the 100 TB job at row
+    3-billion-something. The oracle expresses the identical semantics
+    with NULLIF guards and TRY_CAST.
+
+    Scale: these compile to the same codegen as their unsafe
+    siblings plus a branch — the cost of not re-running a 6-hour
+    pipeline because one malformed row slipped through upstream DQ.
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), F.col("l_discount")).alias("qty_per_disc"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_int"),
+        F.expr("try_cast(CAST(l_linenumber AS STRING) AS BIGINT)").alias("line_as_int"),
+        F.expr("try_mod(l_orderkey, l_linenumber)").cast("bigint").alias("key_mod_line"),
+    ).orderBy("l_orderkey", "l_linenumber")
