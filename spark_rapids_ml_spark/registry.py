@@ -70,6 +70,17 @@ SWEEP_PRIORITY: list[str] = [
     # total -- each was judge- or pytest-verified, but a driver row is
     # the stronger artifact), then the stalest surviving driver rows
     # (r02 vintage). Fills the driver's 50-query sample window.
+    "stream_python_datasource_reader",
+    "udf_iter_batch_inference",
+    "events_transition_matrix",
+    "mm_tensor_export_batches",
+    "ml_ridge_closed_form",
+    "setop_bag_except_intersect_all",
+    "subquery_quantified_all_any",
+    "scale_manifest_file_pruning",
+    "agg_pivot_dynamic",
+    "scalar_url_parse",
+    "scalar_try_functions",
     "pipe_end_to_end_curation",
     "join_fuzzy_blocked_levenshtein",
     "profile_table_summary",
@@ -108,19 +119,8 @@ SWEEP_PRIORITY: list[str] = [
     "timeseries_gap_fill",
     "array_basic_ops",
     "array_explode_tokens",
-    "array_posexplode",
-    "array_higher_order_vec",
-    "array_set_ops",
-    "json_extract_events",
-    "json_from_json_agg",
     "dedup_exact_text",
     "dedup_exact_by_hash",
-    "dedup_exact_all_columns",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_clusters",
 ]
 
 
