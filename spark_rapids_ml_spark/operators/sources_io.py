@@ -593,3 +593,66 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionAll(agg)
     return out.orderBy("version", "o_orderpriority")
+
+
+@register(
+    "source_csv_permissive_corrupt",
+    tags=("source", "dq"),
+    oracle="""
+WITH lines AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'bad,' || substr(text, 1, 10)
+              ELSE CAST(doc_id AS VARCHAR) || ',' || CAST(n_chars AS VARCHAR) || ',42'
+         END AS line
+  FROM documents WHERE doc_id <= 400
+)
+SELECT lang,
+       COUNT(*) FILTER (doc_id % 7 != 0) AS n_good,
+       COUNT(*) FILTER (doc_id % 7 = 0) AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN n_chars END) AS BIGINT) AS sum_b
+FROM lines
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def source_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion under PERMISSIVE mode — the
+    dirty-data contract: CSV lines are parsed with from_csv against a
+    typed schema with a _corrupt_record column; rows that fail the
+    schema (a non-numeric first field here, every 7th doc) land in
+    the corrupt column with all data fields NULL instead of failing
+    the job, and the query audits good/corrupt counts per group. The
+    oracle derives corruptness from the generating rule, so the hash
+    pins that PERMISSIVE classifies EXACTLY the malformed rows —
+    no false drops, no silent coercions.
+
+    Scale: this is how a 100 TB raw-text ingest survives the 0.001%
+    of garbage rows every real feed contains: parse errors become
+    data (quarantine-able, countable, alertable) rather than task
+    failures; from_csv is JVM codegen, per-row, no Python.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 400)
+    line = F.when(
+        F.pmod("doc_id", F.lit(7)) == 0,
+        F.concat(F.lit("bad,"), F.substring("text", 1, 10)),
+    ).otherwise(
+        F.concat_ws(",", F.col("doc_id"), F.col("n_chars"), F.lit("42"))
+    )
+    parsed = d.select(
+        "lang",
+        F.from_csv(
+            line,
+            F.lit("a BIGINT, b BIGINT, c BIGINT, _corrupt_record STRING"),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("r._corrupt_record").isNull(), 1)).alias("n_good"),
+            F.count(F.when(F.col("r._corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+            F.sum("r.b").cast("bigint").alias("sum_b"),
+        )
+        .orderBy("lang")
+    )

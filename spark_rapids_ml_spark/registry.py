@@ -70,6 +70,7 @@ SWEEP_PRIORITY: list[str] = [
     # total -- each was judge- or pytest-verified, but a driver row is
     # the stronger artifact), then the stalest surviving driver rows
     # (r02 vintage). Fills the driver's 50-query sample window.
+    "source_csv_permissive_corrupt",
     "stream_python_datasource_reader",
     "udf_iter_batch_inference",
     "events_transition_matrix",
@@ -117,7 +118,6 @@ SWEEP_PRIORITY: list[str] = [
     "agg_bitwise",
     "histogram_fixed_buckets",
     "timeseries_gap_fill",
-    "array_basic_ops",
     "array_explode_tokens",
     "dedup_exact_text",
     "dedup_exact_by_hash",
