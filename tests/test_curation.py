@@ -49,7 +49,11 @@ def test_profile_summary_single_scan_and_consistency(spark):
     assert len(totals) == 1  # every column profiled over the same rowcount
     for r in rows.values():
         assert 0 < r.n_distinct <= r.n_nonnull
-        assert r.min_val <= r.max_val or r.n_distinct == 1 or True  # strings
+        # min <= max in the column's own domain (numeric when parseable)
+        try:
+            assert float(r.min_val) <= float(r.max_val)
+        except ValueError:
+            assert r.min_val <= r.max_val
 
 
 def test_bitmap_overlap_inclusion_exclusion(spark):
