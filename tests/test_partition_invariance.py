@@ -32,6 +32,14 @@ SAMPLED = [
     "pipe_deterministic_split",
     "pipe_contamination_overlap",
     "dedup_embedding_cosine_pairs",
+    # round 6: windowed/joined ops whose tie-broken orderings and
+    # mergeable state must hold under any layout
+    "join_asof_nearest_tolerance",
+    "events_transition_matrix",
+    "window_trailing_distinct_users",
+    "ml_ridge_closed_form",
+    "mm_tensor_export_batches",
+    "pipe_end_to_end_curation",
 ]
 
 
