@@ -710,3 +710,45 @@ def scale_manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scale_observe_metrics",
+    tags=("scale", "dq", "agg"),
+    oracle="""
+SELECT COUNT(*) AS n_scanned,
+       COUNT(*) FILTER (l_discount >= 0.05) AS n_kept,
+       CAST(SUM(CASE WHEN l_discount >= 0.05
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_revenue
+FROM lineitem
+WHERE l_quantity < 25
+""",
+)
+def scale_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: named metrics accumulated DURING a query's
+    only pass (rows scanned, rows surviving a filter, revenue kept) —
+    the audit-without-rescan contract. At 100 TB you cannot afford a
+    second scan just to know how many rows a filter dropped;
+    df.observe() rides the existing job the way accumulators do, but
+    with structured, exactly-once semantics per action. The observed
+    metrics ARE this query's output, hash-checked against computing
+    the same aggregates declaratively — pinning that observe() sees
+    every row exactly once.
+    """
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 25)
+    obs = Observation("scan_audit")
+    kept = F.col("l_discount") >= 0.05
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("l_extendedprice").cast("decimal(18,2)"))).alias("rev"),
+    )
+    observed.where(kept).count()  # the one pass; metrics accumulate alongside
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_scanned"]), int(m["n_kept"]), float(m["rev"]))],
+        "n_scanned bigint, n_kept bigint, kept_revenue double",
+    )

@@ -152,3 +152,61 @@ def setop_bag_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
     )
     return ex.unionByName(it).orderBy("op", "nationkey")
+
+
+@register(
+    "setop_union_schema_evolution",
+    tags=("setop", "source", "scale"),
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+),
+merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+  UNION ALL
+  SELECT * FROM v2
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def setop_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — reading history written BEFORE a
+    column existed together with data written after:
+    unionByName(allowMissingColumns=True) aligns by NAME and fills
+    the missing column with NULL, the semantics positional UNION ALL
+    gets silently wrong when column order drifts. Old rows surface
+    under an explicit '<pre-evolution>' bucket.
+
+    Scale: schema evolution is the normal state of a years-old 100 TB
+    table (Parquet mergeSchema at scan, by-name union at plan level);
+    by-name alignment costs nothing at runtime — it is resolved at
+    analysis time, the scan and shuffle are identical to the
+    homogeneous case.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    v1 = o.where(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_totalprice")
+    v2 = o.where(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("priority")
+    )

@@ -70,6 +70,8 @@ SWEEP_PRIORITY: list[str] = [
     # total -- each was judge- or pytest-verified, but a driver row is
     # the stronger artifact), then the stalest surviving driver rows
     # (r02 vintage). Fills the driver's 50-query sample window.
+    "scale_observe_metrics",
+    "setop_union_schema_evolution",
     "source_csv_permissive_corrupt",
     "stream_python_datasource_reader",
     "udf_iter_batch_inference",
@@ -115,8 +117,6 @@ SWEEP_PRIORITY: list[str] = [
     "join_null_aware_anti",
     # -- stalest remaining driver rows (r02), registration order ------
     "scalar_datetime_extra",
-    "agg_bitwise",
-    "histogram_fixed_buckets",
     "timeseries_gap_fill",
     "array_explode_tokens",
     "dedup_exact_text",
