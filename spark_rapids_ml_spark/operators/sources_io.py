@@ -656,3 +656,62 @@ def source_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_text_lines_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+WITH lines AS (
+  SELECT CAST(doc_id AS VARCHAR) || '|' || lang || '|' || CAST(n_chars AS VARCHAR) AS value
+  FROM documents
+)
+SELECT split_part(value, '|', 2) AS lang,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(split_part(value, '|', 3) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(MAX(LENGTH(value)) AS BIGINT) AS max_line_len
+FROM lines
+GROUP BY 1
+ORDER BY lang
+""",
+)
+def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink roundtrip — the raw-log ingest
+    format: structured rows serialized to delimited lines, written
+    with the `text` format (one string column = one line), read back
+    as lines, and re-parsed with split(). The aggregate over the
+    parsed lines must match computing directly from the table — the
+    serialize→write→read→parse cycle is lossless for
+    delimiter-free fields.
+
+    Scale: text is the format logs actually arrive in at 100 TB;
+    the parse is JVM split() (codegen), the lines are splittable by
+    newline so the read parallelizes like any file source. (Avro was
+    probed for the same roundtrip: pyspark's pip distribution ships
+    without the external spark-avro module and the environment
+    forbids installs — CSV/JSON/ORC/parquet/text is the available
+    matrix.)
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/root/repo/.tmp/sinks/{tag}/documents_lines"
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias("value")
+    )
+    lines.write.mode("overwrite").format("text").save(path)
+    back = spark.read.format("text").load(path)
+    parts = F.split("value", "\\|")
+    return (
+        back.select(
+            F.element_at(parts, 2).alias("lang"),
+            F.element_at(parts, 3).cast("bigint").alias("nc"),
+            F.length("value").alias("ll"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+            F.max("ll").cast("bigint").alias("max_line_len"),
+        )
+        .orderBy("lang")
+    )
