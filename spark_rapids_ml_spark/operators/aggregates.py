@@ -918,13 +918,12 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", vals)
         .agg(F.count(F.lit(1)))
     )
+    def col_alias(v: str) -> str:
+        # '1-URGENT' -> 'p1_urgent' (SQL-identifier-safe, sorted order)
+        return "p" + v.lower().replace("-", "_").replace(" ", "_")
+
     renamed = piv.select(
         "o_orderstatus",
-        *[
-            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(
-                v.lower().replace("-", "_").replace(" ", "_").replace("1_", "p1_").replace("2_", "p2_").replace("3_", "p3_").replace("4_", "p4_").replace("5_", "p5_")
-            )
-            for v in vals
-        ],
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(col_alias(v)) for v in vals],
     )
     return renamed.orderBy("o_orderstatus")
