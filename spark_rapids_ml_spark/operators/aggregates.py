@@ -927,3 +927,40 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(col_alias(v)) for v in vals],
     )
     return renamed.orderBy("o_orderstatus")
+
+
+@register(
+    "agg_listagg_ordered",
+    tags=("agg", "string"),
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY regionkey
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's listagg WITHIN GROUP
+    (ORDER BY), the ANSI string_agg: deterministic because the
+    intra-group order is DECLARED, not inherited from partition
+    layout (the trap collect_list falls into;
+    agg_collect_list_sorted is the pre-4.0 workaround formulation).
+
+    Scale: same shuffle as any group-by; output size is the governed
+    quantity — use it on bounded groups (a dimension here), never to
+    concatenate a fact table into strings.
+    """
+    n = load(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY regionkey
+        """
+    )

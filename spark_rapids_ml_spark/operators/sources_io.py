@@ -715,3 +715,54 @@ def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    tags=("source", "sink"),
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS n_supp,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML FILE FORMAT roundtrip (Spark 4 built-in, the
+    spark-xml lineage): supplier rows written as <row> elements under
+    a root tag, read back with rowTag streaming-parse, aggregated —
+    the enterprise-feed ingest format, distinct from the
+    to_xml/from_xml STRING codec scalar_xml_roundtrip covers. The
+    aggregate over the re-read rows must match the source table:
+    write→parse is lossless for typed scalar fields.
+
+    Scale: Spark's XML reader splits by row tag, so a directory of
+    XML feeds parallelizes like any file source; schema is supplied
+    (no inference pass).
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/root/repo/.tmp/sinks/{tag}/supplier_xml"
+    s = load(spark, sf_dir, "supplier")
+    (
+        s.write.mode("overwrite")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(s.schema)
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
