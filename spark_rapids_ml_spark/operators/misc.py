@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load
+from spark_rapids_ml_spark.sources.catalog import load, table_path
 
 
 @register(
@@ -135,3 +135,52 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "ps_pandas_api_groupby",
+    tags=("api", "agg"),
+    oracle="""
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+WHERE s_acctbal > 0
+GROUP BY s_nationkey
+ORDER BY nationkey
+""",
+)
+def ps_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (pyspark.pandas): the same
+    filter→groupby→agg written as pandas idioms, lowered by the ps
+    layer onto the identical Catalyst plan — the migration path for
+    pandas codebases onto 100 TB without a rewrite. The result is
+    converted back with to_spark() and must hash-match the
+    declarative formulation.
+
+    Scale: ps operations compile to DataFrame plans (no driver
+    materialization here); the caveats are the default index
+    (avoided: distributed default, no index dependence in the
+    output) and ops with no distributed lowering (e.g. .values) —
+    this query stays on the lowered-plan subset.
+    """
+    import pyspark.pandas as pps
+
+    prev = pps.get_option("compute.default_index_type")
+    pps.set_option("compute.default_index_type", "distributed")
+    try:
+        psdf = pps.read_parquet(table_path(sf_dir, "supplier"))
+        out = (
+            psdf[psdf["s_acctbal"] > 0]
+            .groupby("s_nationkey")
+            .agg(n=("s_suppkey", "count"), total_bal=("s_acctbal", "sum"))
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    finally:
+        pps.set_option("compute.default_index_type", prev)
+    return sdf.select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("total_bal"), 2).cast("double").alias("total_bal"),
+    ).orderBy("nationkey")

@@ -70,6 +70,7 @@ SWEEP_PRIORITY: list[str] = [
     # total -- each was judge- or pytest-verified, but a driver row is
     # the stronger artifact), then the stalest surviving driver rows
     # (r02 vintage). Fills the driver's 50-query sample window.
+    "ps_pandas_api_groupby",
     "source_xml_roundtrip",
     "agg_listagg_ordered",
     "source_text_lines_roundtrip",
@@ -119,7 +120,6 @@ SWEEP_PRIORITY: list[str] = [
     "join_interval_overlap_binned",
     "join_null_aware_anti",
     # -- stalest remaining driver rows (r02), registration order ------
-    "dedup_exact_text",
     "dedup_exact_by_hash",
 ]
 
