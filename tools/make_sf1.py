@@ -53,16 +53,21 @@ DST = os.environ.get(
 )
 COPIES = 10
 
-# per-copy key offsets: larger than each key's max at sf0.1
+# per-copy key offsets: larger than each key's max at sf0.1. When the
+# SOURCE is itself a scaled-up output (e.g. sf1 -> sf10), set
+# SPARK_GRAFT_SF1_OFFSET_MULT to the source's own scale-up factor so
+# the per-copy shifts clear the source's full (already-shifted) key
+# range — otherwise copies collide and join fan-outs go super-linear.
+_OFF_MULT = int(os.environ.get("SPARK_GRAFT_SF1_OFFSET_MULT", "1"))
 OFFSETS = {
-    "orderkey": 1_000_000,
-    "custkey": 100_000,
-    "partkey": 100_000,
-    "suppkey": 10_000,
-    "event_id": 1_000_000,
-    "user_id": 10_000,
-    "doc_id": 100_000,
-    "vec_id": 100_000,
+    "orderkey": 1_000_000 * _OFF_MULT,
+    "custkey": 100_000 * _OFF_MULT,
+    "partkey": 100_000 * _OFF_MULT,
+    "suppkey": 10_000 * _OFF_MULT,
+    "event_id": 1_000_000 * _OFF_MULT,
+    "user_id": 10_000 * _OFF_MULT,
+    "doc_id": 100_000 * _OFF_MULT,
+    "vec_id": 100_000 * _OFF_MULT,
 }
 
 # (table, column) -> offset key
