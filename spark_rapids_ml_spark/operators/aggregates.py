@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_rapids_ml_spark.functions.portable import davg, dsum
+from spark_rapids_ml_spark.functions.portable import davg, dsum, hash60, sql_hash60
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -963,4 +963,149 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         ORDER BY regionkey
         """
+    )
+
+
+KMV_K = 256
+KMV_MAXH = 1 << 60  # hash60 range upper bound; exact in double
+
+
+@register(
+    "agg_kmv_theta_sketch_ops",
+    tags=("agg", "approx", "scale"),
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT {sql_hash60("'u' || CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b AS (
+  SELECT DISTINCT {sql_hash60("'u' || CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+ska AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+skb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+sa AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ska),
+sb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM skb),
+ex AS (
+  SELECT COUNT(DISTINCT CASE WHEN p1 THEN k END) AS xa,
+         COUNT(DISTINCT CASE WHEN p2 THEN k END) AS xb,
+         COUNT(DISTINCT CASE WHEN p1 AND p2 THEN k END) AS xi
+  FROM (
+    SELECT o_custkey AS k,
+           BOOL_OR(o_orderpriority = '1-URGENT') AS p1,
+           BOOL_OR(o_orderpriority = '2-HIGH') AS p2
+    FROM orders GROUP BY o_custkey
+  )
+),
+th AS (
+  SELECT LEAST(CASE WHEN sa.n < {KMV_K} THEN {KMV_MAXH} ELSE sa.mx END,
+               CASE WHEN sb.n < {KMV_K} THEN {KMV_MAXH} ELSE sb.mx END) AS theta
+  FROM sa, sb
+),
+ni AS (
+  SELECT COUNT(*) AS n_inter
+  FROM ska JOIN skb USING (h), th
+  WHERE ska.h < th.theta
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(ex.xa AS BIGINT) AS exact_a,
+       ROUND(CASE WHEN sa.n < {KMV_K} THEN CAST(sa.n AS DOUBLE)
+                  ELSE ({KMV_K} - 1.0) * (CAST({KMV_MAXH} AS DOUBLE) / CAST(sa.mx AS DOUBLE)) END, 4) AS est_a,
+       CAST(ex.xb AS BIGINT) AS exact_b,
+       ROUND(CASE WHEN sb.n < {KMV_K} THEN CAST(sb.n AS DOUBLE)
+                  ELSE ({KMV_K} - 1.0) * (CAST({KMV_MAXH} AS DOUBLE) / CAST(sb.mx AS DOUBLE)) END, 4) AS est_b,
+       CAST(ex.xi AS BIGINT) AS exact_inter,
+       ROUND(CAST(ni.n_inter AS DOUBLE) * (CAST({KMV_MAXH} AS DOUBLE) / CAST(th.theta AS DOUBLE)), 4) AS est_inter
+FROM sa, sb, ex, th, ni
+""",
+)
+def agg_kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch with SET OPERATIONS — the mergeable distinct
+    sketch that supports INTERSECTION, which HLL cannot (HLL unions
+    losslessly but intersections via inclusion-exclusion blow up the
+    error): keep the k={KMV_K} minimum 60-bit hash values per segment;
+    the kth minimum estimates density (est = (k-1)·H/h_k), and two
+    sketches intersect by counting shared retained hashes below
+    θ = min(θ_A, θ_B), scaled by H/θ — the Apache-DataSketches theta
+    semantics. Segments smaller than k degrade to exact sets (θ = H),
+    so the estimator is exact there by construction. Output carries
+    the exact distinct counts side by side, hash-pinning both the
+    sketch arithmetic AND its accuracy on this corpus.
+
+    Scale: the k-minimum pass is Spark's TakeOrderedAndProject — each
+    partition keeps its own k smallest, the driver merges O(k·parts)
+    values — the same bounded-summary contract as agg_hll_sketch_merge
+    / agg_quantile_sketch_merge; sketches are O(k) forever after, so
+    segment set algebra (union/intersect/difference estimates over
+    billions of keys) runs on KB-sized state without rescanning the
+    corpus. The exact-count columns are the only O(distinct) work and
+    exist purely as the accuracy oracle.
+    """
+    o = load(spark, sf_dir, "orders")
+    h = hash60(F.concat(F.lit("u"), F.col("o_custkey").cast("string")))
+
+    def sketch(prio: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderpriority") == prio)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    ska, skb = sketch("1-URGENT"), sketch("2-HIGH")
+    sa = ska.agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("mx_a"))
+    sb = skb.agg(F.count(F.lit(1)).alias("n_b"), F.max("h").alias("mx_b"))
+    ex = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("p1"),
+            F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("p2"),
+        )
+        .agg(
+            F.sum("p1").cast("bigint").alias("exact_a"),
+            F.sum("p2").cast("bigint").alias("exact_b"),
+            F.sum(F.col("p1") * F.col("p2")).cast("bigint").alias("exact_inter"),
+        )
+    )
+    maxh_d = float(KMV_MAXH)
+    stats = sa.crossJoin(sb).withColumn(
+        "theta",
+        F.least(
+            F.when(F.col("n_a") < KMV_K, F.lit(KMV_MAXH)).otherwise(F.col("mx_a")),
+            F.when(F.col("n_b") < KMV_K, F.lit(KMV_MAXH)).otherwise(F.col("mx_b")),
+        ),
+    )
+    ni = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(stats.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        stats.crossJoin(ex)
+        .crossJoin(ni)
+        .select(
+            F.lit(KMV_K).cast("bigint").alias("k"),
+            "exact_a",
+            F.round(
+                F.when(F.col("n_a") < KMV_K, F.col("n_a").cast("double")).otherwise(
+                    F.lit(KMV_K - 1.0) * (F.lit(maxh_d) / F.col("mx_a").cast("double"))
+                ),
+                4,
+            ).alias("est_a"),
+            "exact_b",
+            F.round(
+                F.when(F.col("n_b") < KMV_K, F.col("n_b").cast("double")).otherwise(
+                    F.lit(KMV_K - 1.0) * (F.lit(maxh_d) / F.col("mx_b").cast("double"))
+                ),
+                4,
+            ).alias("est_b"),
+            "exact_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                * (F.lit(maxh_d) / F.col("theta").cast("double")),
+                4,
+            ).alias("est_inter"),
+        )
     )

@@ -766,3 +766,115 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+CDF_DELETE_MOD = 13   # v2 drops keys divisible by 13
+CDF_UPDATE_MOD = 11   # v2 restates prices on keys divisible by 11
+CDF_INSERT_MOD = 7    # v1 lacks keys divisible by 7 (v2 inserts them)
+CDF_PRICE_BUMP = 1.05
+
+
+@register(
+    "sink_change_data_feed",
+    tags=("sink", "scale", "cdc"),
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % {CDF_INSERT_MOD} <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDF_UPDATE_MOD} = 0
+              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST({CDF_PRICE_BUMP} AS DECIMAL(4,2)), 2) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % {CDF_DELETE_MOD} <> 0
+),
+d AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         v1.o_totalprice AS old_price, v2.o_totalprice AS new_price,
+         v1.o_orderkey IS NULL AS ins, v2.o_orderkey IS NULL AS del
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT o_orderkey, change_type, price FROM (
+  SELECT o_orderkey, 'insert' AS change_type, new_price AS price FROM d WHERE ins
+  UNION ALL
+  SELECT o_orderkey, 'delete', old_price FROM d WHERE del
+  UNION ALL
+  SELECT o_orderkey, 'update_preimage', old_price FROM d
+  WHERE NOT ins AND NOT del AND old_price <> new_price
+  UNION ALL
+  SELECT o_orderkey, 'update_postimage', new_price FROM d
+  WHERE NOT ins AND NOT del AND old_price <> new_price
+)
+ORDER BY o_orderkey, change_type
+""",
+)
+def sink_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed snapshots — the lakehouse
+    CDC shape (Delta CDF / Iceberg changelog scan): given table
+    versions v1 and v2 written as immutable parquet snapshots
+    (sink_snapshot_time_travel's layout), emit the row-level change
+    stream that transforms v1 into v2 — ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` rows keyed on the table
+    key, exactly the feed a downstream incremental consumer (a
+    materialized view, a search index, a replica) applies. v2 inserts
+    the keys v1 lacked (mod-{CDF_INSERT_MOD} band), deletes the
+    mod-{CDF_DELETE_MOD} band and restates prices on the
+    mod-{CDF_UPDATE_MOD} band (exact-decimal cent rounding), so all
+    four change types are populated and hash-pinned.
+
+    Scale: the diff is ONE equi-join on the snapshot key (AQE handles
+    skew); unchanged rows are dropped before the UNION fan-out so the
+    feed is O(|changes|), not O(|table|). Production formats avoid
+    even this join by logging change files at write time — this
+    operator is the snapshot-diff fallback every lakehouse also ships
+    (Delta's "CDF backfill" path), and partition pruning on the
+    snapshot layout restricts the join to partitions whose files
+    differ in the manifest (scale_manifest_file_pruning).
+    """
+    root = _sink("cdf_orders", sf_dir)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.where(F.col("o_orderkey") % CDF_INSERT_MOD != 0)
+    v2 = o.where(F.col("o_orderkey") % CDF_DELETE_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % CDF_UPDATE_MOD == 0,
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(CDF_PRICE_BUMP).cast("decimal(4,2)"),
+                2,
+            ).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    s1 = spark.read.parquet(os.path.join(root, "v1"))
+    s2 = spark.read.parquet(os.path.join(root, "v2"))
+    d = (
+        s1.withColumnRenamed("o_totalprice", "old_price")
+        .join(
+            s2.withColumnRenamed("o_totalprice", "new_price"),
+            "o_orderkey",
+            "full_outer",
+        )
+        .where(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+    ins = d.where(F.col("old_price").isNull()).select(
+        "o_orderkey", F.lit("insert").alias("change_type"), F.col("new_price").alias("price")
+    )
+    dele = d.where(F.col("new_price").isNull()).select(
+        "o_orderkey", F.lit("delete").alias("change_type"), F.col("old_price").alias("price")
+    )
+    upd = d.where(F.col("old_price").isNotNull() & F.col("new_price").isNotNull())
+    pre = upd.select(
+        "o_orderkey", F.lit("update_preimage").alias("change_type"), F.col("old_price").alias("price")
+    )
+    post = upd.select(
+        "o_orderkey", F.lit("update_postimage").alias("change_type"), F.col("new_price").alias("price")
+    )
+    return ins.unionAll(dele).unionAll(pre).unionAll(post).orderBy("o_orderkey", "change_type")

@@ -753,3 +753,78 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    tags=("timeseries", "join", "warehouse"),
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND user_id <= 30
+)
+SELECT e.event_id, e.user_id,
+       CAST(d.version AS BIGINT) AS version, d.state,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS probe_ts
+FROM events e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'click' AND e.user_id <= 30
+ORDER BY e.event_id
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension — the
+    feature-store / warehouse probe dual of scd2_dimension_build: each
+    fact row (click events) is enriched with the dimension version
+    that was valid AT ITS OWN timestamp, i.e. the join condition is
+    the half-open validity interval [valid_from, valid_to) rather
+    than a plain equi-key. Clicks before a user's first dimension
+    version correctly drop out (the member did not exist yet) — the
+    non-leaking semantics a training pipeline needs to avoid feature
+    leakage from the future.
+
+    Scale: an equi-join on the dimension's natural key plus an
+    interval filter — correct whenever per-key version counts are
+    bounded (dimension history; versions per key is O(changes/key),
+    not O(table)). For unbounded histories the time-binned pattern
+    (join_range_binned_count) replaces the residual filter with a
+    bin equi-key; asof_join_latest_order is the sort-merge
+    formulation of the same semantics.
+    """
+    e = load(spark, sf_dir, "events")
+    probe = e.where((F.col("event_type") == "click") & (F.col("user_id") <= 30)).select(
+        "event_id", "user_id", "ts"
+    )
+    ch = e.where(
+        F.col("event_type").isin("signup", "purchase") & (F.col("user_id") <= 30)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ch.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return (
+        probe.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "version",
+            "state",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,108 @@
+"""Semantic pins for the second-session round-6 operators beyond the
+hash oracle: the CDC reconstruction contract (v1 + feed = v2), KMV
+sketch accuracy and exact-degradation, and point-in-time join
+no-future-leakage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_rapids_ml_spark.operators.aggregates import (
+    KMV_K,
+    agg_kmv_theta_sketch_ops,
+)
+from spark_rapids_ml_spark.operators.sources_io import (
+    CDF_DELETE_MOD,
+    CDF_INSERT_MOD,
+    CDF_UPDATE_MOD,
+    sink_change_data_feed,
+)
+from spark_rapids_ml_spark.operators.timeseries import scd2_point_in_time_join
+from spark_rapids_ml_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cdf_reconstructs_v2_from_v1(spark):
+    """The CDC contract: applying the change feed to v1 yields v2."""
+    feed = {(r.o_orderkey, r.change_type): r.price
+            for r in sink_change_data_feed(spark, SF).collect()}
+    o = load(spark, SF, "orders").select("o_orderkey", "o_totalprice").collect()
+    v1 = {r.o_orderkey: r.o_totalprice for r in o
+          if r.o_orderkey % CDF_INSERT_MOD != 0}
+    v2_expected = {}
+    for r in o:
+        if r.o_orderkey % CDF_DELETE_MOD == 0:
+            continue
+        p = r.o_totalprice
+        if r.o_orderkey % CDF_UPDATE_MOD == 0:
+            p = float(round(round(p, 2) * 1.05 + 1e-9, 2))
+        v2_expected[r.o_orderkey] = p
+    # replay the feed over v1
+    replayed = dict(v1)
+    for (k, ct), price in feed.items():
+        if ct == "insert":
+            assert k not in replayed
+            replayed[k] = price
+        elif ct == "delete":
+            replayed.pop(k)
+        elif ct == "update_postimage":
+            replayed[k] = price
+        elif ct == "update_preimage":
+            assert abs(v1[k] - price) < 1e-9
+    assert set(replayed) == set(v2_expected)
+    for k, p in replayed.items():
+        assert abs(p - v2_expected[k]) < 0.011, (k, p, v2_expected[k])
+
+
+def test_cdf_all_four_change_types_populated(spark):
+    types = {r.change_type for r in sink_change_data_feed(spark, SF).collect()}
+    assert types == {"insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_kmv_exact_degradation_below_k(spark):
+    """Segments smaller than k: the sketch IS the set, estimate exact."""
+    row = agg_kmv_theta_sketch_ops(spark, SF).collect()[0]
+    assert row.exact_a < KMV_K and row.exact_b < KMV_K
+    assert row.est_a == float(row.exact_a)
+    assert row.est_b == float(row.exact_b)
+    assert row.est_inter == float(row.exact_inter)
+
+
+def test_kmv_estimate_accuracy_at_sketch_scale(spark):
+    """At sf0.01 the segments exceed k: estimates within ~3 sigma
+    (sigma ~ true/sqrt(k-2)) of the exact distinct counts."""
+    row = agg_kmv_theta_sketch_ops(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.exact_a > KMV_K
+    for est, exact in ((row.est_a, row.exact_a), (row.est_b, row.exact_b),
+                       (row.est_inter, row.exact_inter)):
+        assert abs(est - exact) <= 3.0 * exact / (KMV_K - 2) ** 0.5 + 1, (est, exact)
+
+
+def test_pit_join_no_future_leakage(spark):
+    """Every enriched fact row uses a dimension version valid AT the
+    probe ts — never a later version (feature-leakage guard) — and
+    each probe matches at most one version."""
+    out = scd2_point_in_time_join(spark, SF)
+    rows = out.collect()
+    assert rows
+    assert len({r.event_id for r in rows}) == len(rows)
+    e = load(spark, SF, "events")
+    ch = (
+        e.where(F.col("event_type").isin("signup", "purchase") & (F.col("user_id") <= 30))
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user = {}
+    for r in ch:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    probes = {
+        r.event_id: (r.user_id, r.ts)
+        for r in e.where((F.col("event_type") == "click") & (F.col("user_id") <= 30)).collect()
+    }
+    for r in rows:
+        user, ts = probes[r.event_id]
+        versions = sorted(by_user[user])
+        # expected version = number of changes at or before the probe ts
+        expect = sum(1 for v in versions if v <= ts)
+        assert r.version == expect, (r.event_id, r.version, expect)
