@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from spark_rapids_ml_spark.functions.portable import duck_round
+from spark_rapids_ml_spark.functions.portable import duck_round, hash60, sql_hash60
 from spark_rapids_ml_spark.ml.pca import (
     PCA,
     compute_column_means,
@@ -545,3 +545,61 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.createOrReplaceTempView("lineitem")
     stats = spark.sql(_RIDGE_STATS_SQL)
     return stats.selectExpr(*_RIDGE_SELECT_LIST)
+
+
+FH_DIMS = 32       # hashed feature-vector width
+FH_DIM_SEED = 3    # bucket hash seed
+FH_SIGN_SEED = 7   # sign hash seed
+FH_MAX_DOC = 80
+
+
+@register(
+    "feature_hashing_trick",
+    tags=("ml", "feature", "text", "scale"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id <= {FH_MAX_DOC}
+),
+h AS (
+  SELECT doc_id,
+         {sql_hash60("tok", FH_DIM_SEED)} % {FH_DIMS} AS dim,
+         1 - 2 * ({sql_hash60("tok", FH_SIGN_SEED)} % 2) AS sign
+  FROM t
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sign) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim
+""",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    project an UNBOUNDED vocabulary into a FIXED {FH_DIMS}-dim vector
+    with a bucket hash plus an independent sign hash (the sign makes
+    collisions cancel in expectation, keeping inner products
+    unbiased) — the stateless vectorizer for streaming/large-corpus
+    ML where a fitted vocabulary (CountVectorizer) cannot exist.
+    Output is the sparse (doc, dim, weight) triple form; signed
+    cancellation to exact 0 is kept, hash-pinning the signs.
+
+    Scale: NO fitted state, NO vocabulary broadcast — each token maps
+    independently (explode → integer hash → groupBy(doc, dim) with
+    map-side partial sums), so the op composes with streaming ingest
+    and never rescans. The portable 60-bit hash keeps Spark and
+    DuckDB bit-identical; sparse triples keep shuffle width at
+    O(tokens), not O(docs × dims).
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= FH_MAX_DOC)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            (hash60("tok", FH_DIM_SEED) % FH_DIMS).cast("bigint").alias("dim"),
+            (F.lit(1) - F.lit(2) * (hash60("tok", FH_SIGN_SEED) % 2)).alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+        .orderBy("doc_id", "dim")
+    )

@@ -203,3 +203,80 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_BFS_HOPS = 4
+_BFS_SEED_NATION = 0
+
+
+@register(
+    "graph_bfs_shortest_path",
+    tags=("graph", "scale"),
+    oracle=f"""
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT {_SUPPLIER_BASE} + l_suppkey AS src, l_partkey AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT l_partkey AS src, {_SUPPLIER_BASE} + l_suppkey AS dst FROM lineitem
+),
+walk(node, dist) AS (
+  SELECT {_SUPPLIER_BASE} + s_suppkey, 0 FROM supplier WHERE s_nationkey = {_BFS_SEED_NATION}
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {_BFS_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+""",
+)
+def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS / shortest hop distance (unweighted
+    single-source-set shortest path): distance from the seed set
+    (suppliers of one nation) to every node of the supplier-part
+    bipartite graph within {_BFS_HOPS} hops — the frontier-expansion
+    primitive under friends-of-friends, blast-radius, and lineage
+    queries. Level-synchronous: each hop joins the CURRENT frontier
+    to the edge list, anti-joins already-visited nodes (so a node
+    keeps its minimal distance), and the new nodes become the next
+    frontier — Pregel's superstep expressed as two DataFrame joins.
+
+    Scale: O(hops) jobs, each ONE equi-join frontier⋈edges (shuffle on
+    node id; AQE broadcasts small frontiers) plus an anti-join against
+    the visited set — per-superstep cost proportional to touched
+    edges, exactly GraphX/Pregel's model; visited/frontier are
+    cached per level and bounded by |V|. The hop cap bounds work on
+    high-diameter graphs (cf. dedup.py's label propagation for the
+    run-to-convergence variant).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sp = li.select(
+        (F.lit(_SUPPLIER_BASE) + F.col("l_suppkey")).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == _BFS_SEED_NATION)
+        .select((F.lit(_SUPPLIER_BASE) + F.col("s_suppkey")).alias("node"))
+        .distinct()
+    )
+    visited = seeds.withColumn("dist", F.lit(0)).cache()
+    frontier = seeds
+    for d in range(1, _BFS_HOPS + 1):
+        step = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = step.join(visited.select("node"), "node", "left_anti").withColumn(
+            "dist", F.lit(d)
+        )
+        visited = visited.unionByName(new).cache()
+        frontier = new.select("node")
+    out = visited.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    ).orderBy("node")
+    return out

@@ -298,3 +298,67 @@ def udf_iter_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "udf_grouped_apply_in_arrow",
+    tags=("udf", "arrow"),
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_cust,
+       ROUND(MAX(c_acctbal) - MIN(c_acctbal), 2) AS bal_spread,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over Arrow (Spark 4 ``groupBy().applyInArrow``) —
+    the zero-copy sibling of applyInPandas: each group arrives as a
+    pyarrow.Table and is reduced with Arrow compute kernels (C++,
+    SIMD), skipping pandas boxing entirely. Completes the declared UDF
+    matrix: {scalar, iterator, grouped-map, grouped-agg} × {pandas,
+    arrow} (udf_map_in_arrow_textstats is the ungrouped arrow tier,
+    udf_grouped_map_zscore the pandas grouped tier). Money sums run on
+    the decimal128 column so the reduction is exact, matching the
+    oracle's DECIMAL arithmetic bit-for-bit.
+
+    Scale: one shuffle on the grouping key, then per-group Arrow
+    batches — a group must fit in one worker (25 nations here; for
+    high-cardinality skewed groups pre-aggregate or salt, cf.
+    salted_skew_aggregation).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+
+    def reduce_group(table: pa.Table) -> pa.Table:
+        bal = table.column("bal")
+        spread = pc.round(
+            pc.subtract(pc.max(bal).cast(pa.float64()), pc.min(bal).cast(pa.float64())),
+            ndigits=2,
+        )
+        total = pc.sum(bal)  # exact decimal128 sum
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [table.column("c_nationkey")[0].as_py()], pa.int32()
+                ),
+                "n_cust": pa.array([table.num_rows], pa.int64()),
+                "bal_spread": pa.array([spread.as_py()], pa.float64()),
+                "total_bal": pa.array([float(total.as_py())], pa.float64()),
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .applyInArrow(
+            reduce_group,
+            "c_nationkey int, n_cust long, bal_spread double, total_bal double",
+        )
+        .orderBy("c_nationkey")
+    )
