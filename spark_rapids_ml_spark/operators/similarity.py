@@ -742,3 +742,213 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+# ---- product quantization (PQ) tier ----
+PQ_M = 8            # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_ANCHOR_LO = 20   # vec_ids [LO, LO+PQ_CODES) are the sampled codebook
+PQ_CODES = 16       # centroids per subspace
+PQ_CAND = 50        # ADC candidates re-ranked exactly
+
+
+def _pq_dist_nano_sql(s: str, c: str) -> str:
+    """Unrolled ||s.sub - c.sub||^2 in nano-units (BIGINT). The 8-term
+    sum is written left-associated, matching Spark's sequential fold,
+    and the nano rounding makes all downstream sums integer-exact."""
+    terms = " + ".join(
+        f"({s}.sub[{i}] - {c}.sub[{i}]) * ({s}.sub[{i}] - {c}.sub[{i}])"
+        for i in range(1, PQ_SUB + 1)
+    )
+    return f"CAST(ROUND(({terms}) * 1000000000.0) AS BIGINT)"
+
+
+_PQ_ORACLE = f"""
+WITH e AS ({_SQL_E}),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+sub AS (
+  SELECT vec_id, m, emb[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM e CROSS JOIN ms
+),
+cb AS (
+  SELECT vec_id - {PQ_ANCHOR_LO} AS code, m, sub
+  FROM sub WHERE vec_id >= {PQ_ANCHOR_LO} AND vec_id < {PQ_ANCHOR_LO + PQ_CODES}
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_pq_dist_nano_sql('s', 'c')}, c.code) AS rk
+    FROM sub s JOIN cb c ON c.m = s.m
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT s.vec_id AS qid, s.m, c.code, {_pq_dist_nano_sql('s', 'c')} AS pd
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.qid, x.vec_id, SUM(l.pd) AS adc_nano
+  FROM enc x JOIN lut l ON l.m = x.m AND l.code = x.code
+  WHERE x.vec_id <> l.qid
+  GROUP BY l.qid, x.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_nano, vec_id) AS crk
+    FROM adc
+  ) WHERE crk <= {PQ_CAND}
+),
+rer AS (
+  SELECT c.qid, c.vec_id,
+         ROUND(list_cosine_similarity(qe.emb, e.emb), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.qid
+  JOIN e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM rer
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+def _pq_subspaces(df: DataFrame) -> DataFrame:
+    """(vec_id, m, sub<array<double>>) — the vector split into PQ_M
+    subvectors, cast to double once."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * PQ_SUB + 1, PQ_SUB),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def _pq_dist_nano(a: Column, b: Column) -> Column:
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.round(d * F.lit(1000000000.0)).cast("bigint")
+
+
+@register(
+    "sim_pq_adc_topk",
+    tags=("similarity", "quantization", "scale"),
+    oracle=_PQ_ORACLE,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (ADC)
+    — the memory tier BELOW scalar quantization (Jégou et al. 2011,
+    the IVF-PQ half FAISS pairs with sim_ivf_topk's coarse cells):
+    each vector is split into PQ_M={PQ_M} subvectors and every
+    subvector stored as ONE {PQ_CODES}-way code (4 bits) against a
+    per-subspace codebook — 64 float32 bytes become {PQ_M} nibbles,
+    a 64x compression. A query never decompresses the corpus: it
+    precomputes a (subspace x code) lookup table of partial squared
+    distances, and each corpus vector's approximate distance is just
+    PQ_M table lookups summed (the ADC join below). The top PQ_CAND
+    ADC candidates are re-ranked exactly, and all partial distances
+    are nano-unit BIGINTs so every sum is order-independent and the
+    result cross-engine exact. Codebooks here are deterministic
+    corpus samples (vec_ids [{PQ_ANCHOR_LO}, {PQ_ANCHOR_LO}+{PQ_CODES}));
+    production would run ml/kmeans.py per subspace exactly as
+    sim_ivf_topk learns its cells — the plan shape is identical.
+
+    Scale: encoding is one broadcast-codebook pass (O(N·M·K) flops,
+    embarrassingly parallel); the ADC probe joins the O(N·M) code
+    table to a Q·M·K lookup table on (m, code) — a broadcast-hash
+    join with NO per-pair vector math and 64x less memory traffic
+    than the flat scan; re-ranking touches only PQ_CAND full vectors
+    per query. This is the tier that keeps a 10^9-vector index in
+    RAM on one rack.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sub = _pq_subspaces(e)
+    cb = (
+        sub.where(
+            (F.col("vec_id") >= PQ_ANCHOR_LO)
+            & (F.col("vec_id") < PQ_ANCHOR_LO + PQ_CODES)
+        )
+        .select(
+            (F.col("vec_id") - PQ_ANCHOR_LO).alias("code"),
+            F.col("m").alias("cm"),
+            F.col("sub").alias("csub"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # encode: nearest codebook entry per (vector, subspace)
+    scored = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "code",
+        _pq_dist_nano(F.col("sub"), F.col("csub")).alias("dn"),
+    )
+    wv = Window.partitionBy("vec_id", "m").orderBy("dn", "code")
+    enc = (
+        scored.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+    # query lookup tables: partial distance to every (m, code)
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            _pq_dist_nano(F.col("sub"), F.col("csub")).alias("pd"),
+        )
+    )
+    # ADC: M integer lookups per (query, vector)
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd").alias("adc_nano"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_nano", "vec_id")
+    cand = (
+        adc.withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= PQ_CAND)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the ADC shortlist
+    qn = with_unit_vector(
+        e.where(F.col("vec_id") < N_QUERIES), "embedding", "qunit"
+    ).select(F.col("vec_id").alias("uqid"), "qunit")
+    xn = with_unit_vector(e, "embedding", "xunit").select(
+        F.col("vec_id").alias("uxid"), "xunit"
+    )
+    rer = (
+        cand.join(F.broadcast(qn), F.col("qid") == F.col("uqid"))
+        .join(xn, F.col("vec_id") == F.col("uxid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot_expr("qunit", "xunit"), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("qid", "rk")
+    )

@@ -64,6 +64,15 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
+    # -- round 6 second-session additions: never driver-checked --
+    "sink_change_data_feed",
+    "agg_kmv_theta_sketch_ops",
+    "scd2_point_in_time_join",
+    "udf_grouped_apply_in_arrow",
+    "graph_bfs_shortest_path",
+    "feature_hashing_trick",
+    "sim_pq_adc_topk",
+    "stream_stream_full_outer_join",
     # -- round 6 refresh: the 8 queries added late in round 6, then the
     # earlier round-6 additions and every other query that has NEVER
     # had a driver correctness row across r01-r05 (31 never-checked

@@ -1072,3 +1072,82 @@ def stream_python_datasource_reader(spark: SparkSession, sf_dir: str) -> DataFra
         q.stop()
         q.awaitTermination()
     return spark.table(name).orderBy("bucket")
+
+
+@register(
+    "stream_stream_full_outer_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+       CAST(SUM(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error_only
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+FULL OUTER JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY COALESCE(a.user_id, b.user_id)
+ORDER BY user_id
+""",
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the declared
+    stream-stream family (inner interval / left outer / full outer):
+    clicks with no error AND errors attributable to no click are both
+    emitted as null-extended rows once the watermark proves the other
+    side can no longer arrive. The error-only rows are the ones a
+    left-outer attribution silently drops — exactly the "orphan
+    failures" an SRE view needs.
+
+    Scale: state bounded identically on BOTH sides now (each buffers
+    watermark-horizon x per-key rate); the same staged sentinel
+    batches finalize both directions, so the batch FULL OUTER oracle
+    checks matched, left-null, and right-null emission in one hash.
+    """
+    src = _staged_outer_src(sf_dir)
+    s1 = _read_stream(spark, sf_dir, src_dir=src, one_file_per_trigger=True)
+    s2 = _read_stream(spark, sf_dir, src_dir=src, one_file_per_trigger=True)
+    a = (
+        s1.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+    )
+    b = (
+        s2.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    )
+    res = _run_to_memory(joined.select("a_user", "a_id", "b_id"), "append")
+    return (
+        res.where(F.coalesce(F.col("a_user"), F.col("b_user")) >= 0)  # drop sentinels
+        .groupBy(
+            F.coalesce(F.col("a_user"), F.col("b_user")).alias("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("a_id").isNotNull() & F.col("b_id").isNotNull()).cast("int")
+            ).cast("bigint").alias("n_matched"),
+            F.sum(F.col("b_id").isNull().cast("int")).cast("bigint").alias("n_click_only"),
+            F.sum(F.col("a_id").isNull().cast("int")).cast("bigint").alias("n_error_only"),
+        )
+        .orderBy("user_id")
+    )
