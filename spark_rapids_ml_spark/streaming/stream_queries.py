@@ -1135,7 +1135,9 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
         "fullOuter",
     )
-    res = _run_to_memory(joined.select("a_user", "a_id", "b_id"), "append")
+    res = _run_to_memory(
+        joined.select("a_user", "b_user", "a_id", "b_id"), "append"
+    )
     return (
         res.where(F.coalesce(F.col("a_user"), F.col("b_user")) >= 0)  # drop sentinels
         .groupBy(

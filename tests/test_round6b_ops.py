@@ -106,3 +106,38 @@ def test_pit_join_no_future_leakage(spark):
         # expected version = number of changes at or before the probe ts
         expect = sum(1 for v in versions if v <= ts)
         assert r.version == expect, (r.event_id, r.version, expect)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ+ADC with exact re-rank: recall@5 vs the exact flat scan.
+    Measured 0.92 (sf0.001) / 0.94 (sf0.01); gate at 0.85."""
+    from spark_rapids_ml_spark.operators.similarity import (
+        sim_bruteforce_topk,
+        sim_pq_adc_topk,
+    )
+
+    bf, pq = {}, {}
+    for r in sim_bruteforce_topk(spark, SF).collect():
+        bf.setdefault(r.qid, set()).add(r.vec_id)
+    for r in sim_pq_adc_topk(spark, SF).collect():
+        pq.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(len(bf[q] & pq.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.85, f"recall {hits}/{total}"
+
+
+def test_stream_full_outer_three_way_split_consistent(spark):
+    """Every output row is matched, click-only, or error-only — the
+    three partitions sum to n_rows per user, and both outer sides are
+    genuinely exercised by the corpus."""
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        stream_stream_full_outer_join,
+    )
+
+    rows = stream_stream_full_outer_join(spark, SF).collect()
+    assert rows
+    assert any(r.n_click_only > 0 for r in rows), "left-null side never exercised"
+    assert any(r.n_error_only > 0 for r in rows), "right-null side never exercised"
+    assert any(r.n_matched > 0 for r in rows)
+    for r in rows:
+        assert r.n_rows == r.n_matched + r.n_click_only + r.n_error_only
