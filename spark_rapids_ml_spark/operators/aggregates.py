@@ -1109,3 +1109,97 @@ def agg_kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_inter"),
         )
     )
+
+
+CMS_DEPTH = 4     # hash rows
+CMS_WIDTH = 128   # buckets per row
+CMS_PROBES = 20   # custkeys probed for estimates
+
+
+@register(
+    "agg_count_min_sketch",
+    tags=("agg", "approx", "scale"),
+    oracle=f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS s),
+sketch AS (
+  SELECT s,
+         {sql_hash60("('s' || CAST(s AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR))")} % {CMS_WIDTH} AS bucket,
+         COUNT(*) AS cnt
+  FROM orders CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders
+  WHERE o_custkey <= {CMS_PROBES} GROUP BY o_custkey
+),
+est AS (
+  SELECT p.o_custkey, p.exact_cnt, MIN(sk.cnt) AS cms_est
+  FROM probes p
+  CROSS JOIN seeds
+  JOIN sketch sk
+    ON sk.s = seeds.s
+   AND sk.bucket = {sql_hash60("('s' || CAST(seeds.s AS VARCHAR) || '|' || CAST(p.o_custkey AS VARCHAR))")} % {CMS_WIDTH}
+  GROUP BY p.o_custkey, p.exact_cnt
+)
+SELECT o_custkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est ORDER BY o_custkey
+""",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — point
+    frequency estimates for EVERY key out of {CMS_DEPTH}x{CMS_WIDTH}
+    bounded counters: each occurrence increments one bucket per hash
+    row, a key's estimate is the MIN over its {CMS_DEPTH} buckets, and
+    the error is ONE-SIDED (estimate >= true count, always — collisions
+    only inflate). Completes the mergeable-sketch family next to HLL
+    (distincts), Misra-Gries (heavy hitters), GK (quantiles), bitmap
+    (exact distincts) and KMV/theta (distinct set algebra): CMS is the
+    one that answers "how often did THIS key occur" on unbounded
+    keyspaces. Probes the first {CMS_PROBES} customers and emits
+    exact vs estimate side by side, hash-pinning the one-sided
+    guarantee on this corpus (also property-tested).
+
+    Scale: the sketch build is ONE map-side-combined groupBy over
+    (row, bucket) — {CMS_DEPTH * CMS_WIDTH} cells of state regardless
+    of key cardinality, mergeable across partitions/days by cell-wise
+    addition (counters are linear); probes are a broadcast join
+    against the KB-sized sketch. The portable 60-bit hash keeps both
+    engines' bucketing identical.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
+    rows = o.select("o_custkey", F.explode(seeds).alias("s"))
+    bucket = (
+        hash60(
+            F.concat(
+                F.lit("s"),
+                F.col("s").cast("string"),
+                F.lit("|"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+        % CMS_WIDTH
+    )
+    sketch = rows.groupBy("s", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = (
+        o.where(F.col("o_custkey") <= CMS_PROBES)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_cells = probes.select("o_custkey", "exact_cnt", F.explode(seeds).alias("s")).select(
+        "o_custkey", "exact_cnt", "s", bucket.alias("bucket")
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["s", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "o_custkey",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -752,3 +752,67 @@ def scale_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_scanned"]), int(m["n_kept"]), float(m["rev"]))],
         "n_scanned bigint, n_kept bigint, kept_revenue double",
     )
+
+
+@register(
+    "scale_dynamic_partition_pruning",
+    tags=("join", "scale", "source"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM orders
+WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — Catalyst's RUNTIME partition
+    skip: the fact table is laid out partitioned by the join key, the
+    dimension side carries a filter on a NON-partition attribute
+    (priority_class <= 2), and the optimizer injects a
+    DynamicPruningExpression into the fact scan so only the partitions
+    matching the dim filter's runtime result are ever read — the
+    TPC-DS date_dim pattern, and the reason star-schema queries touch
+    3 years of a 10-year fact table without anyone writing the date
+    predicate on the fact side. Static pruning cannot do this (the
+    fact-side predicate does not exist until the dim filter runs);
+    partitioned_write_pruned_read is the static dual. The pruned scan
+    is plan-asserted in tests/test_plans.py.
+
+    Scale: at 100 TB the fact side IS the cost — DPP turns a
+    5-partition full scan into 2 partition reads here, and a
+    3650-partition decade into the filtered date range in production,
+    composing with broadcast (the dim is broadcast anyway, so the
+    pruning subquery reuses that exchange for free).
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    fact_path = f"/root/repo/.tmp/sinks/{tag}/dpp_orders_by_priority"
+    marker = os.path.join(fact_path, "_SUCCESS")
+    o = load(spark, sf_dir, "orders")
+    if not os.path.exists(marker):
+        (
+            o.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(fact_path)
+        )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(p, int(p[0])) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]],
+        "prio STRING, priority_class INT",
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("priority_class") <= 2)),
+        fact.o_orderpriority == dim.prio,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -65,6 +65,8 @@ def register(
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
     # -- round 6 second-session additions: never driver-checked --
+    "agg_count_min_sketch",
+    "scale_dynamic_partition_pruning",
     "sink_change_data_feed",
     "agg_kmv_theta_sketch_ops",
     "scd2_point_in_time_join",

@@ -554,3 +554,37 @@ def test_runtime_bloom_filter_injected(spark):
         # exchange: the might_contain filter references the lineitem key
         probe_part = plan[plan.index("might_contain"):]
         assert "l_orderkey" in probe_part[:400], probe_part[:400]
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The DPP query's fact scan must carry a DynamicPruningExpression
+    in its PartitionFilters — the runtime partition skip — and reuse
+    the dim's broadcast exchange for the pruning subquery."""
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        scale_dynamic_partition_pruning,
+    )
+
+    df = scale_dynamic_partition_pruning(spark, SF)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in txt.lower()
+    assert "SubqueryAdaptiveBroadcast" in txt or "SubqueryBroadcast" in txt
+
+
+def test_bfs_frontier_joins_no_cartesian(spark):
+    """Every BFS superstep must be an equi-join (frontier x edges) —
+    no nested-loop/cartesian anywhere in the 4-hop plan."""
+    from spark_rapids_ml_spark.operators.graph import graph_bfs_shortest_path
+
+    plan = plan_of(graph_bfs_shortest_path(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_is_broadcast_hash_join(spark):
+    """The PQ probe must join the code table to the LUT as a broadcast
+    hash join on (m, code) — never a per-pair vector nested loop."""
+    from spark_rapids_ml_spark.operators.similarity import sim_pq_adc_topk
+
+    plan = plan_of(sim_pq_adc_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -141,3 +141,48 @@ def test_stream_full_outer_three_way_split_consistent(spark):
     assert any(r.n_matched > 0 for r in rows)
     for r in rows:
         assert r.n_rows == r.n_matched + r.n_click_only + r.n_error_only
+
+
+def test_cms_one_sided_error_and_merge_linearity(spark):
+    """CMS guarantee: estimate >= exact for every probe; and the
+    sketch is linear (cell-wise sum of two half-corpus sketches equals
+    the full-corpus sketch), the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        agg_count_min_sketch,
+    )
+    from spark_rapids_ml_spark.functions.portable import hash60
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    rows = agg_count_min_sketch(spark, SF).collect()
+    assert rows
+    assert all(r.cms_est >= r.exact_cnt for r in rows), "one-sided bound violated"
+
+    o = load(spark, SF, "orders").select("o_custkey")
+    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
+    bucket = (
+        hash60(
+            F.concat(F.lit("s"), F.col("s").cast("string"), F.lit("|"),
+                     F.col("o_custkey").cast("string"))
+        ) % CMS_WIDTH
+    )
+
+    def sketch_of(df):
+        return {
+            (r.s, r.bucket): r.cnt
+            for r in df.select("o_custkey", F.explode(seeds).alias("s"))
+            .groupBy("s", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    full = sketch_of(o)
+    lo = sketch_of(o.where(F.col("o_custkey") % 2 == 0))
+    hi = sketch_of(o.where(F.col("o_custkey") % 2 == 1))
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full, "cell-wise merge != full-corpus sketch"
