@@ -315,3 +315,124 @@ def subquery_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(gt_all_empty, 1)).alias("n_gt_all_empty"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+@register(
+    "sql_pipe_syntax_flow",
+    tags=("sql", "spark4"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+HAVING COUNT(*) > 100
+ORDER BY l_returnflag
+""",
+)
+def sql_pipe_syntax_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, the |> operator chain): the same
+    scan -> filter -> aggregate -> having -> order flow as classic
+    SQL, written as a linear pipeline in evaluation order — the
+    GoogleSQL-derived surface that removes the inside-out reading of
+    nested SELECTs. The oracle is the classic-SQL formulation, so the
+    hash check pins that the pipe chain lowers to the identical
+    semantics (it shares Catalyst's logical plan).
+
+    Scale: purely front-end syntax — the plan is the same partial-agg
+    + exchange shape as q1/agg_having; nothing new to audit.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 10
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n > 100
+        |> SELECT l_returnflag, n, revenue
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_parameterized_query",
+    tags=("sql", "spark4"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 250000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): the
+    injection-safe templating surface — parameter markers are bound
+    as typed literals by the analyzer, never string-spliced, so a
+    hostile value cannot change the query shape. The oracle inlines
+    the same constants, pinning marker binding to literal semantics.
+
+    Scale: parameters are analyzer-time constants, so constant
+    folding and predicate pushdown see them exactly as literals —
+    the parameterized form loses zero optimization.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 250000, "status": "F"},
+    )
+
+
+@register(
+    "scalar_collation_group",
+    tags=("scalar", "string", "spark4"),
+    oracle="""
+SELECT lower(mixed) AS norm_type, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE lower(p_type) END AS mixed
+  FROM part
+)
+GROUP BY lower(mixed)
+ORDER BY norm_type
+""",
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE UNICODE_CI): a
+    case-scrambled key (upper on even part keys, lower on odd) groups
+    under the case-insensitive collation WITHOUT any normalizing
+    expression — the engine's comparator, not a lower() rewrite, does
+    the merge. The oracle IS the lower() rewrite, so the hash check
+    pins collated grouping to normalize-then-group semantics; the
+    output key is normalized on both sides for display.
+
+    Scale: collation is comparator metadata on the exchange/agg keys
+    — same shuffle plan as any group-by; no expression evaluation per
+    comparison beyond the ICU key, and no double-scan normalization
+    pass (the win at 100 TB: group/join case-insensitively without
+    materializing a normalized copy of the column).
+    """
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT lower(MIN(mixed)) AS norm_type, COUNT(*) AS n
+        FROM (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END COLLATE UNICODE_CI AS mixed
+          FROM part
+        )
+        GROUP BY mixed
+        ORDER BY norm_type
+        """
+    )

@@ -65,6 +65,9 @@ def register(
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
     # -- round 6 second-session additions: never driver-checked --
+    "sql_pipe_syntax_flow",
+    "sql_parameterized_query",
+    "scalar_collation_group",
     "agg_count_min_sketch",
     "scale_dynamic_partition_pruning",
     "sink_change_data_feed",
