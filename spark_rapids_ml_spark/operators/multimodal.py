@@ -796,3 +796,95 @@ def mm_tensor_export_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("batch_id").applyInPandas(pack, schema).orderBy("batch_id")
     )
+
+
+AUG_CROP_W = 8  # crop the left half of the flipped raster
+
+AUG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("mean_aug", DoubleType()),
+        StructField("weighted_checksum", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_image_augment_flip_crop",
+    tags=("multimodal", "decode", "llm-pipe"),
+    oracle=f"""
+-- Same text->PPM transcode as mm_image_decode_features (8x16x3,
+-- pixel k = char code (k % n_chars)). The augmentation is horizontal
+-- flip (col j -> 15-j) then an ASYMMETRIC crop of the flipped left
+-- half (original cols 15..8), so the flip is observable; the
+-- position-weighted checksum pins pixel ORDER, not just the bag of
+-- values. Augmented flat index n in an (8, {AUG_CROP_W}, 3) raster
+-- maps to original k = row*48 + (15 - col)*3 + ch.
+WITH d AS (
+  SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
+),
+px AS (
+  SELECT d.doc_id, g.n,
+         ascii(substr(d.text,
+           CAST(((g.n // {AUG_CROP_W * 3}) * 48
+                 + (15 - ((g.n % {AUG_CROP_W * 3}) // 3)) * 3
+                 + (g.n % 3)) % d.L AS INTEGER) + 1, 1)) AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, {8 * AUG_CROP_W * 3 - 1})) AS n) g
+)
+SELECT doc_id,
+       CAST({AUG_CROP_W} AS BIGINT) AS out_w,
+       CAST(8 AS BIGINT) AS out_h,
+       CAST(SUM(v) AS DOUBLE) / {8 * AUG_CROP_W * 3}.0 AS mean_aug,
+       CAST(SUM(v * n) AS BIGINT) AS weighted_checksum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def mm_image_augment_flip_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation (horizontal flip + asymmetric crop)
+    over REAL decoded rasters — the train-time transform stage of an
+    image data pipeline, run where augmentation belongs at scale: in
+    the same mapInPandas batch as the decode, before any shuffle.
+    The crop is the LEFT half of the FLIPPED image (original right
+    half, mirrored), and the output carries a position-weighted
+    checksum so the hash pins pixel ORDER — a flip that forgot to
+    reverse, or a crop of the wrong half, changes the checksum even
+    when the pixel bag is identical. Random aug at training time is
+    this exact kernel with a seeded per-(epoch, doc) RNG choosing the
+    params — the deterministic fixture pins the geometry.
+
+    Scale: linear, zero shuffle, payload shrinks 2x before any
+    downstream exchange (same discipline as mm_image_resize);
+    real codec in, integer-exact features out.
+    """
+
+    @F.pandas_udf("binary")
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(ppm_from_text)
+
+    weights = np.arange(8 * AUG_CROP_W * 3, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = decode_image_batch(pdf["payload"])
+            rows = []
+            for i, img in enumerate(imgs):
+                aug = img[:, ::-1, :][:, :AUG_CROP_W, :]  # flip then crop
+                flat = aug.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(pdf["doc_id"].iloc[i]),
+                        "out_w": aug.shape[1],
+                        "out_h": aug.shape[0],
+                        "mean_aug": float(flat.sum()) / flat.size,
+                        "weighted_checksum": int((flat * weights).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUG_SCHEMA.fields])
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    payloads = d.select("doc_id", to_ppm("text").alias("payload"))
+    return payloads.mapInPandas(run, AUG_SCHEMA).orderBy("doc_id")

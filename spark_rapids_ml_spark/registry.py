@@ -65,6 +65,7 @@ def register(
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
     # -- round 6 second-session additions: never driver-checked --
+    "mm_image_augment_flip_crop",
     "sql_pipe_syntax_flow",
     "sql_parameterized_query",
     "scalar_collation_group",
