@@ -362,3 +362,125 @@ def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+UDTF_SPLIT_N = 3
+
+
+@register(
+    "udf_udtf_polymorphic_split",
+    tags=("udf", "udtf", "spark4"),
+    oracle=f"""
+SELECT doc_id,
+       string_split(text, ' ')[1] AS tok0,
+       string_split(text, ' ')[2] AS tok1,
+       string_split(text, ' ')[3] AS tok2
+FROM documents
+WHERE doc_id <= 50
+ORDER BY doc_id
+""",
+)
+def udf_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output
+    schema is not fixed at registration — the static ``analyze``
+    method computes it from the call-site arguments at plan time
+    (here: N constant -> N token columns), the table-function
+    equivalent of generics. udf_udtf_bigrams is the fixed-schema
+    tier; this one exercises the analyzer round-trip through
+    AnalyzeArgument/AnalyzeResult and a LATERAL correlated call.
+
+    Scale: same execution story as any UDTF (per-partition Python
+    eval over Arrow batches, no shuffle introduced by the function
+    itself); the schema work happens ONCE in the analyzer, not per
+    row, so polymorphism is free at execution time.
+    """
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StructType
+
+    @udtf
+    class SplitN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"tok{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("split_n", SplitN)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.tok0, s.tok1, s.tok2
+        FROM udtf_docs d, LATERAL split_n(d.text, {UDTF_SPLIT_N}) s
+        ORDER BY d.doc_id
+        """
+    )
+
+
+@register(
+    "api_dataframe_transpose",
+    tags=("api", "spark4", "reshape"),
+    oracle="""
+WITH agg AS (
+  SELECT r.r_name,
+         CAST(COUNT(DISTINCT n.n_nationkey) AS DOUBLE) AS n_nations,
+         CAST(COUNT(DISTINCT s.s_suppkey) AS DOUBLE) AS n_suppliers
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY r.r_name
+)
+SELECT 'n_nations' AS key,
+       MAX(CASE WHEN r_name = 'AFRICA' THEN n_nations END) AS "AFRICA",
+       MAX(CASE WHEN r_name = 'AMERICA' THEN n_nations END) AS "AMERICA",
+       MAX(CASE WHEN r_name = 'ASIA' THEN n_nations END) AS "ASIA",
+       MAX(CASE WHEN r_name = 'EUROPE' THEN n_nations END) AS "EUROPE",
+       MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END) AS "MIDDLE EAST"
+FROM agg
+UNION ALL
+SELECT 'n_suppliers',
+       MAX(CASE WHEN r_name = 'AFRICA' THEN n_suppliers END),
+       MAX(CASE WHEN r_name = 'AMERICA' THEN n_suppliers END),
+       MAX(CASE WHEN r_name = 'ASIA' THEN n_suppliers END),
+       MAX(CASE WHEN r_name = 'EUROPE' THEN n_suppliers END),
+       MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_suppliers END)
+FROM agg
+ORDER BY key
+""",
+)
+def api_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): rows become columns with
+    the first column's values as the new header — the matrix-style
+    reshape pandas users reach for, now a native API whose inverse is
+    the unpivot surface (agg_unpivot_measures). Applied to the
+    per-region dimension rollup; the oracle is the manual
+    conditional-aggregation transpose, pinning both the cell values
+    and the derived column names.
+
+    Scale: transpose REQUIRES the frame to be column-count-bounded
+    after the flip (here 5 regions); it collects the header values to
+    the driver at plan time — correct for dimension-sized summaries,
+    never for fact tables (the same bounded-pivot contract as
+    agg_pivot's pinned value set vs agg_pivot_dynamic's two-phase
+    discovery).
+    """
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    agg = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").cast("double").alias("n_nations"),
+            F.countDistinct("s_suppkey").cast("double").alias("n_suppliers"),
+        )
+        .orderBy("r_name")
+    )
+    return agg.transpose().orderBy("key")
