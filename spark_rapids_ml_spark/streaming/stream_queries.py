@@ -1153,3 +1153,139 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+def _make_jsonl_stream_sink_datasource():
+    """Streaming-writer-side Python Data Source (Spark 4
+    ``DataSourceStreamWriter``): per-micro-batch two-phase commit —
+    each task stages its partition as a JSON-lines file and returns
+    the path as its commit message; the driver's commit(batchId)
+    publishes acknowledged files under a batch-stamped name and drops
+    a ``_commit_<batchId>`` marker, and an already-markered batch is
+    SKIPPED (idempotent replay — the exactly-once half the engine
+    owes on top of the checkpoint's replay guarantee; cf.
+    stream_file_sink_exactly_once for the built-in sink's version)."""
+    import json as _json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _FileMessage(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.target = options["path"]
+            self.staging = os.path.join(self.target, "_staging")
+
+        def write(self, iterator):
+            os.makedirs(self.staging, exist_ok=True)
+            path = os.path.join(self.staging, f"part-{_uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+            return _FileMessage(path)
+
+        def commit(self, messages, batchId):
+            marker = os.path.join(self.target, f"_commit_{batchId}")
+            if os.path.exists(marker):  # replayed batch: drop, don't double-publish
+                for m in messages:
+                    if os.path.exists(m.path):
+                        os.remove(m.path)
+                return
+            for i, m in enumerate(messages):
+                shutil.move(
+                    m.path,
+                    os.path.join(self.target, f"batch-{batchId:05d}-{i:04d}.json"),
+                )
+            with open(marker, "w") as f:
+                f.write("committed\n")
+
+        def abort(self, messages, batchId):
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    class JsonlStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamWriter(self.options)
+
+    return JsonlStreamSinkDataSource
+
+
+@register(
+    "stream_python_datasource_writer",
+    tags=("streaming", "sink", "scale"),
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via the Python Data Source writer API —
+    completes the connector matrix {batch, streaming} x {reader,
+    writer} next to source_python_datasource /
+    sink_python_datasource_writer / stream_python_datasource_reader:
+    the events stream is filtered and written through a Python
+    ``DataSourceStreamWriter`` whose per-micro-batch two-phase commit
+    (staging + batch-stamped publish + idempotent replay marker) is
+    the contract every custom feed sink — a webhook pusher, a
+    search-index loader, a vector-DB upserter — must implement. The
+    check re-reads ONLY committed files and matches the batch oracle
+    over the original table: write-path fidelity through a real
+    streaming commit protocol.
+
+    Scale: write() streams each task partition (no driver
+    materialization); commit cost is O(files/batch) renames on the
+    driver — the same publish shape as the built-in file sink's
+    manifest, expressed through the Python API.
+    """
+    import os
+    import shutil
+    import uuid
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/root/repo/.tmp/sinks/{tag}/events_jsonl_stream_pyds"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    spark.dataSource.register(_make_jsonl_stream_sink_datasource())
+    s = _read_stream(spark, sf_dir)
+    sel = s.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    with _state_shuffle(spark):
+        q = (
+            sel.writeStream.format("jsonl_stream_sink")
+            .option("path", path)
+            .option(
+                "checkpointLocation",
+                f"{_CHECKPOINT_ROOT}/{uuid.uuid4().hex}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(
+        os.path.join(path, "batch-*.json")
+    )
+    return (
+        back.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -186,3 +186,34 @@ def test_cms_one_sided_error_and_merge_linearity(spark):
     for k, v in hi.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full, "cell-wise merge != full-corpus sketch"
+
+
+def test_stream_pyds_writer_commit_idempotent(tmp_path):
+    """The streaming Python sink's commit protocol: a replayed
+    batchId must not double-publish (marker check), and abort must
+    drop staging — pure-Python contract test, no Spark needed."""
+    import os
+
+    from pyspark.sql import Row
+
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        _make_jsonl_stream_sink_datasource,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    ds = _make_jsonl_stream_sink_datasource()({"path": d})
+    w = ds.streamWriter(None, False)
+    m1 = w.write(iter([Row(a=1), Row(a=2)]))
+    w.commit([m1], 7)
+    published = [f for f in os.listdir(d) if f.startswith("batch-00007")]
+    assert len(published) == 1
+    # replay of batch 7: staged again, but the marker suppresses publish
+    m2 = w.write(iter([Row(a=1), Row(a=2)]))
+    w.commit([m2], 7)
+    published = [f for f in os.listdir(d) if f.startswith("batch-00007")]
+    assert len(published) == 1, "replayed batch double-published"
+    # abort drops staging entirely
+    w.write(iter([Row(a=3)]))
+    w.abort([], 8)
+    assert not os.path.exists(os.path.join(d, "_staging"))
