@@ -40,6 +40,15 @@ SAMPLED = [
     "ml_ridge_closed_form",
     "mm_tensor_export_batches",
     "pipe_end_to_end_curation",
+    # round-6 second session: sketch merges (KMV k-min, CMS cells),
+    # frontier BFS, ADC integer sums, CDC diff — all must be
+    # layout-independent by construction (integer/exact-decimal state)
+    "agg_kmv_theta_sketch_ops",
+    "agg_count_min_sketch",
+    "graph_bfs_shortest_path",
+    "sim_pq_adc_topk",
+    "sink_change_data_feed",
+    "feature_hashing_trick",
 ]
 
 
