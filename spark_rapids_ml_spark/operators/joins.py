@@ -516,3 +516,59 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+_HINTS = ("broadcast", "merge", "shuffle_hash")
+
+
+@register(
+    "join_strategy_hints",
+    tags=("join", "scale", "optimizer"),
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity < 5
+  GROUP BY o_orderpriority
+)
+SELECT strategy, o_orderpriority, n, revenue
+FROM agg CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+ORDER BY strategy, o_orderpriority
+""",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints (BROADCAST / MERGE / SHUFFLE_HASH): the
+    SAME logical join executed under all three hinted physical
+    strategies, each variant's aggregate emitted under its strategy
+    label — so the hash check pins that the physical strategy NEVER
+    changes the result (the optimizer-override safety contract), and
+    tests/test_plans.py asserts each hint actually selected its
+    operator (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin).
+
+    Scale: hints are the manual override when the planner's size
+    estimates are wrong — a broadcast that spills (hint MERGE), a
+    known-small dim under an inflated estimate (hint BROADCAST), a
+    high-cardinality equi-join with cheap build side (SHUFFLE_HASH
+    skips the sort). AQE re-plans most of this at runtime; the hint
+    surface is the escape hatch that must stay result-neutral.
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = None
+    for h in _HINTS:
+        j = li.join(o.hint(h), li.l_orderkey == o.o_orderkey)
+        agg = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(F.lit(h).alias("strategy"), "o_orderpriority", "n", "revenue")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("strategy", "o_orderpriority")

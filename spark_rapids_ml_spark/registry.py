@@ -65,6 +65,8 @@ def register(
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
     # -- round 6 second-session additions: never driver-checked --
+    "join_strategy_hints",
+    "stream_python_datasource_writer",
     "udf_udtf_polymorphic_split",
     "api_dataframe_transpose",
     "mm_image_augment_flip_crop",

@@ -588,3 +588,22 @@ def test_pq_adc_is_broadcast_hash_join(spark):
     plan = plan_of(sim_pq_adc_topk(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_hints_select_their_strategies(spark):
+    """Each hint variant must plan its named physical join operator."""
+    from spark_rapids_ml_spark.sources.catalog import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, SF, "lineitem").where(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    expect = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in expect.items():
+        plan = plan_of(li.join(o.hint(hint), li.l_orderkey == o.o_orderkey))
+        assert op in plan, f"hint {hint} did not plan {op}"
