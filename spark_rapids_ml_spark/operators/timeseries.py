@@ -828,3 +828,62 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+MEDIAN_FRAME = 10  # 10 preceding + current = 21-row frame (odd => exact element)
+
+
+@register(
+    "events_rolling_median",
+    tags=("timeseries", "window", "analytics"),
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(MEDIAN(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {MEDIAN_FRAME} PRECEDING AND {MEDIAN_FRAME} FOLLOWING
+       ) AS DOUBLE) AS med
+FROM events
+WHERE user_id <= 20
+QUALIFY COUNT(*) OVER (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN {MEDIAN_FRAME} PRECEDING AND {MEDIAN_FRAME} FOLLOWING
+) = {2 * MEDIAN_FRAME + 1}
+ORDER BY user_id, event_id
+""",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over a centered {2 * MEDIAN_FRAME + 1}-row
+    window — the robust-smoothing dual of events_rolling_zscore:
+    order statistics ignore the outliers a mean-based detector is
+    dragged by. Spark has no native windowed median, so the frame is
+    materialized with collect_list and reduced with array_sort +
+    element_at — exact (odd frame => single middle element, no
+    interpolation ambiguity), matching DuckDB's windowed MEDIAN
+    bit-for-bit; truncated edge frames are excluded on both sides.
+
+    Scale: one shuffle on the partition key; per-row cost is
+    O(w log w) on a w={2 * MEDIAN_FRAME + 1} bounded frame — constant
+    per row, NOT per partition, so the op scales with rows exactly
+    like any bounded-frame window. For large w the two-heap running
+    median (applyInPandas per key) is the upgrade path; the frame
+    semantics pinned here are identical.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MEDIAN_FRAME, MEDIAN_FRAME)
+    )
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    framed = e.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    full = framed.where(F.size("vals") == 2 * MEDIAN_FRAME + 1)
+    return full.select(
+        "user_id",
+        "event_id",
+        F.element_at(F.array_sort("vals"), MEDIAN_FRAME + 1)
+        .cast("double")
+        .alias("med"),
+    ).orderBy("user_id", "event_id")
