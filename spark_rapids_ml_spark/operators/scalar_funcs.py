@@ -356,3 +356,76 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(CAST(l_linenumber AS STRING) AS BIGINT)").alias("line_as_int"),
         F.expr("try_mod(l_orderkey, l_linenumber)").cast("bigint").alias("key_mod_line"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "scalar_url_canonicalize",
+    tags=("scalar", "string", "dedup", "llm-pipe"),
+    oracle="""
+WITH d AS (SELECT doc_id, source, lang FROM documents WHERE doc_id <= 150),
+raw AS (
+  SELECT doc_id, u.url FROM d CROSS JOIN LATERAL (
+    SELECT unnest(ARRAY[
+      'https://WWW.' || source || '.Example.COM:443/docs/' || lang || '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=x&v=2',
+      'https://www.' || source || '.example.com/docs/' || lang || '?v=2&id=' || CAST(doc_id AS VARCHAR),
+      'https://www.' || source || '.example.com/docs/' || lang || '/?id=' || CAST(doc_id AS VARCHAR) || '&v=2&utm_campaign=y'
+    ]) AS url
+  ) u
+),
+canon AS (
+  SELECT doc_id,
+         'https://' || lower(regexp_extract(url, 'https://([^/:?]+)', 1))
+         || regexp_replace(regexp_extract(url, 'https://[^/?]+(/[^?]*)', 1), '/$', '')
+         || '?' || array_to_string(
+              list_sort(list_filter(string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                                    p -> p NOT LIKE 'utm_%')), '&') AS canon_url
+  FROM raw
+)
+SELECT doc_id, canon_url, COUNT(*) AS n_variants
+FROM canon GROUP BY doc_id, canon_url ORDER BY doc_id
+""",
+)
+def scalar_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-corpus dedup precursor every
+    crawl pipeline runs before exact/near dedup: lowercase the host,
+    drop the default port, strip the trailing slash, remove
+    ``utm_*`` tracking parameters and SORT the remaining query params
+    so syntactic variants of the same resource collapse to one key.
+    Three deliberately-messy variants per document (mixed-case host
+    +:443 +utm_source / param-reordered / trailing-slash +utm_campaign)
+    all canonicalize to the same URL — n_variants = 3 per doc is
+    hash-pinned, so a canonicalizer that misses any rule breaks the
+    check. Composes with dedup_exact_by_hash keyed on canon_url.
+
+    Scale: pure JVM codegen (parse_url + higher-order array ops per
+    row, no UDF, no shuffle before the final key group-by) — a
+    trillion-URL canonicalization is scan-bound.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    mk = lambda *parts: F.concat(*[p if isinstance(p, F.Column) else F.lit(p) for p in parts])  # noqa: E731
+    did = F.col("doc_id").cast("string")
+    raw = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                mk("https://WWW.", F.col("source"), ".Example.COM:443/docs/", F.col("lang"), "/?id=", did, "&utm_source=x&v=2"),
+                mk("https://www.", F.col("source"), ".example.com/docs/", F.col("lang"), "?v=2&id=", did),
+                mk("https://www.", F.col("source"), ".example.com/docs/", F.col("lang"), "/?id=", did, "&v=2&utm_campaign=y"),
+            )
+        ).alias("url"),
+    )
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", "")
+    params = F.filter(
+        F.split(F.parse_url("url", F.lit("QUERY")), "&"),
+        lambda p: ~p.startswith("utm_"),
+    )
+    canon = F.concat(
+        F.lit("https://"), host, path, F.lit("?"), F.array_join(F.array_sort(params), "&")
+    )
+    return (
+        raw.select("doc_id", canon.alias("canon_url"))
+        .groupBy("doc_id", "canon_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("doc_id")
+    )
