@@ -1203,3 +1203,85 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    tags=("agg", "stats"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS s1,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM m ORDER BY l_returnflag
+""",
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments — population skewness (m3/m2^1.5) and
+    excess kurtosis (m4/m2^2 - 3) per return flag, completing the
+    moments ladder above agg_moments_exact (var/stddev) and agg_corr.
+    Built from RAW INTEGER power sums (l_quantity is integral, so
+    Σq..Σq⁴ are exact BIGINTs, order-independent under any partial
+    aggregation) rather than the engines' builtin skewness()/
+    kurtosis() — whose bias conventions differ between engines; the
+    explicit formulation pins ONE convention and makes both engines
+    evaluate the identical IEEE expression tree.
+
+    Scale: four power sums ride the same map-side-combined single
+    pass as any sum — the sufficient-statistics pattern
+    (ml_ridge_closed_form's cousin): O(1) state per group, moments
+    derived on KB-sized aggregates.
+    """
+    q = F.col("l_quantity").cast("bigint")
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.sum(q * q * q).alias("s3"),
+            F.sum(q * q * q * q).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * m1 * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * m1 * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
