@@ -603,3 +603,99 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("bigint").alias("weight"))
         .orderBy("doc_id", "dim")
     )
+
+
+def _silhouette_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import _SQL_E, _sql_kmeans_cells
+
+    return f"""
+WITH e AS ({_SQL_E}),
+{_sql_kmeans_cells(k=4, iters=6)},
+d AS (
+  SELECT x.vec_id, x.cl AS own, c.cl, list_distance(x.emb, c.cemb) AS dist
+  FROM cells x CROSS JOIN cent6 c
+),
+ab AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN cl = own THEN dist END) AS a,
+         MIN(CASE WHEN cl <> own THEN dist END) AS b
+  FROM d GROUP BY vec_id, own
+),
+s AS (
+  SELECT own AS cluster,
+         CAST(ROUND((b - a) / GREATEST(a, b) * 1000000000.0) AS BIGINT) AS sn
+  FROM ab
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+       ROUND(CAST(SUM(sn) AS DOUBLE) / 1000000000.0 / COUNT(*), 6) AS mean_silhouette
+FROM s GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("ml_kmeans_silhouette", tags=("ml", "kmeans", "eval"), oracle=_silhouette_oracle())
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering EVALUATION — simplified (centroid-based) silhouette
+    per cluster: s = (b - a) / max(a, b) with a = distance to the own
+    centroid and b = distance to the nearest other centroid — the
+    metric a pipeline uses to pick k or reject a degenerate fit,
+    completing the train (kmeans_embedding_clusters) -> apply (IVF
+    cells) -> EVALUATE triad. The training run is the same tol=0
+    6-iteration Lloyd's the DuckDB oracle unrolls as CTEs; per-point
+    scores are nano-unit integers so the per-cluster mean is an exact
+    integer sum in both engines (the FP-order discipline of
+    sim_pq_adc_topk applied to an O(N*k) metric).
+
+    Scale: one broadcast of k centroids against the assigned corpus —
+    O(N*k) distance evaluations in codegen, one groupBy(cluster) with
+    map-side partial sums; the full-pairwise silhouette (O(N^2)) is
+    deliberately NOT the shape — centroid-based is the one that runs
+    at 10^9 points.
+    """
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = KMeans(k=4, max_iter=6, id_col="id", tol=0.0).fit(e)
+    assigned = model.transform(e)
+    cents = spark.createDataFrame(
+        [(int(j), [float(v) for v in model.centroids[j]]) for j in range(len(model.centroids))],
+        "cl BIGINT, cemb ARRAY<DOUBLE>",
+    )
+
+    def edist(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    d = assigned.crossJoin(F.broadcast(cents)).select(
+        "id",
+        F.col("cluster").alias("own"),
+        "cl",
+        edist(F.col("features"), F.col("cemb")).alias("dist"),
+    )
+    ab = d.groupBy("id", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        F.col("own").alias("cluster"),
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b") * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("sn"),
+    )
+    return (
+        s.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sn").cast("double") / F.lit(1000000000.0) / F.count(F.lit(1)), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .select(F.col("cluster").cast("bigint").alias("cluster"), "n", "mean_silhouette")
+        .orderBy("cluster")
+    )

@@ -65,6 +65,7 @@ def register(
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
     # -- round 6 second-session additions: never driver-checked --
+    "ml_kmeans_silhouette",
     "agg_skewness_kurtosis",
     "scalar_url_canonicalize",
     "events_rolling_median",
