@@ -217,3 +217,47 @@ def test_stream_pyds_writer_commit_idempotent(tmp_path):
     w.write(iter([Row(a=3)]))
     w.abort([], 8)
     assert not os.path.exists(os.path.join(d, "_staging"))
+
+
+def test_rolling_median_robust_to_outlier(spark):
+    """Median vs mean robustness: for every emitted frame the median
+    equals the numpy median of that frame (replayed), and lies within
+    the frame's min/max."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.operators.timeseries import (
+        MEDIAN_FRAME,
+        events_rolling_median,
+    )
+
+    out = {r.event_id: r.med for r in events_rolling_median(spark, SF).collect()}
+    assert out
+    e = (
+        load(spark, SF, "events")
+        .where(F.col("user_id") <= 20)
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(e, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    w = MEDIAN_FRAME
+    n_checked = 0
+    for rows in by_user.values():
+        vals = [r.value for r in rows]
+        for i, r in enumerate(rows):
+            if r.event_id in out and w <= i < len(rows) - w:
+                frame = vals[i - w : i + w + 1]
+                assert out[r.event_id] == float(np.median(frame))
+                n_checked += 1
+    assert n_checked == len(out)
+
+
+def test_silhouette_scores_in_range(spark):
+    from spark_rapids_ml_spark.ml_queries import ml_kmeans_silhouette
+
+    rows = ml_kmeans_silhouette(spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.n > 0
