@@ -1285,3 +1285,65 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+DP_SCALE = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+
+
+@register(
+    "dq_dp_noisy_counts",
+    tags=("agg", "dq", "privacy"),
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n,
+         CAST(GREATEST({sql_hash60("'dp|' || event_type")}, 1) AS DOUBLE)
+           / 1152921504606846976.0 - 0.5 AS uni
+  FROM c
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(n + (-{DP_SCALE}) * SIGN(uni) * LN(1.0 - 2.0 * ABS(uni)), 6) AS noisy_n
+FROM u ORDER BY event_type
+""",
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the Laplace mechanism
+    (sensitivity 1, epsilon 0.5 -> scale b = {DP_SCALE}): noise drawn
+    by inverse-CDF transform of a SEEDED uniform (the portable 60-bit
+    hash of the group key mapped into (-1/2, 1/2), clamped off the
+    atom at exactly -1/2), so the "random" draw is a pure function of
+    the key — the deterministic-noise discipline every testable DP
+    pipeline uses (per-release seeds in production), making the
+    mechanism itself hash-checkable cross-engine. The true count is
+    emitted alongside ONLY because this is a correctness fixture; a
+    real release ships the noisy column alone.
+
+    Scale: noise is O(1) per GROUP, applied after the map-side-
+    combined aggregate — DP costs nothing at 100 TB; the engine-side
+    guarantee is that noise is added exactly once per released
+    statistic, which the seeded formulation makes auditable.
+    """
+    c = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    uni = (
+        F.greatest(hash60(F.concat(F.lit("dp|"), F.col("event_type"))), F.lit(1)).cast(
+            "double"
+        )
+        / F.lit(float(1 << 60))
+        - F.lit(0.5)
+    )
+    u = c.select("event_type", "n", uni.alias("uni"))
+    return u.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n")
+            + F.lit(-DP_SCALE)
+            * F.signum("uni")
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs("uni")),
+            6,
+        ).alias("noisy_n"),
+    ).orderBy("event_type")

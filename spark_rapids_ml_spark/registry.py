@@ -68,6 +68,7 @@ SWEEP_PRIORITY: list[str] = [
     # have never had a driver correctness row (each is hash-green in
     # the committed SWEEP_r6/SWEEP_sf1 artifacts at sf0.01 AND sf1,
     # plus the sf0.001 pytest oracle gate) -- front-load them all --
+    "dq_dp_noisy_counts",
     "ml_kmeans_silhouette",
     "agg_skewness_kurtosis",
     "scalar_url_canonicalize",
