@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 6 second session: the 22 operators added this session
+    # -- round 6 second session: the 23 operators added this session
     # have never had a driver correctness row (each is hash-green in
     # the committed SWEEP_r6/SWEEP_sf1 artifacts at sf0.01 AND sf1,
     # plus the sf0.001 pytest oracle gate) -- front-load them all --
