@@ -40,6 +40,7 @@ ORDER BY c_mktsegment
 """,
 )
 def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/count-distinct/min/max/sum/avg per segment in one pass."""
     c = load(spark, sf_dir, "customer")
     return (
         c.groupBy("c_mktsegment")
@@ -142,6 +143,7 @@ ORDER BY rf, ls
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, status) with <all> markers."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -170,6 +172,7 @@ ORDER BY st, pri
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations of (status, priority)."""
     o = load(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -197,6 +200,7 @@ ORDER BY rf, ls
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with per-set null markers."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
@@ -223,6 +227,7 @@ ORDER BY o_custkey
 """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter on grouped orders."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -417,6 +422,7 @@ WHERE l_orderkey <= 5000
 """,
 )
 def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) columns in one aggregation (Expand-based)."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 5000)
     return li.agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

@@ -94,6 +94,7 @@ ORDER BY l_linestatus
 """,
 )
 def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor aggregates over integer keys."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 3000)
     bits = (F.col("l_orderkey") % 256).cast("bigint")
     return (

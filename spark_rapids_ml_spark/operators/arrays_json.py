@@ -34,6 +34,7 @@ ORDER BY doc_id
 """,
 )
 def array_basic_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction, size, contains, element_at basics."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
     toks = F.split("text", " ")
     return d.select(
@@ -90,6 +91,7 @@ ORDER BY doc_id, pos
 """,
 )
 def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — position-preserving array flattening."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 20)
     return (
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
@@ -187,6 +189,7 @@ ORDER BY event_id
 """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction from the events props column."""
     e = load(spark, sf_dir, "events").where(F.col("event_id") <= 500)
     return e.select(
         "event_id",

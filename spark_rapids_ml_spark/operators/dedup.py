@@ -152,6 +152,7 @@ FROM (SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents)
 """,
 )
 def dedup_exact_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates() over ALL columns — whole-row exact dedup."""
     d = load(spark, sf_dir, "documents")
     return d.distinct().agg(F.count(F.lit(1)).alias("n_unique"))
 

@@ -30,6 +30,7 @@ ORDER BY o.o_orderkey
 """,
 )
 def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join customer-orders (the baseline shuffle join)."""
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     c = load(spark, sf_dir, "customer")
     return (
@@ -53,6 +54,7 @@ ORDER BY c.c_custkey, o.o_orderkey
 """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched left rows as nulls."""
     c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
@@ -74,6 +76,7 @@ ORDER BY o.o_orderkey
 """,
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join preserving unmatched right rows."""
     c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
     o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
     return (
@@ -95,6 +98,7 @@ ORDER BY cust_nation NULLS LAST, supp_nation NULLS LAST
 """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join preserving both unmatched sides."""
     cn = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 9900)
@@ -128,6 +132,7 @@ ORDER BY c_custkey
 """,
 )
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence filter, no right columns."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
@@ -173,6 +178,7 @@ ORDER BY r.r_name, n.n_name
 """,
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two bounded dims (25x5 demo; never fact-sized)."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")

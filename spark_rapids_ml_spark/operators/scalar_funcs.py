@@ -38,6 +38,7 @@ ORDER BY c_custkey
 """,
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string scalar surface: concat/substr/trim/pad/case/length, JVM codegen."""
     c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
     return c.select(
         "c_custkey",
@@ -71,6 +72,7 @@ ORDER BY p_partkey
 """,
 )
 def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/replace/count over text — the first-match regex tier."""
     p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
     return p.select(
         "p_partkey",
@@ -128,6 +130,7 @@ ORDER BY o_orderkey
 """,
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface: trunc/add/diff/extract over order dates."""
     o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
     d = F.col("o_orderdate")
     return o.select(
@@ -166,6 +169,7 @@ ORDER BY s_suppkey
 """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/round/power/mod/log family."""
     s = load(spark, sf_dir, "supplier")
     b = F.col("s_acctbal")
     return s.select(
@@ -204,6 +208,7 @@ ORDER BY c_custkey
 """,
 )
 def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/nvl conditional-null scalar semantics."""
     c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
     bal = F.col("c_acctbal")
     return c.select(

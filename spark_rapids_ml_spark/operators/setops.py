@@ -45,6 +45,7 @@ GROUP BY nationkey ORDER BY nationkey
 """,
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) of two order slices."""
     u = _cust_nations(spark, sf_dir).unionAll(_supp_nations(spark, sf_dir))
     return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")).orderBy("nationkey")
 
@@ -55,6 +56,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT nationkey FROM ({_CUST_SQL} UNION {_SUPP_SQL}) ORDER BY nationkey",
 )
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — set union with the dedup shuffle."""
     return (
         _cust_nations(spark, sf_dir)
         .union(_supp_nations(spark, sf_dir))
@@ -69,6 +71,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT nationkey FROM ({_CUST_SQL} INTERSECT {_SUPP_SQL}) ORDER BY nationkey",
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — distinct rows present on both sides."""
     return (
         _cust_nations(spark, sf_dir)
         .intersect(_supp_nations(spark, sf_dir))
@@ -82,6 +85,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT nationkey FROM ({_CUST_SQL} EXCEPT {_SUPP_SQL}) ORDER BY nationkey",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — distinct rows on the left absent from the right."""
     # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
     # multiplicity differences, which is a different operator.
     return (
@@ -101,6 +105,7 @@ ORDER BY o_orderstatus, o_orderpriority
 """,
 )
 def setop_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projected key set (the dedup shuffle)."""
     return (
         load(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_orderpriority")

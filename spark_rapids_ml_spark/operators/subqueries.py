@@ -32,6 +32,7 @@ ORDER BY c_custkey
 """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (corpus average) in a filter."""
     # threshold computed in exact decimal so both engines filter on the
     # identical constant
     _views(spark, sf_dir, "customer")
@@ -58,6 +59,7 @@ ORDER BY o_orderkey
 """,
 )
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — semi-join rewrite by Catalyst."""
     _views(spark, sf_dir, "orders", "customer")
     return spark.sql(
         """
@@ -84,6 +86,7 @@ ORDER BY s_suppkey
 """,
 )
 def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated to a semi-join."""
     _views(spark, sf_dir, "supplier", "lineitem")
     return spark.sql(
         """
@@ -112,6 +115,7 @@ ORDER BY c_custkey
 """,
 )
 def subquery_not_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS — decorrelated to an anti-join."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
@@ -139,6 +143,7 @@ ORDER BY o_orderkey
 """,
 )
 def subquery_correlated_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery per outer row."""
     _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(
         """

@@ -68,6 +68,7 @@ ORDER BY lang, source
 """,
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token/char/doc aggregates over documents."""
     d = load(spark, sf_dir, "documents")
     return (
         d.groupBy("lang", "source")

@@ -34,6 +34,7 @@ ORDER BY c_custkey
 """,
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over a global ORDER BY (dimension-table-sized input by design — a global window is a single-partition sort at scale)."""
     c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 600)
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
@@ -94,6 +95,7 @@ ORDER BY o_custkey, o_orderkey
 """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within user-partitioned event streams."""
     o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     p = F.col("o_totalprice")
@@ -128,6 +130,7 @@ ORDER BY o_custkey, o_orderkey
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per partition — the prefix-scan window."""
     o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 300)
     w = (
         Window.partitionBy("o_custkey")
@@ -190,6 +193,7 @@ ORDER BY o_custkey, o_orderkey
 """,
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over explicit frames."""
     o = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 150)
     w = (
         Window.partitionBy("o_custkey")
