@@ -1127,11 +1127,14 @@ CMS_PROBES = 20   # custkeys probed for estimates
     tags=("agg", "approx", "scale"),
     oracle=f"""
 WITH seeds AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS s),
+-- ONE md5 per occurrence; hash row s reads its own disjoint 7-hex
+-- (28-bit) slice -- the d-hashes-from-one-digest trick
+h AS (SELECT o_custkey, md5('cms|' || CAST(o_custkey AS VARCHAR)) AS hx FROM orders),
 sketch AS (
   SELECT s,
-         {sql_hash60("('s' || CAST(s AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR))")} % {CMS_WIDTH} AS bucket,
+         CAST(('0x' || substr(hx, 1 + 7 * s, 7)) AS BIGINT) % {CMS_WIDTH} AS bucket,
          COUNT(*) AS cnt
-  FROM orders CROSS JOIN seeds
+  FROM h CROSS JOIN seeds
   GROUP BY 1, 2
 ),
 probes AS (
@@ -1144,7 +1147,7 @@ est AS (
   CROSS JOIN seeds
   JOIN sketch sk
     ON sk.s = seeds.s
-   AND sk.bucket = {sql_hash60("('s' || CAST(seeds.s AS VARCHAR) || '|' || CAST(p.o_custkey AS VARCHAR))")} % {CMS_WIDTH}
+   AND sk.bucket = CAST(('0x' || substr(md5('cms|' || CAST(p.o_custkey AS VARCHAR)), 1 + 7 * seeds.s, 7)) AS BIGINT) % {CMS_WIDTH}
   GROUP BY p.o_custkey, p.exact_cnt
 )
 SELECT o_custkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -1174,30 +1177,36 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' bucketing identical.
     """
     o = load(spark, sf_dir, "orders").select("o_custkey")
-    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
-    rows = o.select("o_custkey", F.explode(seeds).alias("s"))
-    bucket = (
-        hash60(
-            F.concat(
-                F.lit("s"),
-                F.col("s").cast("string"),
-                F.lit("|"),
-                F.col("o_custkey").cast("string"),
-            )
-        )
-        % CMS_WIDTH
-    )
-    sketch = rows.groupBy("s", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    hx = F.md5(F.concat(F.lit("cms|"), F.col("o_custkey").cast("string")))
+
+    def cells(df):
+        # one md5 per row (the 4 references CSE to a single eval in
+        # codegen); row s slices its own disjoint 7-hex (28-bit) range
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            (
+                                F.conv(F.substring(hx, 1 + 7 * s, 7), 16, 10).cast("bigint")
+                                % CMS_WIDTH
+                            ).alias("bucket"),
+                        )
+                        for s in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("sb"),
+        ).select(*df.columns, F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
+
+    sketch = cells(o).groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     probes = (
         o.where(F.col("o_custkey") <= CMS_PROBES)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
-    probe_cells = probes.select("o_custkey", "exact_cnt", F.explode(seeds).alias("s")).select(
-        "o_custkey", "exact_cnt", "s", bucket.alias("bucket")
-    )
+    probe_cells = cells(probes)
     return (
         probe_cells.join(F.broadcast(sketch), ["s", "bucket"])
         .groupBy("o_custkey", "exact_cnt")

@@ -154,7 +154,6 @@ def test_cms_one_sided_error_and_merge_linearity(spark):
         CMS_WIDTH,
         agg_count_min_sketch,
     )
-    from spark_rapids_ml_spark.functions.portable import hash60
     from spark_rapids_ml_spark.sources.catalog import load
 
     rows = agg_count_min_sketch(spark, SF).collect()
@@ -162,19 +161,22 @@ def test_cms_one_sided_error_and_merge_linearity(spark):
     assert all(r.cms_est >= r.exact_cnt for r in rows), "one-sided bound violated"
 
     o = load(spark, SF, "orders").select("o_custkey")
-    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
-    bucket = (
-        hash60(
-            F.concat(F.lit("s"), F.col("s").cast("string"), F.lit("|"),
-                     F.col("o_custkey").cast("string"))
-        ) % CMS_WIDTH
+    hx = F.md5(F.concat(F.lit("cms|"), F.col("o_custkey").cast("string")))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                (F.conv(F.substring(hx, 1 + 7 * s, 7), 16, 10).cast("bigint") % CMS_WIDTH).alias("bucket"),
+            )
+            for s in range(CMS_DEPTH)
+        ]
     )
 
     def sketch_of(df):
         return {
             (r.s, r.bucket): r.cnt
-            for r in df.select("o_custkey", F.explode(seeds).alias("s"))
-            .groupBy("s", bucket.alias("bucket"))
+            for r in df.select(F.explode(cells).alias("sb"))
+            .groupBy(F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
