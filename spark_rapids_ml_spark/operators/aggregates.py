@@ -14,6 +14,8 @@ bounded-error pytest, since sketches are not cross-engine stable).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1173,8 +1175,10 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row, bucket) — {CMS_DEPTH * CMS_WIDTH} cells of state regardless
     of key cardinality, mergeable across partitions/days by cell-wise
     addition (counters are linear); probes are a broadcast join
-    against the KB-sized sketch. The portable 60-bit hash keeps both
-    engines' bucketing identical.
+    against the KB-sized sketch. Cross-engine bucketing contract: one
+    md5 of 'cms|key' per row, hash row s taking its own disjoint 7-hex
+    (28-bit) slice of the digest, mod width — identical arithmetic in
+    Spark (conv/substring) and the DuckDB oracle (substr/CAST 0x).
     """
     o = load(spark, sf_dir, "orders").select("o_custkey")
     hx = F.md5(F.concat(F.lit("cms|"), F.col("o_custkey").cast("string")))
@@ -1303,6 +1307,12 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DP_SCALE = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+# Release nonce: the Laplace draw is seeded from hash(nonce || key), not
+# key alone, so each RELEASE of the same statistic gets fresh noise (the
+# nonce changes per release) while any single release stays reproducible
+# and cross-engine hash-checkable. Overridable for testing; both the
+# Spark query and the DuckDB oracle interpolate the SAME value at import.
+DP_NONCE = os.environ.get("SPARK_GRAFT_DP_NONCE", "release-2026-08-r7")
 
 
 @register(
@@ -1314,7 +1324,7 @@ WITH c AS (
 ),
 u AS (
   SELECT event_type, n,
-         CAST(GREATEST({sql_hash60("'dp|' || event_type")}, 1) AS DOUBLE)
+         CAST(GREATEST({sql_hash60(f"'{DP_NONCE}|dp|' || event_type")}, 1) AS DOUBLE)
            / 1152921504606846976.0 - 0.5 AS uni
   FROM c
 )
@@ -1326,14 +1336,23 @@ FROM u ORDER BY event_type
 def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private counts via the Laplace mechanism
     (sensitivity 1, epsilon 0.5 -> scale b = {DP_SCALE}): noise drawn
-    by inverse-CDF transform of a SEEDED uniform (the portable 60-bit
-    hash of the group key mapped into (-1/2, 1/2), clamped off the
-    atom at exactly -1/2), so the "random" draw is a pure function of
-    the key — the deterministic-noise discipline every testable DP
-    pipeline uses (per-release seeds in production), making the
-    mechanism itself hash-checkable cross-engine. The true count is
-    emitted alongside ONLY because this is a correctness fixture; a
-    real release ships the noisy column alone.
+    by inverse-CDF transform of a SEEDED uniform — the portable 60-bit
+    hash of (release nonce || group key) mapped into (-1/2, 1/2),
+    clamped off the atom at exactly -1/2 — so the draw is a pure
+    function of (nonce, key): any single release is reproducible and
+    hash-checkable cross-engine, while rotating the nonce per release
+    re-randomizes the noise (the per-release-seed discipline of
+    testable DP pipelines).
+
+    What this is and is not: the MECHANISM (Laplace, sensitivity 1,
+    inverse-CDF) is the real one, and with a nonce drawn fresh and
+    secret per release it delivers epsilon-DP per release. What ships
+    here is the correctness FIXTURE of that mechanism: the default
+    nonce is a public constant (so the DuckDB oracle can pin the same
+    draw), the true count is emitted alongside the noisy one, and
+    epsilon does not compose across re-releases — none of which a
+    privacy-bearing deployment would do. A real release draws the
+    nonce from a CSPRNG, ships noisy_n alone, and accounts the budget.
 
     Scale: noise is O(1) per GROUP, applied after the map-side-
     combined aggregate — DP costs nothing at 100 TB; the engine-side
@@ -1344,9 +1363,9 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     uni = (
-        F.greatest(hash60(F.concat(F.lit("dp|"), F.col("event_type"))), F.lit(1)).cast(
-            "double"
-        )
+        F.greatest(
+            hash60(F.concat(F.lit(f"{DP_NONCE}|dp|"), F.col("event_type"))), F.lit(1)
+        ).cast("double")
         / F.lit(float(1 << 60))
         - F.lit(0.5)
     )

@@ -273,10 +273,19 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = step.join(visited.select("node"), "node", "left_anti").withColumn(
             "dist", F.lit(d)
         )
-        visited = visited.unionByName(new).cache()
+        prev = visited
+        visited = prev.unionByName(new).cache()
+        visited.count()  # materialize this level, then free the previous one
+        prev.unpersist()
         frontier = new.select("node")
     out = visited.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("dist").cast("bigint").alias("dist"),
     ).orderBy("node")
+    # localCheckpoint truncates lineage so the cached superstep blocks
+    # (and the edges cache) can be released without recompute — no cache
+    # accumulation across a hundreds-of-queries long-lived session.
+    out = out.localCheckpoint(eager=True)
+    visited.unpersist()
+    edges.unpersist()
     return out

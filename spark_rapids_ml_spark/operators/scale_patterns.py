@@ -788,7 +788,17 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     pruning subquery reuses that exchange for free).
     """
     tag = sf_dir.strip("/").replace("/", "_")
-    fact_path = f"/root/repo/.tmp/sinks/{tag}/dpp_orders_by_priority"
+    # Cache key includes a fingerprint of the SOURCE orders parquet
+    # (mtime+size), not just a _SUCCESS marker: if the source data is
+    # regenerated, the partitioned snapshot is rebuilt instead of
+    # silently reusing a stale layout that diverges from the oracle.
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    fact_path = f"/root/repo/.tmp/sinks/{tag}/dpp_orders_by_priority_{fp}"
     marker = os.path.join(fact_path, "_SUCCESS")
     o = load(spark, sf_dir, "orders")
     if not os.path.exists(marker):

@@ -407,7 +407,12 @@ def udf_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=st)
 
         def eval(self, text: str, n: int):
-            toks = (text or "").split(" ")
+            if text is None:
+                # match SQL NULL semantics: string_split(NULL) -> NULL
+                # tokens, not ''-derived tokens
+                yield tuple(None for _ in range(n))
+                return
+            toks = text.split(" ")
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     spark.udtf.register("split_n", SplitN)
