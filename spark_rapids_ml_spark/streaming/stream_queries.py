@@ -885,24 +885,30 @@ def stream_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(idx_dir)
     )
 
-    # stage the incoming docs as doc_id-ordered range files; mtime pins
-    # the micro-batch order (harness scaffolding for the finite replay
-    # — on a deployment the bus delivers arrival order)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = incoming.orderBy("doc_id").toPandas()
-    n = len(pdf)
-    now = None
-    for k in range(DEDUP_STREAM_BATCHES):
-        part = pdf.iloc[
-            k * n // DEDUP_STREAM_BATCHES : (k + 1) * n // DEDUP_STREAM_BATCHES
-        ]
-        path = os.path.join(src_dir, f"batch_{k}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        if now is None:
-            now = os.stat(path).st_mtime
-        os.utime(path, (now + 10 * k, now + 10 * k))
+    # stage the incoming docs as doc_id-ordered range files, written
+    # DISTRIBUTED: repartitionByRange gives one contiguous doc_id range
+    # per output partition (part-00000 = lowest range, ascending), so
+    # every row moves executor-side through a range shuffle — the
+    # driver only adjusts file mtimes to pin micro-batch order (harness
+    # scaffolding for the finite replay; on a deployment the bus
+    # delivers arrival order). Replay order must be ranged-ascending:
+    # the index-vs-window split assumes "earlier batch" implies
+    # "smaller doc_id", matching the oracle's arrival order.
+    (
+        incoming.repartitionByRange(DEDUP_STREAM_BATCHES, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    now = os.stat(os.path.join(src_dir, parts[0])).st_mtime
+    for k, fname in enumerate(parts):
+        p = os.path.join(src_dir, fname)
+        os.utime(p, (now + 10 * k, now + 10 * k))
 
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
