@@ -878,3 +878,179 @@ def sink_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit("update_postimage").alias("change_type"), F.col("new_price").alias("price")
     )
     return ins.unionAll(dele).unionAll(pre).unionAll(post).orderBy("o_orderkey", "change_type")
+
+
+# composed lakehouse lifecycle: write v1 -> MERGE -> MOR delete ->
+# compact -> CDF. Bands are chosen disjoint from the single-stage
+# operators' so the stages populate every change type.
+LC_UPD_MOD = 7          # MERGE restates prices on keys divisible by 7
+LC_INS_MOD = 97         # MERGE inserts a shifted copy of keys divisible by 97
+LC_DEL_MOD = 6          # MOR delete drops live keys divisible by 6
+LC_KEY_OFFSET = 1_000_000_000  # inserted keys land in a disjoint range
+LC_PRICE_BUMP = 1.10
+
+
+@register(
+    "sink_lakehouse_lifecycle",
+    tags=("sink", "scale", "cdc", "composed"),
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders
+),
+merged AS (
+  SELECT k, prio,
+         CASE WHEN k % {LC_UPD_MOD} = 0
+              THEN CAST(ROUND(CAST(price AS DECIMAL(18,2)) * CAST({LC_PRICE_BUMP} AS DECIMAL(4,2)), 2) AS DOUBLE)
+              ELSE price END AS price
+  FROM v1
+  UNION ALL
+  SELECT k + {LC_KEY_OFFSET}, prio, price FROM v1 WHERE k % {LC_INS_MOD} = 0
+),
+live AS (SELECT * FROM merged WHERE k % {LC_DEL_MOD} <> 0),
+d AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.k IS NULL AS ins, b.k IS NULL AS del,
+         a.price AS old_price, b.price AS new_price
+  FROM v1 a FULL OUTER JOIN live b ON a.k = b.k
+),
+feed AS (
+  SELECT k, 'insert' AS change_type, new_price AS price FROM d WHERE ins
+  UNION ALL
+  SELECT k, 'delete', old_price FROM d WHERE del
+  UNION ALL
+  SELECT k, 'update_preimage', old_price FROM d
+  WHERE NOT ins AND NOT del AND old_price <> new_price
+  UNION ALL
+  SELECT k, 'update_postimage', new_price FROM d
+  WHERE NOT ins AND NOT del AND old_price <> new_price
+)
+SELECT section, key, n, value_sum, key_sum FROM (
+  SELECT 'state' AS section, prio AS key, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum,
+         CAST(SUM(k) AS BIGINT) AS key_sum
+  FROM live GROUP BY prio
+  UNION ALL
+  SELECT 'feed', change_type, COUNT(*),
+         CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE),
+         CAST(SUM(k) AS BIGINT)
+  FROM feed GROUP BY change_type
+)
+ORDER BY section, key
+""",
+)
+def sink_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse table lifecycle COMPOSED end-to-end — every
+    stage is an already-green single-stage operator, run here in
+    sequence against one table so the hash pins that the stages
+    compose (the way pipe_end_to_end_curation does for the curation
+    DAG): (1) commit snapshot v1; (2) MERGE (copy-on-write upsert:
+    restate the mod-{LC_UPD_MOD} price band +{LC_PRICE_BUMP}x
+    cent-rounded, insert a key-shifted copy of the mod-{LC_INS_MOD}
+    band) -> snapshot v2; (3) DELETE merge-on-read: the mod-
+    {LC_DEL_MOD} band goes to a deletion-vector sidecar, v2's data
+    files untouched; (4) COMPACT: fold the sidecar into rewritten
+    data files -> snapshot v3, after which the sidecar is retired;
+    (5) CDF: diff v1 -> v3 into an insert/delete/update_pre/postimage
+    feed, written to a feed sink. The result reads ONLY committed
+    artifacts — per-priority aggregates of the compacted v3 files
+    (proving compaction preserved the MOR live view) plus per-change-
+    type aggregates of the feed files (count, exact-decimal price sum,
+    key checksum) — so a single hash locks final state AND feed.
+    tests/test_sources_sinks.py additionally replays the feed against
+    v1 and checks it reproduces v3 row-for-row (v1 + feed = v2
+    invariant, the contract a downstream incremental consumer relies
+    on).
+
+    Scale: each stage is the single-stage operator's plan — MERGE one
+    equi-join + rewrite, MOR delete O(k) sidecar writes, compaction
+    one anti-join rewrite (run when sidecar ratio passes a threshold),
+    CDF one full-outer equi-join dropping unchanged rows before the
+    fan-out. Nothing in the composition adds a shuffle the stages
+    didn't already have; at 100 TB the stages run as separate jobs
+    against the same manifest, which is exactly how this harness
+    stages them (immutable v1/v2/v3 dirs + sidecar + feed dir).
+    """
+    root = _sink("lakehouse_lifecycle", sf_dir)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    # (1) commit v1
+    o.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v1 = spark.read.parquet(os.path.join(root, "v1"))
+
+    # (2) MERGE: copy-on-write upsert -> v2
+    updated = v1.withColumn(
+        "price",
+        F.when(
+            F.col("k") % LC_UPD_MOD == 0,
+            F.round(
+                F.col("price").cast("decimal(18,2)")
+                * F.lit(LC_PRICE_BUMP).cast("decimal(4,2)"),
+                2,
+            ).cast("double"),
+        ).otherwise(F.col("price")),
+    )
+    inserts = v1.where(F.col("k") % LC_INS_MOD == 0).select(
+        (F.col("k") + LC_KEY_OFFSET).alias("k"), "prio", "price"
+    )
+    updated.unionByName(inserts).write.mode("overwrite").parquet(
+        os.path.join(root, "v2")
+    )
+    v2 = spark.read.parquet(os.path.join(root, "v2"))
+
+    # (3) DELETE, merge-on-read: keys-only sidecar, v2 files untouched
+    (
+        v2.where(F.col("k") % LC_DEL_MOD == 0)
+        .select("k")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "deletes"))
+    )
+    dv = spark.read.parquet(os.path.join(root, "deletes"))
+    live = v2.join(dv, "k", "left_anti")
+
+    # (4) COMPACT: fold the deletion vectors into data files -> v3
+    live.write.mode("overwrite").parquet(os.path.join(root, "v3"))
+    v3 = spark.read.parquet(os.path.join(root, "v3"))
+
+    # (5) CDF: diff committed v1 -> committed v3, write the feed
+    d = (
+        v1.select("k", F.col("price").alias("old_price"))
+        .join(v3.select("k", F.col("price").alias("new_price")), "k", "full_outer")
+        .where(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+    ins = d.where(F.col("old_price").isNull()).select(
+        "k", F.lit("insert").alias("change_type"), F.col("new_price").alias("price")
+    )
+    dele = d.where(F.col("new_price").isNull()).select(
+        "k", F.lit("delete").alias("change_type"), F.col("old_price").alias("price")
+    )
+    upd = d.where(F.col("old_price").isNotNull() & F.col("new_price").isNotNull())
+    pre = upd.select(
+        "k", F.lit("update_preimage").alias("change_type"), F.col("old_price").alias("price")
+    )
+    post = upd.select(
+        "k", F.lit("update_postimage").alias("change_type"), F.col("new_price").alias("price")
+    )
+    ins.unionAll(dele).unionAll(pre).unionAll(post).write.mode("overwrite").parquet(
+        os.path.join(root, "feed")
+    )
+    feed = spark.read.parquet(os.path.join(root, "feed"))
+
+    state_agg = v3.groupBy(F.col("prio").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    ).select(F.lit("state").alias("section"), "key", "n", "value_sum", "key_sum")
+    feed_agg = feed.groupBy(F.col("change_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    ).select(F.lit("feed").alias("section"), "key", "n", "value_sum", "key_sum")
+    return state_agg.unionByName(feed_agg).orderBy("section", "key")
