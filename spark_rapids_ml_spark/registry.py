@@ -64,90 +64,63 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 6 second session: the 23 operators added this session
-    # have never had a driver correctness row (each is hash-green in
-    # the committed SWEEP_r6/SWEEP_sf1 artifacts at sf0.01 AND sf1,
-    # plus the sf0.001 pytest oracle gate) -- front-load them all --
-    "dq_dp_noisy_counts",
-    "ml_kmeans_silhouette",
-    "agg_skewness_kurtosis",
-    "scalar_url_canonicalize",
-    "events_rolling_median",
-    "join_strategy_hints",
-    "stream_python_datasource_writer",
-    "udf_udtf_polymorphic_split",
-    "api_dataframe_transpose",
-    "mm_image_augment_flip_crop",
-    "sql_pipe_syntax_flow",
-    "sql_parameterized_query",
-    "scalar_collation_group",
-    "agg_count_min_sketch",
-    "scale_dynamic_partition_pruning",
-    "sink_change_data_feed",
-    "agg_kmv_theta_sketch_ops",
-    "scd2_point_in_time_join",
-    "udf_grouped_apply_in_arrow",
-    "graph_bfs_shortest_path",
-    "feature_hashing_trick",
-    "sim_pq_adc_topk",
-    "stream_stream_full_outer_join",
-    # -- round 6 refresh: the 8 queries added late in round 6, then the
-    # earlier round-6 additions and every other query that has NEVER
-    # had a driver correctness row across r01-r05 (31 never-checked
-    # total -- each was judge- or pytest-verified, but a driver row is
-    # the stronger artifact), then the stalest surviving driver rows
-    # (r02 vintage). Fills the driver's 50-query sample window.
-    "ps_pandas_api_groupby",
-    "source_xml_roundtrip",
-    "agg_listagg_ordered",
-    "source_text_lines_roundtrip",
-    "scale_observe_metrics",
-    "setop_union_schema_evolution",
-    "source_csv_permissive_corrupt",
-    "stream_python_datasource_reader",
-    "udf_iter_batch_inference",
-    "events_transition_matrix",
-    "mm_tensor_export_batches",
-    "ml_ridge_closed_form",
-    "setop_bag_except_intersect_all",
-    "subquery_quantified_all_any",
-    "scale_manifest_file_pruning",
-    "agg_pivot_dynamic",
-    "scalar_url_parse",
-    "scalar_try_functions",
-    "pipe_end_to_end_curation",
-    "join_fuzzy_blocked_levenshtein",
-    "profile_table_summary",
-    "agg_distinct_overlap_bitmap",
-    "sink_incremental_agg_maintenance",
-    "events_sequence_pattern_match",
-    "join_asof_nearest_tolerance",
-    "window_trailing_distinct_users",
-    "pipe_cluster_aware_split",
-    "scale_runtime_bloom_filter_join",
-    "sink_merge_on_read_deletes",
-    "sink_snapshot_time_travel",
-    "stream_incremental_dedup_lsh",
-    "pipe_bpe_apply_tokens",
-    "pipe_bpe_tokenize_pack",
-    "pipe_mixture_sampling",
-    "pipe_bpe_train_merges",
-    "mm_video_frame_sample",
-    "mm_image_perceptual_hash",
-    "dq_constraint_checks",
-    "sink_python_datasource_writer",
-    "timeseries_resample_ohlc",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "scd2_dimension_build",
-    "events_rolling_zscore_anomaly",
-    "udf_arrow_scalar_tokenstats",
-    "stream_file_sink_exactly_once",
+    # -- round 7 rotation: (a) the 23 queries that have NEVER had a
+    # driver correctness row across r01-r06 (each is judge-verified
+    # and hash-green in the committed SWEEP artifacts at sf0.01/sf1,
+    # incl. the new composed lakehouse lifecycle), (b) the queries
+    # whose implementation changed this round, (c) the stalest
+    # surviving driver rows (r02 vintage) to fill the 50-sample
+    # window. Names absent from the registry are skipped.
+    "sink_lakehouse_lifecycle",
     "agg_bitmap_distinct_rollup",
+    "dq_constraint_checks",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_rolling_zscore_anomaly",
     "join_interval_overlap_binned",
     "join_null_aware_anti",
-    # -- stalest remaining driver rows (r02), registration order ------
+    "mm_image_perceptual_hash",
+    "mm_video_frame_sample",
+    "pipe_bpe_apply_tokens",
+    "pipe_bpe_tokenize_pack",
+    "pipe_bpe_train_merges",
+    "pipe_mixture_sampling",
+    "scale_runtime_bloom_filter_join",
+    "scd2_dimension_build",
+    "sink_merge_on_read_deletes",
+    "sink_python_datasource_writer",
+    "sink_snapshot_time_travel",
+    "stream_file_sink_exactly_once",
+    "stream_incremental_dedup_lsh",
+    "timeseries_resample_ohlc",
+    "udf_arrow_scalar_tokenstats",
+    "dq_dp_noisy_counts",
+    "agg_count_min_sketch",
+    "scale_dynamic_partition_pruning",
+    "graph_bfs_shortest_path",
+    "udf_udtf_polymorphic_split",
+    "agg_bitwise",
+    "array_basic_ops",
+    "array_explode_tokens",
+    "array_higher_order_vec",
+    "array_posexplode",
+    "array_set_ops",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact_all_columns",
     "dedup_exact_by_hash",
+    "dedup_exact_text",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "histogram_fixed_buckets",
+    "join_broadcast_dim",
+    "join_composite_key_argmax",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_basic",
+    "join_left_anti",
 ]
 
 
