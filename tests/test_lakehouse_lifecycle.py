@@ -82,3 +82,32 @@ def test_feed_well_formed(spark):
     # inserts are exactly the surviving shifted-key band
     ins_keys = feed.where(F.col("change_type") == "insert")
     assert ins_keys.where(F.col("k") < LC_KEY_OFFSET).count() == 0
+
+
+def test_lifecycle_stage_plan_shapes(spark):
+    """100 TB safety: the MOR read applies the deletion sidecar as a
+    BROADCAST anti-join (the sidecar is O(deleted keys), never the
+    table), and the CDF diff plans as an equi full-outer join — no
+    nested loop / cartesian anywhere in the lifecycle's joins."""
+    from spark_rapids_ml_spark.plans.explain import formatted
+
+    sink_lakehouse_lifecycle(spark, SF).collect()
+    v1 = _committed(spark, "v1")
+    v2 = _committed(spark, "v2")
+    dv = _committed(spark, "deletes")
+    v3 = _committed(spark, "v3")
+
+    live_txt = formatted(v2.join(dv, "k", "left_anti"))
+    assert "BroadcastHashJoin" in live_txt and "LeftAnti" in live_txt
+    assert "CartesianProduct" not in live_txt
+    assert "BroadcastNestedLoopJoin" not in live_txt
+
+    diff_txt = formatted(
+        v1.select("k", F.col("price").alias("old_price")).join(
+            v3.select("k", F.col("price").alias("new_price")), "k", "full_outer"
+        )
+    )
+    assert "SortMergeJoin" in diff_txt or "ShuffledHashJoin" in diff_txt
+    assert "FullOuter" in diff_txt
+    assert "CartesianProduct" not in diff_txt
+    assert "BroadcastNestedLoopJoin" not in diff_txt
