@@ -72,6 +72,7 @@ SWEEP_PRIORITY: list[str] = [
     # surviving driver rows (r02 vintage) to fill the 50-sample
     # window. Names absent from the registry are skipped.
     "sink_lakehouse_lifecycle",
+    "stream_cdf_apply_replica",
     "agg_bitmap_distinct_rollup",
     "dq_constraint_checks",
     "events_cohort_retention",

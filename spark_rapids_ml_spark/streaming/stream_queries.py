@@ -1295,3 +1295,208 @@ def stream_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+# CDC apply: the CONSUMER side of sink_change_data_feed — a replica
+# maintained by applying the feed in ranged micro-batches.
+CDC_APPLY_BATCHES = 3
+
+
+def _cdc_apply_oracle():
+    from spark_rapids_ml_spark.operators.sources_io import (
+        CDF_DELETE_MOD,
+        CDF_PRICE_BUMP,
+        CDF_UPDATE_MOD,
+    )
+
+    return f"""
+WITH v2 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CASE WHEN o_orderkey % {CDF_UPDATE_MOD} = 0
+              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST({CDF_PRICE_BUMP} AS DECIMAL(4,2)), 2) AS DOUBLE)
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % {CDF_DELETE_MOD} <> 0
+)
+SELECT prio, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM v2 GROUP BY prio ORDER BY prio
+"""
+
+
+@register(
+    "stream_cdf_apply_replica",
+    tags=("streaming", "cdc", "sink", "composed"),
+    oracle=_cdc_apply_oracle(),
+)
+def stream_cdf_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION — the consumer half of sink_change_data_feed:
+    a downstream replica starts at snapshot v1 and is maintained
+    purely by applying the change feed (full-image insert / delete /
+    update_pre+postimage rows, the Debezium/Delta-CDF row shape) in
+    micro-batches via foreachBatch MERGE — the replica never reads
+    the source table again. The feed is staged as key-ranged files by
+    a distributed repartitionByRange write (micro-batches are
+    key-disjoint, so a key's pre/post pair always travels together
+    and the final replica state is invariant to batch boundaries);
+    each batch applies deletes as an anti-join and upserts
+    (inserts + postimages) as anti-join + union against the previous
+    replica version, committing an immutable new version dir. The
+    result aggregates the FINAL REPLICA's files only; the oracle
+    computes the source's v2 state independently — hash equality IS
+    the replication-correctness check (replica == source after feed
+    exhaustion). tests/test_streaming_semantics.py replays the same
+    feed at 1 and 5 batches and pins replica equality row-for-row.
+
+    Scale: the feed is O(|changes|); each apply is one equi-anti-join
+    + union on the key — at 100 TB the replica is partitioned on the
+    key and MERGE rewrites only touched partitions (the
+    sink_dynamic_partition_overwrite composition); versioned replica
+    dirs give the consumer snapshot isolation + rollback for free.
+    The apply loop is the exactly-once idempotent pattern: replaying
+    a batch rewrites the same version dir to the same bytes.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spark_rapids_ml_spark.operators.sources_io import (
+        CDF_DELETE_MOD,
+        CDF_INSERT_MOD,
+        CDF_PRICE_BUMP,
+        CDF_UPDATE_MOD,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/stream_cdc/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed_dir = os.path.join(root, "feed")
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    v1 = o.where(F.col("k") % CDF_INSERT_MOD != 0)
+    v2 = o.where(F.col("k") % CDF_DELETE_MOD != 0).withColumn(
+        "price",
+        F.when(
+            F.col("k") % CDF_UPDATE_MOD == 0,
+            F.round(
+                F.col("price").cast("decimal(18,2)")
+                * F.lit(CDF_PRICE_BUMP).cast("decimal(4,2)"),
+                2,
+            ).cast("double"),
+        ).otherwise(F.col("price")),
+    )
+    # replica bootstrap = v1
+    v1.write.mode("overwrite").parquet(os.path.join(root, "replica_v0"))
+
+    # full-image feed (the producer's job; here derived by snapshot
+    # diff exactly as sink_change_data_feed does)
+    d = (
+        v1.select("k", F.col("prio").alias("old_prio"), F.col("price").alias("old_price"))
+        .join(
+            v2.select("k", F.col("prio").alias("new_prio"), F.col("price").alias("new_price")),
+            "k",
+            "full_outer",
+        )
+        .where(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+    ins = d.where(F.col("old_price").isNull()).select(
+        "k", F.col("new_prio").alias("prio"), F.col("new_price").alias("price"),
+        F.lit("insert").alias("change_type"),
+    )
+    dele = d.where(F.col("new_price").isNull()).select(
+        "k", F.col("old_prio").alias("prio"), F.col("old_price").alias("price"),
+        F.lit("delete").alias("change_type"),
+    )
+    upd = d.where(F.col("old_price").isNotNull() & F.col("new_price").isNotNull())
+    pre = upd.select(
+        "k", F.col("old_prio").alias("prio"), F.col("old_price").alias("price"),
+        F.lit("update_preimage").alias("change_type"),
+    )
+    post = upd.select(
+        "k", F.col("new_prio").alias("prio"), F.col("new_price").alias("price"),
+        F.lit("update_postimage").alias("change_type"),
+    )
+    feed = ins.unionAll(dele).unionAll(pre).unionAll(post)
+    (
+        feed.repartitionByRange(CDC_APPLY_BATCHES, "k")
+        .sortWithinPartitions("k", "change_type")
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(feed_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    now = os.stat(os.path.join(feed_dir, parts[0])).st_mtime
+    for i, fname in enumerate(parts):
+        p = os.path.join(feed_dir, fname)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("prio", StringType()),
+            StructField("price", DoubleType()),
+            StructField("change_type", StringType()),
+        ]
+    )
+    latest = {"dir": os.path.join(root, "replica_v0"), "version": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        replica = spark.read.parquet(latest["dir"])
+        touched = (
+            b.where(F.col("change_type").isin("insert", "delete", "update_postimage"))
+            .select("k")
+            .distinct()
+        )
+        upserts = b.where(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).select("k", "prio", "price")
+        new_state = replica.join(touched, "k", "left_anti").unionByName(upserts)
+        nxt = os.path.join(root, f"replica_v{latest['version'] + 1}")
+        new_state.write.mode("overwrite").parquet(nxt)
+        latest["dir"], latest["version"] = nxt, latest["version"] + 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation",
+                f"{_CHECKPOINT_ROOT}/cdcapply_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = spark.read.parquet(latest["dir"])
+    return (
+        final.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("prio")
+    )

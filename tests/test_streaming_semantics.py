@@ -314,3 +314,59 @@ def test_incremental_dedup_batch_boundary_invariance(spark, monkeypatch):
     assert results[1] == results[4] == results[7]
     # and the stream actually found something (non-degenerate corpus)
     assert any(r[2] == 1 for r in results[1])
+
+
+def test_cdf_apply_replica_batch_boundary_invariance(spark, monkeypatch):
+    """The CDC replica's final state must be invariant to feed batch
+    boundaries (key-ranged staging keeps a key's pre/post pair in one
+    batch; each apply is per-key): replaying the same feed as 1 batch
+    or 5 batches yields an identical replica, and that replica equals
+    the independently computed source v2 row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.sources_io import (
+        CDF_DELETE_MOD,
+        CDF_PRICE_BUMP,
+        CDF_UPDATE_MOD,
+    )
+    from spark_rapids_ml_spark.sources.catalog import load
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    results = {}
+    for n_batches in (1, 5):
+        monkeypatch.setattr(sq, "CDC_APPLY_BATCHES", n_batches)
+        rows = sq.stream_cdf_apply_replica(spark, sf).collect()
+        results[n_batches] = [tuple(r) for r in rows]
+        # snapshot the full final replica for the row-level check
+        tag = sf.strip("/").replace("/", "_")
+        root = f"/root/repo/.tmp/stream_cdc/{tag}"
+        versions = sorted(
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("replica_v")
+        )
+        replica = spark.read.parquet(
+            os.path.join(root, f"replica_v{versions[-1]}")
+        )
+        o = load(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").alias("price"),
+        )
+        v2 = o.where(F.col("k") % CDF_DELETE_MOD != 0).withColumn(
+            "price",
+            F.when(
+                F.col("k") % CDF_UPDATE_MOD == 0,
+                F.round(
+                    F.col("price").cast("decimal(18,2)")
+                    * F.lit(CDF_PRICE_BUMP).cast("decimal(4,2)"),
+                    2,
+                ).cast("double"),
+            ).otherwise(F.col("price")),
+        )
+        assert replica.exceptAll(v2).count() == 0
+        assert v2.exceptAll(replica).count() == 0
+    assert results[1] == results[5]
