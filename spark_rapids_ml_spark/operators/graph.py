@@ -284,8 +284,12 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
     # localCheckpoint truncates lineage so the cached superstep blocks
     # (and the edges cache) can be released without recompute — no cache
-    # accumulation across a hundreds-of-queries long-lived session.
-    out = out.localCheckpoint(eager=True)
+    # accumulation across a hundreds-of-queries long-lived session. The
+    # checkpoint's own blocks are registered with the session release
+    # hook (harness/bench call release_caches() after materializing).
+    from spark_rapids_ml_spark.operators.dedup import register_checkpoint
+
+    out = register_checkpoint(out.localCheckpoint(eager=True))
     visited.unpersist()
     edges.unpersist()
     return out
