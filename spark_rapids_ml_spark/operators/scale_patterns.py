@@ -826,3 +826,89 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+PE_SPLIT_DATE = "1998-01-01"  # partition-spec evolution point (orders span 1995-2001)
+
+
+@register(
+    "scale_partition_evolution",
+    tags=("scale", "sink", "source", "lakehouse"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scale_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION — the Iceberg capability that plain
+    Hive layouts lack: a table's partitioning changes mid-life
+    (here at {PE_SPLIT_DATE}: identity-on-priority -> coarser
+    priority-class, the "we over-partitioned, evolve to fewer dirs"
+    migration) WITHOUT rewriting historical data. Old files stay
+    under spec A (partitionBy o_orderpriority), new files land under
+    spec B (partitionBy prio_class = first char), and ONE logical
+    read answers a priority predicate by applying EACH era's own
+    spec: directory pruning on o_orderpriority for era A, directory
+    pruning on prio_class plus a row-level residual filter for era B
+    — exactly how an Iceberg reader evaluates a predicate against
+    per-file partition tuples. The union must equal the full-table
+    filter (the oracle), because spec-aware pruning is sound per era.
+    Both eras' PartitionFilters are plan-asserted in tests/test_plans.py.
+
+    Scale: evolution is a metadata operation — zero bytes of history
+    rewritten; the read pays directory listing under two specs
+    instead of one (O(specs), not O(files)). The residual row filter
+    on era B is the price of the coarser spec and touches only
+    pruned-in files; at 100 TB this is the difference between a
+    weekend table rewrite and a catalog commit.
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/sinks/{tag}/orders_evolved"
+    o = load(spark, sf_dir, "orders")
+    split = F.lit(PE_SPLIT_DATE).cast("timestamp_ntz")
+    # era A: historical files, spec A = identity(o_orderpriority)
+    (
+        o.where(F.col("o_orderdate") < split)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(f"{root}/specA")
+    )
+    # era B: post-evolution files, spec B = truncate(priority, 1)
+    (
+        o.where(F.col("o_orderdate") >= split)
+        .withColumn("prio_class", F.substring("o_orderpriority", 1, 1))
+        .write.mode("overwrite")
+        .partitionBy("prio_class")
+        .parquet(f"{root}/specB")
+    )
+    wanted = ["1-URGENT", "2-HIGH"]
+    a = (
+        spark.read.parquet(f"{root}/specA")
+        .where(F.col("o_orderpriority").isin(wanted))
+        .select("o_orderpriority", "o_totalprice")
+    )
+    b = (
+        spark.read.parquet(f"{root}/specB")
+        # spec-B pruning: the predicate TRANSFORMS to the partition
+        # column (truncate is order/equality-preserving on the prefix),
+        # then the residual applies row-level
+        .where(F.col("prio_class").isin([w[0] for w in wanted]))
+        .where(F.col("o_orderpriority").isin(wanted))
+        .select("o_orderpriority", "o_totalprice")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -73,6 +73,7 @@ SWEEP_PRIORITY: list[str] = [
     # window. Names absent from the registry are skipped.
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
+    "scale_partition_evolution",
     "agg_bitmap_distinct_rollup",
     "dq_constraint_checks",
     "events_cohort_retention",

@@ -607,3 +607,21 @@ def test_join_hints_select_their_strategies(spark):
     for hint, op in expect.items():
         plan = plan_of(li.join(o.hint(hint), li.l_orderkey == o.o_orderkey))
         assert op in plan, f"hint {hint} did not plan {op}"
+
+
+def test_partition_evolution_prunes_under_both_specs(spark):
+    """The evolved table's single logical read must prune directories
+    under EACH era's own partition spec: o_orderpriority dirs for the
+    spec-A files, prio_class dirs for the spec-B files."""
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        scale_partition_evolution,
+    )
+
+    df = scale_partition_evolution(spark, SF)
+    txt = formatted(df)
+    # two scans, each with its own PartitionFilters block
+    blocks = txt.split("PartitionFilters:")[1:]
+    assert len(blocks) >= 2, "expected one pruned scan per era"
+    joined = " | ".join(b[:200] for b in blocks)
+    assert "o_orderpriority" in joined
+    assert "prio_class" in joined
