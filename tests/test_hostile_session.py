@@ -31,6 +31,10 @@ SAMPLED = [
     "stream_python_datasource_reader",  # round 6: python stream source, foreign conf
     "agg_distinct_overlap_bitmap",  # round 6: bitmap partials at 200 shuffle partitions
     "events_sequence_pattern_match",  # round 6: hour() bucketing under non-UTC session tz
+    "sink_lakehouse_lifecycle",  # round 7: composed MERGE/MOR/compact/CDF under foreign conf
+    "stream_cdf_apply_replica",  # round 7: foreachBatch MERGE + versioned dirs, non-UTC tz
+    "scale_partition_evolution",  # round 7: dual-spec partition pruning, timestamp_ntz split
+    "sim_pq_adc_topk",  # round 7: adaptive shortlist count() under AQE disabled
 ]
 
 
