@@ -905,7 +905,7 @@ def stream_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in os.listdir(src_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
-    now = os.stat(os.path.join(src_dir, parts[0])).st_mtime
+    now = os.stat(os.path.join(src_dir, parts[0])).st_mtime if parts else 0
     for k, fname in enumerate(parts):
         p = os.path.join(src_dir, fname)
         os.utime(p, (now + 10 * k, now + 10 * k))
@@ -1442,7 +1442,7 @@ def stream_cdf_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         f for f in os.listdir(feed_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
-    now = os.stat(os.path.join(feed_dir, parts[0])).st_mtime
+    now = os.stat(os.path.join(feed_dir, parts[0])).st_mtime if parts else 0
     for i, fname in enumerate(parts):
         p = os.path.join(feed_dir, fname)
         os.utime(p, (now + 10 * i, now + 10 * i))
