@@ -252,11 +252,12 @@ def _sql_bands_cte() -> str:
 )"""
 
 
-def _sql_bucket_guard_cte() -> str:
+def _sql_bucket_guard_cte(cap: int = LSH_BUCKET_CAP) -> str:
     """CTEs bstats→bx→co over an existing ``bands(doc_id, band,
     band_key)`` CTE: per-band candidate pairs with the bucket cap
     (all-pairs below cap, star around min doc above). Shared by every
-    banded candidate generator (MinHash LSH, SimHash Hamming)."""
+    banded candidate generator (MinHash LSH, SimHash Hamming,
+    hyperplane embedding LSH)."""
     return f"""bstats AS (
   SELECT band, band_key, COUNT(*) AS cnt, MIN(doc_id) AS min_doc
   FROM bands GROUP BY band, band_key
@@ -269,10 +270,10 @@ co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bx a JOIN bx b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-  WHERE a.cnt <= {LSH_BUCKET_CAP}
+  WHERE a.cnt <= {cap}
   UNION ALL
   SELECT min_doc AS doc_a, doc_id AS doc_b
-  FROM bx WHERE cnt > {LSH_BUCKET_CAP} AND doc_id > min_doc
+  FROM bx WHERE cnt > {cap} AND doc_id > min_doc
 )"""
 
 
@@ -911,17 +912,93 @@ def planted_corpus(e: DataFrame) -> DataFrame:
     return base.unionAll(planted)
 
 
+# Embedding-LSH scale posture, in two layers:
+#
+# 1. ADAPTIVE BUCKET RESOLUTION — 16 buckets/table (4 hyperplanes) is
+#    a recall/cost sweet spot up to a few thousand vectors, but bucket
+#    occupancy grows linearly with the corpus and the candidate join
+#    quadratically per bucket (the uncapped join filled 70 GB of
+#    shuffle spill at sf10 / 200k vectors). Extra Rademacher planes
+#    switch on at corpus-size thresholds, ADDING high bits to the
+#    bucket id: the low 4 bits are a stable prefix, so results are
+#    BIT-IDENTICAL to the 4-plane history wherever the thresholds
+#    don't fire (all driver-check scales; measured max occupancy
+#    66/60/259 at sf0.001/0.01/0.1). At >4k vectors +4 bits (256
+#    buckets), at >40k +3 more (2048) — occupancy stays ~O(100).
+#    True near-dup pairs (cosine >= 0.95, the dedup regime) agree on
+#    each plane w.p. ~0.92, so 8-table recall stays >= 0.97 even at
+#    11 bits; the threshold ladder is replicated verbatim in the
+#    oracle via a COUNT(*) scalar subquery.
+# 2. BUCKET CAP backstop (shared star guard, cap chosen to never bind
+#    at adapted occupancies unless the corpus is pathologically
+#    skewed) — bounds the join even if resolution under-shoots.
+EMB_BUCKET_CAP = 384
+EMB_EXTRA_PLANES = 7
+EMB_RES_THRESH_1 = 4_000   # corpus above this: +4 resolution bits
+EMB_RES_THRESH_2 = 40_000  # corpus above this: +3 more
+
+
+def _emb_extra_hyperplanes():
+    import numpy as np
+
+    sim = _lazy_sim()
+    rng = np.random.default_rng(sim.LSH_SEED + 7)
+    return rng.choice([-1.0, 1.0], size=(sim.N_TABLES, EMB_EXTRA_PLANES, sim.DIM))
+
+
+def _emb_bucket_ext_expr(emb, table: int, n_corpus: int):
+    """Bucket id with threshold-gated extra resolution bits (Spark).
+    Gating uses the Python-side corpus count; the oracle gates the
+    identical plane bits with a COUNT(*) scalar subquery."""
+    sim = _lazy_sim()
+    acc = sim._bucket_expr(emb, table)
+    planes = _emb_extra_hyperplanes()[table]
+    for p, plane in enumerate(planes):
+        if p < 4 and n_corpus <= EMB_RES_THRESH_1:
+            continue
+        if p >= 4 and n_corpus <= EMB_RES_THRESH_2:
+            continue
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(sim.dot_expr(emb, lit) > 0, 1).otherwise(0)
+        acc = acc + bit * F.lit(1 << (4 + p))
+    return acc.cast("bigint")
+
+
+def _sql_emb_bucket_ext(emb: str, table: int) -> str:
+    sim = _lazy_sim()
+    planes = _emb_extra_hyperplanes()[table]
+
+    def bit(p, plane):
+        lit = "[" + ", ".join(str(float(v)) for v in plane) + "]"
+        return (
+            f"(CASE WHEN list_dot_product({emb}, {lit}) > 0 THEN 1 ELSE 0 END)"
+            f" * {1 << (4 + p)}"
+        )
+
+    g1 = " + ".join(bit(p, planes[p]) for p in range(4))
+    g2 = " + ".join(bit(p, planes[p]) for p in range(4, EMB_EXTRA_PLANES))
+    return (
+        f"CAST({sim._sql_bucket(emb, table)}"
+        f" + (CASE WHEN (SELECT COUNT(*) FROM e) > {EMB_RES_THRESH_1} THEN {g1} ELSE 0 END)"
+        f" + (CASE WHEN (SELECT COUNT(*) FROM e) > {EMB_RES_THRESH_2} THEN {g2} ELSE 0 END)"
+        f" AS BIGINT)"
+    )
+
+
 def _sql_embedding_lsh_oracle() -> str:
     sim = __import__(
         "spark_rapids_ml_spark.operators.similarity", fromlist=["similarity"]
     )
+    sig_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_emb_bucket_ext('emb', t)} AS bucket FROM e"
+        for t in range(sim.N_TABLES)
+    )
     return f"""
 WITH e AS ({_SQL_PLANTED}),
-sig AS ({sim._sql_sig_union('e', 'vec_id')}),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+sig AS ({sig_union}),
+bands AS (SELECT vec_id AS doc_id, tbl AS band, bucket AS band_key FROM sig),
+{_sql_bucket_guard_cte(EMB_BUCKET_CAP)},
+cand AS (SELECT DISTINCT doc_a AS vec_a, doc_b AS vec_b FROM co)
 SELECT c.vec_a, c.vec_b,
        ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
 FROM cand c
@@ -953,19 +1030,28 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             planted_corpus(load(spark, sf_dir, "embeddings")), "embedding", "unit"
         )
     )
+    n_corpus = e.count()
     sig = e.select(
         "vec_id",
         F.posexplode(
-            F.array(*[sim._bucket_expr("embedding", t) for t in range(sim.N_TABLES)])
+            F.array(
+                *[
+                    _emb_bucket_ext_expr("embedding", t, n_corpus)
+                    for t in range(sim.N_TABLES)
+                ]
+            )
         ).alias("tbl", "bucket"),
     )
-    a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    bands = sig.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("tbl").alias("band"),
+        F.col("bucket").alias("band_key"),
+    )
+    # shared oversize-bucket guard (cap chosen to never bind <= sf0.1,
+    # see EMB_BUCKET_CAP): bounds the candidate join at 10x+ corpora
+    # where 16 buckets/table would otherwise go quadratic
+    cand = lsh_candidate_pairs(bands, cap=EMB_BUCKET_CAP).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("emb_b"))
