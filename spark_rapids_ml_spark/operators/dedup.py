@@ -675,6 +675,45 @@ edges AS (
 )"""
 
 
+# Oracle-side connected components. The original oracle materialized the
+# full transitive closure reach(a, b) — correct, but QUADRATIC in
+# component size (sum of |C|^2 closure rows): at sf10 the LSH candidate
+# graph's star-fallback components are large enough that DuckDB ground
+# for >45 min single-threaded on the closure join. Same lesson as the
+# round-7 scale cliffs (SCALING.md): an oracle that would not survive
+# scale is part of the operator's scale posture. Replacement: unrolled
+# min-label propagation — each pass joins labels to the edge list and
+# takes the neighborhood MIN, linear in |E| per pass, mirroring the
+# impl's _components_distributed loop exactly. Pass count matches the
+# impl's 20-pass diameter bound (the impl raises loudly beyond it, so
+# oracle and impl agree on every graph the impl accepts; near-dup
+# graphs are cohort cliques + bucket stars, diameter ~2-4 in practice).
+_CC_PASSES = 20
+
+
+def _sql_components_cte() -> str:
+    """CTE chain `{edges} -> nodes -> lp0..lpN -> lab(doc_id, label)`.
+    Append after _sql_lsh_edges(); `em`/`nodes` are MATERIALIZED so the
+    20 passes reuse one computed edge list instead of re-deriving the
+    MinHash pipeline per pass."""
+    steps = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)",
+        "em AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "lp0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes)",
+    ]
+    for i in range(_CC_PASSES):
+        steps.append(
+            f"lp{i + 1} AS MATERIALIZED (SELECT n.doc_id, "
+            f"LEAST(n.label, COALESCE(m.minlab, n.label)) AS label "
+            f"FROM lp{i} n LEFT JOIN "
+            f"(SELECT e.src AS doc_id, MIN(l.label) AS minlab "
+            f"FROM em e JOIN lp{i} l ON l.doc_id = e.dst GROUP BY e.src) m "
+            f"USING (doc_id))"
+        )
+    steps.append(f"lab AS (SELECT doc_id, label FROM lp{_CC_PASSES})")
+    return ",\n".join(steps)
+
+
 # Below this many candidate pairs the components are computed with a
 # driver-local union-find on the collected edge list — the same
 # small-side-goes-local reasoning as a broadcast join. The LSH pair
@@ -785,17 +824,11 @@ def _components_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     "dedup_duplicate_clusters",
     tags=("dedup", "graph"),
     oracle=f"""
-WITH RECURSIVE {_sql_lsh_edges()},
-nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-reach(a, b) AS (
-  SELECT doc_id, doc_id FROM nodes
-  UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-)
-SELECT a AS doc_id, MIN(b) AS cluster_rep,
-       CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
-FROM reach
-GROUP BY a
+WITH {_sql_lsh_edges()},
+{_sql_components_cte()}
+SELECT doc_id, label AS cluster_rep,
+       CAST(CASE WHEN doc_id = label THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM lab
 ORDER BY doc_id
 """,
 )
@@ -1175,17 +1208,12 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_materialized",
     tags=("dedup", "graph", "sink"),
     oracle=f"""
-WITH RECURSIVE {_sql_lsh_edges()},
-nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-reach(a, b) AS (
-  SELECT doc_id, doc_id FROM nodes
-  UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-),
+WITH {_sql_lsh_edges()},
+{_sql_components_cte()},
 clus AS (
-  SELECT a AS doc_id,
-         CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
-  FROM reach GROUP BY a
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id = label THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+  FROM lab
 )
 SELECT d.lang,
        COUNT(*) AS n_docs,
@@ -1262,16 +1290,10 @@ def dedup_clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_cluster_aware_split",
     tags=("dedup", "llm-pipe", "split"),
     oracle=f"""
-WITH RECURSIVE {_sql_lsh_edges()},
-nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-reach(a, b) AS (
-  SELECT doc_id, doc_id FROM nodes
-  UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-),
-lab AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+WITH {_sql_lsh_edges()},
+{_sql_components_cte()},
 alldocs AS (
-  SELECT d.doc_id, d.text, COALESCE(l.rep, d.doc_id) AS rep
+  SELECT d.doc_id, d.text, COALESCE(l.label, d.doc_id) AS rep
   FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
 ),
 s AS (
