@@ -10,6 +10,7 @@ validates it (CORRECTNESS_r{N}.json).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import duckdb
@@ -23,6 +24,13 @@ from spark_rapids_ml_spark.sources.catalog import TABLES, table_path
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # Bound the oracle's memory so a heavy compare at large SF spills to
+    # disk instead of tripping the machine OOM killer next to the Spark
+    # JVM (observed at sf10: two concurrent sweeps OOM-killed the box).
+    # Overridable for small boxes; no effect on results, only on spill.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
