@@ -685,9 +685,12 @@ edges AS (
 # min-label propagation — each pass joins labels to the edge list and
 # takes the neighborhood MIN, linear in |E| per pass, mirroring the
 # impl's _components_distributed loop exactly. Pass count matches the
-# impl's 20-pass diameter bound (the impl raises loudly beyond it, so
-# oracle and impl agree on every graph the impl accepts; near-dup
-# graphs are cohort cliques + bucket stars, diameter ~2-4 in practice).
+# impl's 20-pass diameter bound: on the distributed path the impl raises
+# loudly beyond it, so oracle and impl agree on every graph that path
+# accepts; on the small-graph union-find path (exact at any diameter) a
+# hypothetical diameter->20 component would surface as a LOUD compare
+# FAIL, never a silent pass — near-dup graphs are cohort cliques +
+# bucket stars, diameter ~2-4 in practice.
 _CC_PASSES = 20
 
 
