@@ -648,7 +648,18 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- duplicate-cluster closure
 
 def _sql_lsh_edges() -> str:
-    """CTE bodies producing the symmetric LSH candidate edge list."""
+    """CTE bodies producing the symmetric LSH candidate edge list.
+
+    Goes THROUGH the shared oversize-bucket star guard
+    (_sql_bucket_guard_cte), exactly like the impl's _lsh_pairs: a
+    star around a bucket's min doc connects the same component the
+    all-pairs clique would, so connected components are IDENTICAL —
+    but per-bucket oracle work drops from O(cnt²) to O(cnt) above the
+    cap. The unguarded all-pairs form was hash-equivalent on every
+    corpus (star ≡ clique under transitive closure) yet quadratic in
+    bucket occupancy: at sf10 a skewed band bucket made DuckDB spill
+    80 GB of join intermediates to disk. Same corpus-relative-cost
+    lesson as SCALING.md round 7 — now applied to the ORACLE too."""
     return f"""
 {_sql_minhash_cte()},
 bands AS (
@@ -663,10 +674,9 @@ bands AS (
          END AS band_key
   FROM mh CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1}))) g(b)
 ),
+{_sql_bucket_guard_cte()},
 pairs AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a AS src, doc_b AS dst FROM co
 ),
 edges AS (
   SELECT src, dst FROM pairs
