@@ -199,7 +199,7 @@ def _sql_minhash_cte(table: str = "documents") -> str:
     return f"""
 sh AS ({sql_shingle_rows(table=table)}),
 hh AS (SELECT doc_id, {base} AS h FROM sh),
-mh AS (
+mh AS MATERIALIZED (
   SELECT doc_id,
          {mins}
   FROM hh GROUP BY doc_id
@@ -242,7 +242,7 @@ LSH_BUCKET_CAP = 64
 
 
 def _sql_bands_cte() -> str:
-    return f"""bands AS (
+    return f"""bands AS MATERIALIZED (
   {" UNION ALL ".join(
       f'''SELECT doc_id, {b} AS band,
           {sql_hash60("(" + " || '_' || ".join(f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)) + ")")} AS band_key
@@ -527,7 +527,7 @@ SIMHASH_HAMMING_MAX = 3
     tags=("dedup", "simhash", "lsh"),
     oracle=f"""
 WITH {_sql_simhash_cte()},
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, g.b AS band,
          (simhash >> (8 * CAST(g.b AS INTEGER))) & 255 AS band_key
   FROM sig CROSS JOIN LATERAL (
@@ -662,7 +662,7 @@ def _sql_lsh_edges() -> str:
     lesson as SCALING.md round 7 — now applied to the ORACLE too."""
     return f"""
 {_sql_minhash_cte()},
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, g.b AS band,
          CASE g.b
            {" ".join(
@@ -710,8 +710,8 @@ def _sql_components_cte() -> str:
     20 passes reuse one computed edge list instead of re-deriving the
     MinHash pipeline per pass."""
     steps = [
-        "nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)",
         "em AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM em)",
         "lp0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes)",
     ]
     for i in range(_CC_PASSES):
@@ -1042,7 +1042,7 @@ def _sql_embedding_lsh_oracle() -> str:
     return f"""
 WITH e AS ({_SQL_PLANTED}),
 sig AS ({sig_union}),
-bands AS (SELECT vec_id AS doc_id, tbl AS band, bucket AS band_key FROM sig),
+bands AS MATERIALIZED (SELECT vec_id AS doc_id, tbl AS band, bucket AS band_key FROM sig),
 {_sql_bucket_guard_cte(EMB_BUCKET_CAP)},
 cand AS (SELECT DISTINCT doc_a AS vec_a, doc_b AS vec_b FROM co)
 SELECT c.vec_a, c.vec_b,
