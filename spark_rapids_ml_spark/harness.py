@@ -31,6 +31,11 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Cap spill too: an unbounded spill at sf10 filled the root fs and
+    # killed the sweep mid-catalog. Better one failed compare than a
+    # wedged machine; the cap errors the offending oracle query only.
+    tmp_cap = os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "40GB")
+    con.execute(f"SET max_temp_directory_size='{tmp_cap}'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
@@ -62,7 +67,10 @@ def compare(
     if spec.oracle is None:
         return len(sdf) >= 0, {"rows": len(sdf), "oracle": "none"}
     con = duckdb_connect(sf_dir)
-    odf = con.execute(spec.oracle).df()
+    try:
+        odf = con.execute(spec.oracle).df()
+    finally:
+        con.close()  # release spill files promptly between compares
     details: dict[str, Any] = {"spark_rows": len(sdf), "oracle_rows": len(odf)}
     if len(sdf) != len(odf):
         return False, {**details, "why": "row count"}
