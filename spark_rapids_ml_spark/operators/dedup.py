@@ -1114,12 +1114,29 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_BLOCKS = 8  # block-pair tiles for the exact all-pairs GEMM
 
+# The exact tier is quadratic BY DEFINITION (it is the exactness oracle
+# for the linear LSH path) — but quadratic work must not mean unbounded
+# work: above this corpus size, the exact tier scores a deterministic
+# 1-in-m stratified subsample (vec_id % m == 0, m = ceil(n/CAP)), the
+# standard way brute-force recall oracles are run against large corpora
+# (you never GEMM the full 100 TB; you GEMM a pinned slice). The cap is
+# chosen ABOVE the sf1 planted-corpus size (21.4k) so every
+# driver/sweep scale through sf1 is bit-identical to the uncapped
+# history; at sf10 (228k) m=8 bounds tile matrices to ~100 MB and the
+# DuckDB oracle to ~4e8 pair evaluations.
+EXACT_TIER_MAX = 30_000
+
 
 @register(
     "dedup_embedding_cosine_pairs",
     tags=("dedup", "vector"),
     oracle=f"""
-WITH e AS ({_SQL_PLANTED})
+WITH eall AS ({_SQL_PLANTED}),
+e AS (
+  SELECT * FROM eall
+  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {EXACT_TIER_MAX}.0) AS BIGINT)
+                  FROM eall) = 0
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1145,6 +1162,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul — differences vs the oracle's sequential fold are ~1e-16,
     absorbed by round(6) and the 9e-4 threshold margin of the planted
     corpus.
+
+    Above EXACT_TIER_MAX vectors the tier scores a deterministic 1-in-m
+    subsample (see EXACT_TIER_MAX comment) — the cap does not bind at
+    any scale up to and including sf1, so those results are
+    bit-identical to the uncapped history.
     """
     from collections.abc import Iterator
 
@@ -1154,6 +1176,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = COSINE_BLOCKS
     e = planted_corpus(load(spark, sf_dir, "embeddings"))
+    n_corpus = e.count()
+    m = -(-n_corpus // EXACT_TIER_MAX)  # ceil
+    if m > 1:
+        e = e.where(F.col("vec_id") % m == 0)
     blocked = e.select(
         "vec_id", "embedding", F.pmod("vec_id", F.lit(B)).cast("int").alias("blk")
     )

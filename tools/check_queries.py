@@ -23,7 +23,13 @@ def main() -> None:
     names = sys.argv[1:] or list(specs)
     bad = 0
     for name in names:
-        ok, details = compare(spark, specs[name], sf_dir)
+        try:
+            ok, details = compare(spark, specs[name], sf_dir)
+        except Exception as exc:  # noqa: BLE001 — one query must not kill the sweep
+            ok, details = False, f"{type(exc).__name__}: {exc}"
+            print(f"ERR  {name}: {str(details)[:500]}", flush=True)
+            bad += 1
+            continue
         status = "OK " if ok else "FAIL"
         print(f"{status} {name}: {details if not ok else details}", flush=True)
         bad += 0 if ok else 1
