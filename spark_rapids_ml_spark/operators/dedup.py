@@ -970,18 +970,29 @@ def planted_corpus(e: DataFrame) -> DataFrame:
 #    BIT-IDENTICAL to the 4-plane history wherever the thresholds
 #    don't fire (all driver-check scales; measured max occupancy
 #    66/60/259 at sf0.001/0.01/0.1). At >4k vectors +4 bits (256
-#    buckets), at >40k +3 more (2048) — occupancy stays ~O(100).
+#    buckets), at >40k +3 more (2048), at >160k +2 more (8192) —
+#    occupancy stays ~O(30-100). At 228k vectors (sf10) the 11-bit
+#    rung left mean occupancy 111, i.e. ~100M candidate pairs whose
+#    verify join sort-spilled >50 GB; the 13-bit rung cuts that 4x.
 #    True near-dup pairs (cosine >= 0.95, the dedup regime) agree on
-#    each plane w.p. ~0.92, so 8-table recall stays >= 0.97 even at
-#    11 bits; the threshold ladder is replicated verbatim in the
+#    each plane w.p. ~0.92, so 8-table recall stays >= 0.95 even at
+#    13 bits; the threshold ladder is replicated verbatim in the
 #    oracle via a COUNT(*) scalar subquery.
 # 2. BUCKET CAP backstop (shared star guard, cap chosen to never bind
 #    at adapted occupancies unless the corpus is pathologically
 #    skewed) — bounds the join even if resolution under-shoots.
 EMB_BUCKET_CAP = 384
-EMB_EXTRA_PLANES = 7
-EMB_RES_THRESH_1 = 4_000   # corpus above this: +4 resolution bits
-EMB_RES_THRESH_2 = 40_000  # corpus above this: +3 more
+EMB_EXTRA_PLANES = 9
+EMB_RES_THRESH_1 = 4_000    # corpus above this: +4 resolution bits
+EMB_RES_THRESH_2 = 40_000   # corpus above this: +3 more
+EMB_RES_THRESH_3 = 160_000  # corpus above this: +2 more
+# verify-join build side (vec_id -> unit vector, ~0.5 KB/row) is
+# broadcast below this corpus size: the candidate pairs then stream
+# map-side instead of sort-spilling through two shuffles. Above it
+# (≈1 GB build side) fall back to shuffle joins — at that point the
+# corpus is cluster-scale and executor memory, not one local disk,
+# absorbs the sort.
+EMB_VERIFY_BCAST_MAX = 2_000_000
 
 
 def _emb_extra_hyperplanes():
@@ -989,7 +1000,14 @@ def _emb_extra_hyperplanes():
 
     sim = _lazy_sim()
     rng = np.random.default_rng(sim.LSH_SEED + 7)
-    return rng.choice([-1.0, 1.0], size=(sim.N_TABLES, EMB_EXTRA_PLANES, sim.DIM))
+    first = rng.choice([-1.0, 1.0], size=(sim.N_TABLES, 7, sim.DIM))
+    # planes 7+ come from a SEPARATE seed so extending the ladder never
+    # reshuffles the draw order of the first 7 (bit-stable history)
+    rng2 = np.random.default_rng(sim.LSH_SEED + 8)
+    extra = rng2.choice(
+        [-1.0, 1.0], size=(sim.N_TABLES, EMB_EXTRA_PLANES - 7, sim.DIM)
+    )
+    return np.concatenate([first, extra], axis=1)
 
 
 def _emb_bucket_ext_expr(emb, table: int, n_corpus: int):
@@ -1002,7 +1020,9 @@ def _emb_bucket_ext_expr(emb, table: int, n_corpus: int):
     for p, plane in enumerate(planes):
         if p < 4 and n_corpus <= EMB_RES_THRESH_1:
             continue
-        if p >= 4 and n_corpus <= EMB_RES_THRESH_2:
+        if 4 <= p < 7 and n_corpus <= EMB_RES_THRESH_2:
+            continue
+        if p >= 7 and n_corpus <= EMB_RES_THRESH_3:
             continue
         lit = F.array(*[F.lit(float(v)) for v in plane])
         bit = F.when(sim.dot_expr(emb, lit) > 0, 1).otherwise(0)
@@ -1022,11 +1042,13 @@ def _sql_emb_bucket_ext(emb: str, table: int) -> str:
         )
 
     g1 = " + ".join(bit(p, planes[p]) for p in range(4))
-    g2 = " + ".join(bit(p, planes[p]) for p in range(4, EMB_EXTRA_PLANES))
+    g2 = " + ".join(bit(p, planes[p]) for p in range(4, 7))
+    g3 = " + ".join(bit(p, planes[p]) for p in range(7, EMB_EXTRA_PLANES))
     return (
         f"CAST({sim._sql_bucket(emb, table)}"
         f" + (CASE WHEN (SELECT COUNT(*) FROM e) > {EMB_RES_THRESH_1} THEN {g1} ELSE 0 END)"
         f" + (CASE WHEN (SELECT COUNT(*) FROM e) > {EMB_RES_THRESH_2} THEN {g2} ELSE 0 END)"
+        f" + (CASE WHEN (SELECT COUNT(*) FROM e) > {EMB_RES_THRESH_3} THEN {g3} ELSE 0 END)"
         f" AS BIGINT)"
     )
 
@@ -1101,6 +1123,12 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("emb_b"))
+    if n_corpus <= EMB_VERIFY_BCAST_MAX:
+        # broadcast the unit-vector lookup (~0.5 KB/row): the candidate
+        # stream — tens of millions of rows at 10x+ corpora — then never
+        # shuffles for the verify, it maps through two hash lookups. The
+        # 11-bit shuffle-join version sort-spilled >50 GB at sf10.
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     cos = sim.dot_expr("emb_a", "emb_b")
     return (
         cand.join(ea, "vec_a")

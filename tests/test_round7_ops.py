@@ -43,3 +43,46 @@ def test_pq_shortlist_scales_with_corpus():
     assert max(floor, 2000 // div) == floor      # sf0.1
     assert max(floor, 20000 // div) == 1000      # sf1: 5% of corpus
     assert max(floor, 200000 // div) == 10000    # sf10
+
+
+def test_emb_lsh_resolution_ladder_bit_stable():
+    """Extending the plane ladder (7 -> 9 planes for the >160k rung)
+    must not reshuffle the first 7 planes per table: they come from the
+    original seed and draw shape, the new rung from a separate seed —
+    otherwise every bucket id at sf0.1..sf1 would silently change."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.operators import dedup as dd
+
+    planes = dd._emb_extra_hyperplanes()
+    assert planes.shape == (sim.N_TABLES, dd.EMB_EXTRA_PLANES, sim.DIM)
+    legacy = np.random.default_rng(sim.LSH_SEED + 7).choice(
+        [-1.0, 1.0], size=(sim.N_TABLES, 7, sim.DIM)
+    )
+    assert np.array_equal(planes[:, :7, :], legacy)
+
+
+def test_emb_lsh_rung3_gates_on_corpus_size(spark):
+    """Bits 11-12 fire only above EMB_RES_THRESH_3 (sf10 regime), so
+    every scale through sf1 keeps its historical bucket ids."""
+    from spark_rapids_ml_spark.operators import dedup as dd
+
+    below = str(dd._emb_bucket_ext_expr("embedding", 0, dd.EMB_RES_THRESH_3))
+    above = str(dd._emb_bucket_ext_expr("embedding", 0, dd.EMB_RES_THRESH_3 + 1))
+    assert str(1 << 11) not in below and str(1 << 12) not in below
+    assert str(1 << 11) in above and str(1 << 12) in above
+    # the oracle ladder carries the same third rung
+    assert f"> {dd.EMB_RES_THRESH_3}" in dd._sql_emb_bucket_ext("emb", 0)
+
+
+def test_exact_tier_cap_ceil_matches_duckdb():
+    """Python's -(-n // CAP) and the oracle's CEIL(n / CAP.0) must pick
+    the same modulus at every corpus size, else the two engines score
+    different subsamples."""
+    import math
+
+    from spark_rapids_ml_spark.operators import dedup as dd
+
+    cap = dd.EXACT_TIER_MAX
+    for n in (1, cap - 1, cap, cap + 1, 2 * cap, 228_572, 10**9):
+        assert -(-n // cap) == math.ceil(n / float(cap))
