@@ -124,7 +124,10 @@ WITH sup AS (
   SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
               THEN 2 ELSE 1 END AS min_sup
 ),
-e AS (
+-- MATERIALIZED: e is consumed five times (deg, tri x3, count); inlined,
+-- DuckDB would run the ~90M-group co-occurrence aggregation for each
+-- consumer concurrently and exhaust its memory budget at sf10
+e AS MATERIALIZED (
   SELECT a, b FROM (
     SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_co
     FROM lineitem a JOIN lineitem b

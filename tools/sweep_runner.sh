@@ -13,6 +13,17 @@ LOG=$2
 CHUNK=${3:-8}
 cd "$(dirname "$0")/.."
 
+# startup purge: drop names whose verdict already landed in LOG, so a
+# killed-and-relaunched runner never re-runs completed queries
+if [ -f "$LOG" ]; then
+  while read -r n; do
+    [ -n "$n" ] || continue
+    if grep -qE "^(OK|FAIL|ERR)  ?${n}:" "$LOG"; then
+      grep -vx "$n" "$TODO" > "$TODO.tmp" || true; mv "$TODO.tmp" "$TODO"
+    fi
+  done < "$TODO"
+fi
+
 while [ -s "$TODO" ]; do
   names=$(head -n "$CHUNK" "$TODO" | tr '\n' ' ')
   timeout "${SWEEP_TIMEOUT:-5400}" python tools/check_queries.py $names \
