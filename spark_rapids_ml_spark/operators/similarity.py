@@ -382,12 +382,20 @@ def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:
     exactly `iters` passes. Cross-engine FP note: centroid means sum
     in different orders (~1e-15 relative drift), absorbed because
     every decision point is either an argmin over well-separated
-    distances or a value ROUNDed to 6dp."""
+    distances or a value ROUNDed to 6dp.
+
+    Every per-iteration CTE is MATERIALIZED: cent{{i}} is consumed
+    twice (the a{{i}} assignment and the cent{{i+1}} empty-cell
+    fallback), so inlined the chain re-derives each predecessor twice
+    — a 2^iters blowup that made the 6-iteration unroll abort DuckDB
+    at 200k vectors while the 3-iteration IVF unroll survived.
+    Materialization pins each iteration to one pass; values are
+    unchanged."""
     parts = [
-        f"cent0 AS (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
+        f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
     ]
     assign = """
-{name} AS (
+{name} AS MATERIALIZED (
   SELECT vec_id, emb, cl FROM (
     SELECT e.vec_id, e.emb, c.cl,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -398,7 +406,7 @@ def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:
     for i in range(iters):
         parts.append(assign.format(name=f"a{i}", cent=f"cent{i}"))
         parts.append(f"""
-cent{i + 1} AS (
+cent{i + 1} AS MATERIALIZED (
   SELECT c.cl, COALESCE(m.memb, c.cemb) AS cemb
   FROM cent{i} c LEFT JOIN (
     SELECT cl, list(avgv ORDER BY pos) AS memb FROM (
