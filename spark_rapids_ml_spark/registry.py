@@ -96,6 +96,15 @@ SWEEP_PRIORITY: list[str] = [
     "stream_incremental_dedup_lsh",
     "timeseries_resample_ohlc",
     "udf_arrow_scalar_tokenstats",
+    # -- operators whose implementation or oracle changed in the late
+    # round-7 sf10 hardening (third LSH rung, exact-tier subsample,
+    # materialized iteration CTEs): give each a fresh driver row
+    "dedup_embedding_lsh_pairs",
+    "kmeans_embedding_clusters",
+    "ml_kmeans_silhouette",
+    "graph_triangle_count",
+    "sim_ivf_topk",
+    "sim_ivf_persisted_probe",
     "dq_dp_noisy_counts",
     "agg_count_min_sketch",
     "scale_dynamic_partition_pruning",
