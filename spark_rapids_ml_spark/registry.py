@@ -160,6 +160,7 @@ def load_all_modules() -> None:
         arrays_json,
         curation,
         dedup,
+        evalmetrics,
         graph,
         joins,
         similarity,
