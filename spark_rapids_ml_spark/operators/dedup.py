@@ -1474,3 +1474,79 @@ def pipe_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak_naive))  # 1-row scalar attach
         .orderBy("split")
     )
+
+
+# ------------------------------------------- asymmetric containment
+
+CONTAIN_THRESHOLD = 0.4  # |A ∩ B| / |A| floor for a reported pair
+CONTAIN_DOC_CAP = 400  # bounded doc slice (same cap as ngram Jaccard)
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("dedup", "jaccard"),
+    oracle=f"""
+WITH sh AS ({sql_shingle_rows(where=f"doc_id <= {CONTAIN_DOC_CAP}")}),
+card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(ca.n_sh AS BIGINT) AS size_a,
+       -- exact int ratio: unrounded (identical IEEE division)
+       CAST(c.n_common AS DOUBLE) / ca.n_sh AS containment
+FROM common c
+JOIN card ca ON c.doc_a = ca.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / ca.n_sh >= {CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup detection: containment C(A→B) =
+    |A ∩ B| / |A| over 3-token shingle sets. Jaccard misses the
+    quote/excerpt case — a short doc wholly contained in a long one
+    scores low on Jaccard (union is large) but 1.0 on containment —
+    and containment is exactly the statistic crawl dedup uses to drop
+    subset pages (cf. Broder's containment sketches). Pairs are
+    ordered (A→B and B→A both reported when above threshold), since
+    the relation is asymmetric.
+
+    Scale: same posting-list equi-join shape as
+    dedup_ngram_jaccard_pairs — candidates come from shared shingles,
+    never all-pairs; at 100 TB feed the MinHash-LSH candidate pairs
+    into this as the exact verify stage (the directional ratio only
+    needs the shared-shingle count and |A|, both already computed by
+    the verify join).
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= CONTAIN_DOC_CAP)
+    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks")).alias("shingle")
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    cont = F.col("n_common").cast("double") / F.col("size_a")
+    return (
+        common.join(ca, "doc_a")
+        .where(cont >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            cont.alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

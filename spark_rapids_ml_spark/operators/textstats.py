@@ -576,3 +576,83 @@ def text_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("bigint").alias("redacted_chars"),
         F.substring(red, 1, 80).alias("sample"),
     ).orderBy("doc_id")
+
+
+COLLOC_MIN_COUNT = 5  # support floor: lift over rare bigrams is noise
+COLLOC_TOP_K = 20
+
+
+@register(
+    "text_collocation_lift",
+    tags=("text",),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM d CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+),
+cxy AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+cx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+cy AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+tot AS (SELECT COUNT(*) AS nb FROM bg)
+SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+       CAST(p.n_pair * t.nb AS DOUBLE) / CAST(x.c1 * y.c2 AS DOUBLE) AS lift
+FROM cxy p
+JOIN cx x ON p.w1 = x.w1
+JOIN cy y ON p.w2 = y.w2
+CROSS JOIN tot t
+WHERE p.n_pair >= {COLLOC_MIN_COUNT}
+ORDER BY lift DESC, p.w1, p.w2
+LIMIT {COLLOC_TOP_K}
+""",
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations ranked by lift = N·c(xy) / (c(x•)·c(•y))
+    — the PMI statistic without the log (same ranking, but the score
+    is ONE IEEE division of exact integer products, so the order and
+    cutoff are bit-deterministic cross-engine; ln() is not guaranteed
+    correctly rounded across libms). Marginals are first/second
+    bigram-position counts, so the contingency table is self-consistent.
+
+    Scale: bigrams are built IN-ROW (transform over the token array —
+    no positional self-join, no window shuffle), then three
+    partial-aggregable group-bys whose exchange carries the bigram
+    VOCABULARY, not the corpus; the total is a 1-row broadcast. The
+    final top-k sorts only bigrams above the support floor.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .where(F.size("l") >= 2)
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        cxy.where(F.col("n_pair") >= COLLOC_MIN_COUNT)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            (
+                (F.col("n_pair") * F.col("nb")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )

@@ -887,3 +887,148 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("med"),
     ).orderBy("user_id", "event_id")
+
+
+EWMA_FRAME = 20  # trailing rows in the decay window (half-life = 1 row)
+EWMA_USER_MOD = 20  # deterministic 1-in-20 user slice keeps output bounded
+
+
+@register(
+    "timeseries_ewma_halflife",
+    tags=("timeseries", "window"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(round(value * 1000000) AS BIGINT) AS iv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % {EWMA_USER_MOD} = 7
+),
+w AS (
+  SELECT a.user_id, a.event_id,
+         SUM(b.iv * (CAST(1 AS BIGINT) << ({EWMA_FRAME - 1} - (a.rn - b.rn)))) AS num,
+         SUM(CAST(1 AS BIGINT) << ({EWMA_FRAME - 1} - (a.rn - b.rn))) AS den
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_FRAME - 1} AND a.rn
+  GROUP BY a.user_id, a.event_id
+)
+SELECT user_id, event_id,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS ewma
+FROM w ORDER BY event_id
+""",
+)
+def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 1/2 per step,
+    trailing EWMA_FRAME=20-row frame) per user — the smoothing every
+    monitoring / feature pipeline runs. Powers of two make every
+    weight EXACT in binary: values become integer micro-units, the
+    weighted numerator and the weight mass are exact bigints (max
+    ~5e15 < 2^53, so even the double casts are exact), and the EWMA
+    is two IEEE divisions — bit-identical cross-engine with no FP
+    accumulation-order hazard (a 0.8-style decay would drift).
+
+    Scale: one shuffle+sort per user key; the frame aggregate is
+    computed in-row from the collected frame (bounded at 20
+    elements), so cost is linear in events with no self-join — the
+    oracle's O(frame x rows) self-join is the semantic spec, not the
+    plan. The user-slice predicate is a stateless hash filter pushed
+    to the scan.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("user_id") % EWMA_USER_MOD == 7)
+    iv = F.round(F.col("value") * 1000000, 0).cast("bigint")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), 0)
+    )
+    withv = e.select("user_id", "ts", "event_id", iv.alias("iv")).withColumn(
+        "vals", F.collect_list("iv").over(wf)
+    )
+    num = F.expr(
+        f"aggregate(zip_with(vals, sequence({EWMA_FRAME} - size(vals), {EWMA_FRAME - 1}),"
+        " (v, e) -> v * shiftleft(CAST(1 AS BIGINT), e)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    den = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {EWMA_FRAME})"
+        f" - shiftleft(CAST(1 AS BIGINT), {EWMA_FRAME} - size(vals))"
+    )
+    return withv.select(
+        "user_id",
+        "event_id",
+        (num.cast("double") / den.cast("double") / F.lit(1000000.0)).alias("ewma"),
+    ).orderBy("event_id")
+
+
+@register(
+    "timeseries_autocorr_lag1",
+    tags=("timeseries", "agg"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS iv,
+         LAG(CAST(round(value * 1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ivp
+  FROM events
+),
+p AS (SELECT user_id, iv, ivp FROM e WHERE ivp IS NOT NULL),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(iv) AS sx, SUM(ivp) AS sy,
+         SUM(iv * iv) AS sxx, SUM(ivp * ivp) AS syy, SUM(iv * ivp) AS sxy
+  FROM p GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr
+FROM s
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+ORDER BY user_id
+""",
+)
+def timeseries_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series (is the
+    signal persistent or white noise? — the first diagnostic on any
+    metric stream). Values are quantized to milli-units so the
+    (current, lagged) pair sums are exact bigints; the Pearson
+    combination happens in double with the identical expression both
+    engines, sqrt being correctly rounded IEEE — bit-deterministic at
+    any partitioning. Degenerate (constant) series are filtered by an
+    exact variance-positivity guard on both sides.
+
+    Scale: one lag window per user + one partial-aggregable group-by
+    carrying six integers per user; output is one row per user.
+    """
+    e = load(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.select("user_id", "ts", "event_id", iv.alias("iv"))
+        .withColumn("ivp", F.lag("iv").over(w))
+        .where(F.col("ivp").isNotNull())
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("sx"),
+        F.sum("ivp").alias("sy"),
+        F.sum(F.col("iv") * F.col("iv")).alias("sxx"),
+        F.sum(F.col("ivp") * F.col("ivp")).alias("syy"),
+        F.sum(F.col("iv") * F.col("ivp")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd, sxyd = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    return (
+        s.where((varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            ((nd * sxyd - sxd * syd) / F.sqrt(varx * vary)).alias("autocorr"),
+        )
+        .orderBy("user_id")
+    )
