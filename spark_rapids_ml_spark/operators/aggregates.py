@@ -1381,3 +1381,185 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("noisy_n"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------- bloom
+
+BLOOM_BITS_PER_KEY = 8  # m = 8n bits -> fp ~ (1 - e^(-3/8))^3 ~ 3% at k=3
+BLOOM_K = 3  # hash functions per key
+BLOOM_WORD_BITS = 32  # 1 << bit stays positive in a bigint
+BLOOM_PROBE_OFFSET = 1_000_000_000  # shifts customer keys out of the member set
+
+
+@register(
+    "agg_bloom_filter_membership",
+    tags=("agg", "sketch"),
+    oracle=f"""
+WITH src AS (SELECT DISTINCT o_custkey AS key FROM orders),
+kv AS (SELECT {BLOOM_BITS_PER_KEY} * COUNT(*) AS m FROM src),
+build_pos AS (
+  SELECT src.key, g.i AS hf,
+         {sql_hash60("CAST(g.i AS VARCHAR) || '|' || CAST(src.key AS VARCHAR)")}
+           % (SELECT m FROM kv) AS pos
+  FROM src CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) g(i)
+),
+bloom AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM build_pos GROUP BY pos // {BLOOM_WORD_BITS}
+),
+probe_keys AS (
+  SELECT c_custkey AS key FROM customer
+  UNION ALL
+  SELECT c_custkey + {BLOOM_PROBE_OFFSET} AS key FROM customer
+),
+probe AS (
+  SELECT p.key, g.i AS hf,
+         {sql_hash60("CAST(g.i AS VARCHAR) || '|' || CAST(p.key AS VARCHAR)")}
+           % (SELECT m FROM kv) AS pos
+  FROM probe_keys p CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) g(i)
+),
+hits AS (
+  SELECT p.key,
+         SUM(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % {BLOOM_WORD_BITS} AS INT))) <> 0
+                  THEN 1 ELSE 0 END) AS n_set
+  FROM probe p LEFT JOIN bloom b ON p.pos // {BLOOM_WORD_BITS} = b.word
+  GROUP BY p.key
+),
+truth AS (SELECT DISTINCT o_custkey AS key FROM orders)
+SELECT COUNT(*) AS n_probed,
+       CAST(SUM(CASE WHEN h.n_set = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS claimed_pos,
+       CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+       CAST(SUM(CASE WHEN h.n_set = {BLOOM_K} AND t.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       CAST(SUM(CASE WHEN h.n_set < {BLOOM_K} AND t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_neg
+FROM hits h LEFT JOIN truth t ON h.key = t.key
+""",
+)
+def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter as a MERGEABLE aggregate: build an
+    m = {BLOOM_BITS_PER_KEY}n-bit filter over the ordering-customer
+    key set (k={BLOOM_K} md5-sliced hash positions per key,
+    OR-combined into 32-bit words inside bigints — bit_or is
+    associative+commutative, so the build is map-side combinable and
+    shards merge without rescan), then probe every customer key PLUS
+    an offset-shifted copy guaranteed absent, reporting claimed /
+    true / false-positive counts. Sizing the filter proportional to n
+    keeps the false-positive rate ~3% at EVERY corpus scale (a fixed
+    m saturates: by 4x the design load every probe claims membership);
+    false_neg is pinned 0 by the Bloom property (a test asserts it),
+    and every count is exact because the hash positions are.
+
+    Scale: the filter is m/32 = n/4 rows keyed by word — broadcast to
+    the probe side while n·{BLOOM_K} stays in broadcast range, the
+    bucketed equi-join beyond; both group-bys are partial-aggregable;
+    n itself is one scalar aggregate (bounded driver state, the
+    kmeans-centroid convention).
+    """
+    keys = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    m_bits = BLOOM_BITS_PER_KEY * keys.count()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("hf")
+        ).select(
+            "key",
+            "hf",
+            (
+                hash60(
+                    F.concat_ws("|", F.col("hf").cast("string"), F.col("key").cast("string"))
+                )
+                % m_bits
+            ).alias("pos"),
+        )
+
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))")
+    bloom = (
+        positions(keys)
+        .groupBy((F.col("pos") / BLOOM_WORD_BITS).cast("bigint").alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    probe_keys = cust.select(F.col("c_custkey").alias("key")).unionAll(
+        cust.select((F.col("c_custkey") + BLOOM_PROBE_OFFSET).alias("key"))
+    )
+    probe = positions(probe_keys).withColumn(
+        "word", (F.col("pos") / BLOOM_WORD_BITS).cast("bigint")
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) != 0), 1
+            ).otherwise(0),
+        )
+        .groupBy("key")
+        .agg(F.sum("hit").alias("n_set"))
+    )
+    truth = keys.withColumn("is_member", F.lit(1))
+    j = hits.join(truth, "key", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("n_set") == BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("claimed_pos"),
+        F.sum(F.when(F.col("is_member").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_pos"),
+        F.sum(
+            F.when((F.col("n_set") == BLOOM_K) & F.col("is_member").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_pos"),
+        F.sum(
+            F.when((F.col("n_set") < BLOOM_K) & F.col("is_member").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_neg"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    tags=("agg",),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1 ORDER BY user_id
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type with an explicit lexicographic tie-break. Both engines ship a
+    native mode() whose tie behavior is unspecified — count+window
+    with a total order is the portable (and partition-invariant) form.
+
+    Scale: partial-aggregable count on the composite key, then a
+    window over the per-user value domain (n_users × n_event_types
+    rows, not the event stream)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("user_id")
+    )

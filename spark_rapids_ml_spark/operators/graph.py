@@ -323,3 +323,130 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited.unpersist()
     edges.unpersist()
     return out
+
+
+_KCORE_ROUNDS = 4  # bounded level-synchronous peel rounds
+_KCORE_KEY_CAP = 30000  # bounded order slice for the co-purchase graph
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as materialized CTEs (the bounded-iteration
+    unroll convention of the kmeans Lloyd oracle); k is the adaptive
+    mean-degree+1 threshold computed with exact integer division."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey <= {_KCORE_KEY_CAP} AND b.l_orderkey <= {_KCORE_KEY_CAP}
+)""",
+        """kv AS MATERIALIZED (
+  SELECT (2 * (SELECT COUNT(*) FROM e0))
+         // (SELECT COUNT(*) FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)) + 1 AS k
+)""",
+    ]
+    rows = [
+        "SELECT 0 AS round, (SELECT k FROM kv) AS k,"
+        " (SELECT COUNT(*) FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)) AS n_nodes,"
+        " (SELECT COUNT(*) FROM e0) AS n_edges"
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r}
+    ) GROUP BY node
+  ) WHERE d >= (SELECT k FROM kv)
+)"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN k{r} ka ON e.a = ka.node
+  JOIN k{r} kb ON e.b = kb.node
+)"""
+        )
+        rows.append(
+            f"SELECT {r + 1} AS round, (SELECT k FROM kv) AS k,"
+            f" (SELECT COUNT(*) FROM (SELECT a AS node FROM e{r + 1} UNION SELECT b FROM e{r + 1})) AS n_nodes,"
+            f" (SELECT COUNT(*) FROM e{r + 1}) AS n_edges"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {','.join(ctes)}
+SELECT CAST(round AS BIGINT) AS round, CAST(k AS BIGINT) AS k,
+       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+FROM ({union}) ORDER BY round
+"""
+
+
+@register("graph_kcore_peeling", tags=("graph", "scale"), oracle=_kcore_oracle())
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive k-core peeling profile: starting from the part
+    co-purchase graph, repeatedly drop every node with degree < k
+    (k = mean degree + 1, exact integer arithmetic so both engines
+    agree on the threshold) and report the (nodes, edges) trajectory
+    per round — the standard core-decomposition / dense-region
+    diagnostic (and the degeneracy-ordering building block). The
+    trajectory is the declared output because a near-regular graph's
+    above-mean core is all-or-nothing: HOW FAST the graph collapses
+    under peeling is the informative, scale-stable statistic, where a
+    surviving-node list degenerates to all-or-empty.
+
+    Scale: each round is one partial-aggregable degree count (the
+    exchange carries nodes, not edges) + two semi-joins of the edge
+    list against the surviving-node set — the Pregel superstep shape;
+    the edge set shrinks monotonically, caches are per-round and the
+    result is localCheckpointed so all blocks release via the shared
+    registry. k comes from two scalar aggregates (bounded driver
+    state, same convention as the kmeans centroid collect).
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= _KCORE_KEY_CAP)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+        .cache()
+    )
+
+    def _counts(edges: DataFrame) -> tuple[int, int]:
+        nodes = edges.select(F.col("a").alias("node")).union(
+            edges.select(F.col("b").alias("node"))
+        ).distinct()
+        return nodes.count(), edges.count()
+
+    v0, e0 = _counts(e)
+    k = (2 * e0) // v0 + 1
+    traj = [(0, k, v0, e0)]
+    for r in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        prev = e
+        e = (
+            prev.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .cache()
+        )
+        vr, er = _counts(e)  # materializes this round's cache
+        prev.unpersist()
+        traj.append((r + 1, k, vr, er))
+    e.unpersist()
+    return spark.createDataFrame(
+        traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")

@@ -835,3 +835,83 @@ def pipe_end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+LB_BUCKET_WIDTH = 32  # token-length bucket width
+LB_BUCKET_MAX = 8  # lengths >= width*max all land in the top bucket
+LB_BATCH_SIZE = 16  # docs per training batch within a bucket
+
+
+@register(
+    "pipe_length_bucket_batches",
+    tags=("pipe",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         LEAST(n_tok // {LB_BUCKET_WIDTH}, {LB_BUCKET_MAX}) AS bucket
+  FROM t
+),
+r AS (
+  SELECT bucket, n_tok,
+         (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1)
+           // {LB_BATCH_SIZE} AS batch_idx
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(batch_idx AS BIGINT) AS batch_idx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
+FROM r GROUP BY bucket, batch_idx
+ORDER BY bucket, batch_idx
+""",
+)
+def pipe_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the dynamic-batching step that
+    makes padded training efficient: docs are bucketed by token length
+    (width-{LB_BUCKET_WIDTH} rungs, top rung open), sorted by (length,
+    doc_id) within the bucket, and cut into {LB_BATCH_SIZE}-doc
+    batches; each batch pads to its own max length, and the reported
+    pad_waste = n·max−Σ is exactly the token budget padding burns —
+    the statistic you tune bucket width against (global sorting would
+    minimize waste but destroy shuffle locality; random batching
+    maximizes it).
+
+    Scale: bucket assignment is a stateless in-row predicate; the
+    within-bucket ordering is a window per bucket — with the
+    fixed bucket count this is the documented skew point, and the
+    100 TB path is the pipe_sequence_packing distributed-scan shape
+    (range-partition by (bucket, n_tok), local row_number, broadcast
+    per-partition offsets); the per-batch aggregate is
+    partial-aggregable on the (bucket, batch) key.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    b = t.withColumn(
+        "bucket",
+        F.least(F.col("n_tok") / F.lit(LB_BUCKET_WIDTH), F.lit(LB_BUCKET_MAX)).cast(
+            "bigint"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    r = b.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / F.lit(LB_BATCH_SIZE)).cast("bigint"),
+    )
+    return (
+        r.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+            (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+        .orderBy("bucket", "batch_idx")
+    )

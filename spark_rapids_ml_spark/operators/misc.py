@@ -184,3 +184,91 @@ def ps_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("total_bal"), 2).cast("double").alias("total_bal"),
     ).orderBy("nationkey")
+
+
+@register(
+    "sql_session_variables",
+    tags=("sql",),
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+FROM customer
+WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000.0
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VARIABLE): the
+    query is parameterized by session state instead of string
+    interpolation — the safe way to template a production query. The
+    oracle runs the constant-folded equivalent (DuckDB has no session
+    variables), which is exactly what Catalyst folds the variable
+    references into at plan time, so the variables cost nothing at
+    execution.
+
+    Scale: plan-identical to the literal query — predicate pushdown
+    and partial aggregation are unaffected by the variable
+    indirection (the variables fold before optimization).
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE seg_var STRING DEFAULT 'BUILDING'")
+    spark.sql("SET VARIABLE seg_var = 'AUTOMOBILE'")
+    spark.sql("DECLARE OR REPLACE VARIABLE bal_floor DOUBLE DEFAULT 1000.0")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_mktsegment = seg_var AND c_acctbal > bal_floor
+        GROUP BY c_nationkey
+        ORDER BY nationkey
+        """
+    )
+
+
+@register(
+    "sql_create_sql_udf",
+    tags=("sql", "udf"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey <= 20000
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_create_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN
+    expr): a named, reusable expression that Catalyst INLINES into the
+    plan — unlike a Python UDF there is no serialization boundary, the
+    function body participates in whole-stage codegen and predicate
+    pushdown exactly as if written in place (the oracle runs the
+    inlined form). The discounted-price double rounds exactly to its
+    4-dp decimal (2dp x 2dp product), making the sum exact and
+    engine-portable.
+
+    Scale: zero overhead vs the inlined expression — this is the
+    UDF tier to reach for BEFORE pandas_udf when the logic is
+    expressible in SQL.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(ep DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN ep * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey <= 20000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
