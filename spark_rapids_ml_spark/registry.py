@@ -64,13 +64,27 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 7 rotation: (a) the 23 queries that have NEVER had a
-    # driver correctness row across r01-r06 (each is judge-verified
-    # and hash-green in the committed SWEEP artifacts at sf0.01/sf1,
-    # incl. the new composed lakehouse lifecycle), (b) the queries
-    # whose implementation changed this round, (c) the stalest
-    # surviving driver rows (r02 vintage) to fill the 50-sample
-    # window. Names absent from the registry are skipped.
+    # -- round 7 rotation: (a) the operators ADDED this round (never
+    # driver-sampled, new code — highest priority), then (b) the 23
+    # queries that had never had a driver correctness row across
+    # r01-r06 (each is judge-verified and hash-green in the committed
+    # SWEEP artifacts at sf0.01/sf1, incl. the composed lakehouse
+    # lifecycle), (c) the queries whose implementation changed this
+    # round, (d) the stalest surviving driver rows (r02 vintage) to
+    # fill the 50-sample window. Names absent are skipped.
+    "ml_eval_auc_rank",
+    "ml_eval_confusion_prf",
+    "ml_regr_diagnostics",
+    "timeseries_ewma_halflife",
+    "timeseries_autocorr_lag1",
+    "text_collocation_lift",
+    "dedup_containment_pairs",
+    "graph_kcore_peeling",
+    "pipe_length_bucket_batches",
+    "agg_bloom_filter_membership",
+    "agg_mode_deterministic",
+    "sql_session_variables",
+    "sql_create_sql_udf",
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
     "scale_partition_evolution",
