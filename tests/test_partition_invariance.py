@@ -49,6 +49,15 @@ SAMPLED = [
     "sim_pq_adc_topk",
     "sink_change_data_feed",
     "feature_hashing_trick",
+    # round 7: rank-statistic AUC (window rank + integer reduction),
+    # EWMA (in-frame bigint weighted sum), Bloom (bit_or merge),
+    # k-core (per-round semi-joins), collocation lift (three
+    # partial-aggregable counts + deterministic double sort)
+    "ml_eval_auc_rank",
+    "timeseries_ewma_halflife",
+    "agg_bloom_filter_membership",
+    "graph_kcore_peeling",
+    "text_collocation_lift",
 ]
 
 

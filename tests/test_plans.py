@@ -625,3 +625,44 @@ def test_partition_evolution_prunes_under_both_specs(spark):
     joined = " | ".join(b[:200] for b in blocks)
     assert "o_orderpriority" in joined
     assert "prio_class" in joined
+
+
+def test_auc_rank_broadcasts_dim_and_partial_aggregates(spark):
+    """The AUC eval joins a small dim (customer segments) — must be
+    broadcast — and reduces via two-phase hash aggregation."""
+    from spark_rapids_ml_spark.operators.evalmetrics import ml_eval_auc_rank
+
+    plan = plan_of(ml_eval_auc_rank(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    """The Bloom probe joins against a filter of n/4 word rows — the
+    plan must broadcast the filter, never shuffle the probe stream."""
+    from spark_rapids_ml_spark.operators.aggregates import agg_bloom_filter_membership
+
+    plan = plan_of(agg_bloom_filter_membership(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_collocation_builds_bigrams_without_window_or_self_join(spark):
+    """Bigrams come from an in-row transform over the token array —
+    the plan must contain no Window and no SortMergeJoin on a token
+    position (the naive positional self-join shape)."""
+    from spark_rapids_ml_spark.operators.textstats import text_collocation_lift
+
+    plan = plan_of(text_collocation_lift(spark, SF))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final count pairs
+
+
+def test_ewma_single_user_shuffle(spark):
+    """EWMA is one window pass per user key: exactly one exchange
+    hash-partitioned on user_id feeding the Window, and the frame
+    aggregate is an in-row projection (no self-join)."""
+    from spark_rapids_ml_spark.operators.timeseries import timeseries_ewma_halflife
+
+    plan = plan_of(timeseries_ewma_halflife(spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan  # the oracle's self-join is spec, not plan
