@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -293,3 +294,236 @@ def ml_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd - slope * sxd) / nd).alias("intercept"),
         ((cov_num * cov_num) / (varx_num * vary_num)).alias("r2"),
     ).orderBy("l_linestatus")
+
+
+KNN_N_TEST = 100  # vec_id < 100 form the held-out evaluation set
+KNN_K = 5
+
+_SQL_EMB = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    " FROM embeddings"
+)
+
+
+@register(
+    "ml_knn_classifier",
+    tags=("ml", "similarity"),
+    oracle=f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id AS qid, label AS true_label, emb AS qemb FROM e WHERE vec_id < {KNN_N_TEST}),
+t AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= {KNN_N_TEST}),
+scored AS (
+  SELECT q.qid, q.true_label, t.vec_id, t.label,
+         ROUND(list_cosine_similarity(q.qemb, t.emb), 6) AS cos
+  FROM q JOIN t ON TRUE
+),
+ranked AS (
+  SELECT qid, true_label, vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, true_label, label, COUNT(*) AS n
+  FROM ranked WHERE rk <= {KNN_K}
+  GROUP BY qid, true_label, label
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(n AS BIGINT) AS votes
+FROM (
+  SELECT qid, true_label, label, n,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+ORDER BY qid
+""",
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding corpus: each held-out
+    vector takes the majority label of its {KNN_K} nearest training
+    neighbors by cosine (rank key = ROUND(cos, 6) + vec_id tie-break,
+    vote tie-break = (count DESC, label ASC) — every ordering total,
+    so the prediction is deterministic cross-engine). The lazy
+    classifier every embedding pipeline ships first, and the
+    label-quality probe for embedding-space audits.
+
+    Scale: the held-out set is broadcast against the corpus (the
+    sim_bruteforce_topk shape) — at 100 TB swap the scored CTE for any
+    ANN tier (IVF/PQ candidates feed the identical vote reduction);
+    the vote itself is a partial-aggregable count on (query, label).
+
+    Accuracy note (same honesty as ml_naive_bayes_langid): this
+    corpus's labels are geometry-INDEPENDENT, so accuracy lands at
+    chance (~1/n_labels) by construction — the operator's correctness
+    is the hash-pinned vote mechanics (plus a numpy replay of the
+    neighbor set in tests/test_evalmetrics.py), not a recall gate.
+    """
+    from spark_rapids_ml_spark.operators.similarity import dot_expr, with_unit_vector
+    from pyspark.sql import Window
+
+    e = with_unit_vector(load(spark, sf_dir, "embeddings"), "embedding", "unit")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < KNN_N_TEST).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("true_label"),
+            F.col("unit").alias("qunit"),
+        )
+    )
+    t = e.where(F.col("vec_id") >= KNN_N_TEST)
+    scored = q.join(t).select(
+        "qid",
+        "true_label",
+        "vec_id",
+        "label",
+        F.round(dot_expr("qunit", "unit"), 6).alias("cos"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= KNN_K)
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("n").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("label").cast("bigint").alias("pred_label"),
+            F.col("n").cast("bigint").alias("votes"),
+        )
+        .orderBy("qid")
+    )
+
+
+CENTROID_SPLIT_MOD = 10  # hash % 10 < 8 -> train (deterministic 80/20)
+CENTROID_TRAIN_BELOW = 8
+
+
+@register(
+    "ml_centroid_train_eval_pipeline",
+    tags=("ml", "pipeline"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mic,
+         {sql_hash60("'cvsplit|' || CAST(vec_id AS VARCHAR)")} % {CENTROID_SPLIT_MOD}
+           < {CENTROID_TRAIN_BELOW} AS is_train
+  FROM embeddings
+),
+train_dims AS (
+  SELECT label, g.d, mic[g.d] AS v
+  FROM e CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(mic))) AS d) g
+  WHERE is_train
+),
+cent AS (
+  SELECT label AS clabel, d,
+         CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM train_dims GROUP BY label, d
+),
+test_dims AS (
+  SELECT vec_id, label AS true_label, g.d, mic[g.d] AS v
+  FROM e CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(mic))) AS d) g
+  WHERE NOT is_train
+),
+dist AS (
+  SELECT t.vec_id, t.true_label, c.clabel,
+         SUM((t.v - c.c) * (t.v - c.c)) AS d2
+  FROM test_dims t JOIN cent c ON t.d = c.d
+  GROUP BY t.vec_id, t.true_label, c.clabel
+),
+pred AS (
+  SELECT vec_id, true_label, clabel AS pred_label FROM (
+    SELECT vec_id, true_label, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+    FROM dist
+  ) WHERE rk = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS acc
+FROM pred GROUP BY true_label ORDER BY true_label
+""",
+)
+def ml_centroid_train_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END supervised pipeline in one declared DAG:
+    deterministic hash 80/20 split → per-label centroid TRAINING on
+    the train fold (micro-integer component sums — exact, mergeable,
+    partition-invariant) → nearest-centroid CLASSIFICATION of the test
+    fold (squared distances are exact bigint sums over micro-units, so
+    the argmin and the accuracy are bit-deterministic) → per-class
+    accuracy EVALUATION. The composition proof for the ML surface,
+    the way pipe_end_to_end_curation composes the curation stages.
+
+    Scale: the model is label_count × dim rows (640 here) — a
+    broadcast join against the exploded test fold; both the training
+    reduction and the distance reduction are partial-aggregable
+    integer sums; the split is a stateless hash predicate. No stage
+    materializes the corpus on the driver.
+
+    Accuracy note: labels in this corpus are geometry-independent, so
+    per-class accuracy sits at chance — the declared correctness is
+    the end-to-end hash (split, centroids, argmin, counts) plus a
+    numpy replay test, not an accuracy gate.
+    """
+    from spark_rapids_ml_spark.functions.portable import hash60
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("mic"),
+        (
+            hash60(F.concat(F.lit("cvsplit|"), F.col("vec_id").cast("string")))
+            % CENTROID_SPLIT_MOD
+            < CENTROID_TRAIN_BELOW
+        ).alias("is_train"),
+    )
+    dims = e.select(
+        "vec_id", "label", "is_train", F.posexplode("mic").alias("d0", "v")
+    ).select("vec_id", "label", "is_train", (F.col("d0") + 1).alias("d"), "v")
+    cent = (
+        dims.where(F.col("is_train"))
+        .groupBy(F.col("label").alias("clabel"), "d")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    test_dims = dims.where(~F.col("is_train")).select(
+        "vec_id", F.col("label").alias("true_label"), "d", "v"
+    )
+    dist = (
+        test_dims.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    wr = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    pred = (
+        dist.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "true_label", F.col("clabel").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("bigint").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "acc",
+            F.col("n_correct").cast("double") / F.col("n_test").cast("double"),
+        )
+        .orderBy("true_label")
+    )

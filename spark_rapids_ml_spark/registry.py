@@ -75,6 +75,8 @@ SWEEP_PRIORITY: list[str] = [
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",
+    "ml_knn_classifier",
+    "ml_centroid_train_eval_pipeline",
     "timeseries_ewma_halflife",
     "timeseries_autocorr_lag1",
     "text_collocation_lift",

@@ -90,3 +90,86 @@ def test_confusion_marginals_consistent(spark):
     for r in rows:
         assert r.tp + r.fn == n_docs_by_lang[r.lang]
         assert 0.0 <= r.rec <= 1.0 and 0.0 <= r.f1 <= 1.0
+
+
+def test_knn_predictions_match_numpy_replay(spark):
+    """Every kNN prediction must equal a numpy recomputation of the
+    5-nearest-by-rounded-cosine vote with the declared tie-breaks."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.operators.evalmetrics import (
+        KNN_K,
+        KNN_N_TEST,
+        ml_knn_classifier,
+    )
+
+    got = {r.qid: (r.pred_label, r.votes) for r in ml_knn_classifier(spark, SF).collect()}
+    rows = load(spark, SF, "embeddings").collect()
+    E = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    unit = {k: (v / np.linalg.norm(v), lab) for k, (v, lab) in E.items()}
+    train = [(k, u, lab) for k, (u, lab) in unit.items() if k >= KNN_N_TEST]
+    for qid, (qu, _) in unit.items():
+        if qid >= KNN_N_TEST:
+            continue
+        scored = sorted(
+            ((round(float(qu @ u), 6), vid, lab) for vid, u, lab in train),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_K]
+        counts: dict[int, int] = {}
+        for _, _, lab in scored:
+            counts[lab] = counts.get(lab, 0) + 1
+        pred = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0]
+        assert got[qid] == (pred[0], pred[1]), qid
+
+
+def test_centroid_pipeline_matches_numpy_replay(spark):
+    """Split, centroid training, and argmin classification replayed in
+    numpy must reproduce the per-class accuracy rows exactly."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.functions.portable import hash60
+    from spark_rapids_ml_spark.operators.evalmetrics import (
+        CENTROID_SPLIT_MOD,
+        CENTROID_TRAIN_BELOW,
+        ml_centroid_train_eval_pipeline,
+    )
+
+    got = {
+        r.true_label: (r.n_test, r.n_correct)
+        for r in ml_centroid_train_eval_pipeline(spark, SF).collect()
+    }
+    rows = load(spark, SF, "embeddings").collect()
+    # replicate the hash split via the engine itself (hash60 is md5-based)
+    ids = [r.vec_id for r in rows]
+    hdf = spark.createDataFrame([(i,) for i in ids], "vec_id bigint").select(
+        "vec_id",
+        (
+            hash60(F.concat(F.lit("cvsplit|"), F.col("vec_id").cast("string")))
+            % CENTROID_SPLIT_MOD
+            < CENTROID_TRAIN_BELOW
+        ).alias("is_train"),
+    )
+    is_train = {r.vec_id: r.is_train for r in hdf.collect()}
+    mic = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        for r in rows
+    }
+    lab = {r.vec_id: r.label for r in rows}
+    sums: dict[int, np.ndarray] = {}
+    cnts: dict[int, int] = {}
+    for vid, m in mic.items():
+        if is_train[vid]:
+            sums[lab[vid]] = sums.get(lab[vid], np.zeros(len(m), dtype=np.int64)) + m
+            cnts[lab[vid]] = cnts.get(lab[vid], 0) + 1
+    cents = {
+        c: np.round(sums[c].astype(np.float64) / cnts[c]).astype(np.int64) for c in sums
+    }
+    res: dict[int, list[int]] = {}
+    for vid, m in mic.items():
+        if is_train[vid]:
+            continue
+        dists = sorted((int(((m - cv) ** 2).sum()), c) for c, cv in cents.items())
+        pred = dists[0][1]
+        n, nc = res.get(lab[vid], [0, 0])
+        res[lab[vid]] = [n + 1, nc + (1 if pred == lab[vid] else 0)]
+    assert got == {c: (v[0], v[1]) for c, v in res.items()}
