@@ -666,3 +666,27 @@ def test_ewma_single_user_shuffle(spark):
     plan = plan_of(timeseries_ewma_halflife(spark, SF))
     assert "Window" in plan
     assert "Join" not in plan  # the oracle's self-join is spec, not plan
+
+
+def test_knn_broadcasts_query_set(spark):
+    """The held-out set must broadcast against the corpus (nested-loop
+    over a 100-row broadcast side, the sim_bruteforce shape) — never a
+    shuffle of the corpus."""
+    from spark_rapids_ml_spark.operators.evalmetrics import ml_knn_classifier
+
+    plan = plan_of(ml_knn_classifier(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_pipeline_broadcasts_model(spark):
+    """The trained centroid table (labels x dims rows) must broadcast
+    to the exploded test fold; the distance reduction must be a
+    two-phase hash aggregate."""
+    from spark_rapids_ml_spark.operators.evalmetrics import (
+        ml_centroid_train_eval_pipeline,
+    )
+
+    plan = plan_of(ml_centroid_train_eval_pipeline(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
