@@ -1550,3 +1550,118 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------- LSH quality evaluation
+
+# Eval slice: a FIXED cap loses duplicate pairs quadratically as the
+# corpus grows around it (0 truth pairs by sf0.1), so the slice scales
+# as n/5, floored at 400 (small corpora are evaluated whole) and
+# capped at 50k docs (bounds the truth join; pair yield stays nonzero
+# because total dup pairs grow linearly with the corpus).
+LSH_EVAL_CAP_FLOOR = 400
+LSH_EVAL_CAP_CEIL = 50_000
+LSH_EVAL_JACCARD = 0.5  # ground-truth duplicate threshold
+_SQL_EVAL_CAP = (
+    f"GREATEST({LSH_EVAL_CAP_FLOOR},"
+    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {LSH_EVAL_CAP_CEIL}))"
+)
+
+
+@register(
+    "dedup_lsh_quality_eval",
+    tags=("dedup", "minhash", "eval"),
+    oracle=f"""
+WITH capv AS (SELECT {_SQL_EVAL_CAP} AS cap),
+docs400 AS (SELECT * FROM documents WHERE doc_id <= (SELECT cap FROM capv)),
+{_sql_minhash_cte(table="docs400")},
+{_sql_guarded_pairs_cte()},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM co),
+sh2 AS ({sql_shingle_rows(where="doc_id <= (SELECT cap FROM capv)")}),
+card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN card ca ON c.doc_a = ca.doc_id
+  JOIN card cb ON c.doc_b = cb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.n_common) >= {LSH_EVAL_JACCARD}
+),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END AS precision_vs_truth,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall_vs_truth
+""",
+)
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-EVALUATING dedup infrastructure: run the real MinHash-LSH
+    candidate generator (bands, skew guard and all) NEXT TO the exact
+    Jaccard ground truth (threshold {LSH_EVAL_JACCARD}) on the same
+    corpus slice, and report candidate precision/recall as a declared,
+    hash-checked result — the measure-don't-guess discipline applied
+    to the dedup tier itself. The LSH banding threshold is
+    (1/b)^(1/r) ≈ 0.71, so recall against 0.5-truth quantifies what
+    the banding curve gives up below its knee, and precision counts
+    the band-collision noise the exact verify stage must filter.
+
+    Scale: the candidate side is the production bucketed equi-join;
+    the truth side's posting-list join is why this runs on a bounded
+    slice — at 100 TB you evaluate on a sampled slice exactly like
+    this while the candidate tier runs on everything.
+    """
+    all_docs = load(spark, sf_dir, "documents")
+    cap = max(
+        LSH_EVAL_CAP_FLOOR, min(all_docs.count() // 5, LSH_EVAL_CAP_CEIL)
+    )  # one scalar aggregate of bounded driver state
+    docs = all_docs.where(F.col("doc_id") <= cap)
+    cand = _lsh_pairs_of(docs).select("doc_a", "doc_b")
+    sh = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks")).alias("shingle")
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    truth = (
+        common.join(card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .where(jac >= LSH_EVAL_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)  # three 1-row scalar attaches
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"))
+            .alias("precision_vs_truth"),
+            F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_truth").cast("double"))
+            .alias("recall_vs_truth"),
+        )
+    )

@@ -81,6 +81,7 @@ SWEEP_PRIORITY: list[str] = [
     "timeseries_autocorr_lag1",
     "text_collocation_lift",
     "dedup_containment_pairs",
+    "dedup_lsh_quality_eval",
     "graph_kcore_peeling",
     "pipe_length_bucket_batches",
     "agg_bloom_filter_membership",
