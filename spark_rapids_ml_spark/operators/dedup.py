@@ -1479,14 +1479,24 @@ def pipe_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- asymmetric containment
 
 CONTAIN_THRESHOLD = 0.4  # |A ∩ B| / |A| floor for a reported pair
-CONTAIN_DOC_CAP = 400  # bounded doc slice (same cap as ngram Jaccard)
+# Adaptive slice (same rationale as dedup_lsh_quality_eval below): a
+# fixed 400-doc cap loses dup/containment pairs quadratically as the
+# corpus grows around it (0 pairs by sf10); n/5 floored at 400 and
+# capped at 50k keeps the pair yield nonzero at every SF while
+# bounding the posting-list join.
+CONTAIN_CAP_FLOOR = 400
+CONTAIN_CAP_CEIL = 50_000
+_SQL_CONTAIN_CAP = (
+    f"GREATEST({CONTAIN_CAP_FLOOR},"
+    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {CONTAIN_CAP_CEIL}))"
+)
 
 
 @register(
     "dedup_containment_pairs",
     tags=("dedup", "jaccard"),
     oracle=f"""
-WITH sh AS ({sql_shingle_rows(where=f"doc_id <= {CONTAIN_DOC_CAP}")}),
+WITH sh AS ({sql_shingle_rows(where="doc_id <= " + _SQL_CONTAIN_CAP)}),
 card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -1520,7 +1530,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs the shared-shingle count and |A|, both already computed by
     the verify join).
     """
-    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= CONTAIN_DOC_CAP)
+    alldocs = load(spark, sf_dir, "documents")
+    cap = max(CONTAIN_CAP_FLOOR, min(alldocs.count() // 5, CONTAIN_CAP_CEIL))
+    d = alldocs.where(F.col("doc_id") <= cap)
     sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(shingles("toks")).alias("shingle")
     )
