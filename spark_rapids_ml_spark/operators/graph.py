@@ -402,6 +402,8 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry. k comes from two scalar aggregates (bounded driver
     state, same convention as the kmeans centroid collect).
     """
+    from spark_rapids_ml_spark.operators.scale_patterns import _scoped_conf
+
     li = (
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") <= _KCORE_KEY_CAP)
@@ -419,33 +421,54 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    def _counts(edges: DataFrame) -> tuple[int, int]:
-        nodes = edges.select(F.col("a").alias("node")).union(
-            edges.select(F.col("b").alias("node"))
-        ).distinct()
-        return nodes.count(), edges.count()
-
-    v0, e0 = _counts(e)
-    k = (2 * e0) // v0 + 1
-    traj = [(0, k, v0, e0)]
-    for r in range(_KCORE_ROUNDS):
-        deg = (
-            e.select(F.col("a").alias("node"))
-            .unionAll(e.select(F.col("b").alias("node")))
+    # One degree aggregation per round serves BOTH the trajectory stats
+    # (nodes = degree rows, edges = sum(d)/2) and the peel predicate —
+    # a single Spark job per round instead of separate node-count /
+    # edge-count actions (halves the job-latency floor this
+    # fixed-overhead-dominated query pays).
+    def _deg(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.where(F.col("d") >= k).select("node")
-        prev = e
-        e = (
-            prev.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
-            .cache()
-        )
-        vr, er = _counts(e)  # materializes this round's cache
-        prev.unpersist()
-        traj.append((r + 1, k, vr, er))
+
+    # deg is computed from the CACHED edge set, consumed twice per
+    # round (stats job now, peel predicate inside next round's job) —
+    # recomputing it from cache costs one cheap aggregation and avoids
+    # a cache slot whose blocks would drop before reuse anyway.
+    # The key-capped edge set is tiny (~100k rows) regardless of SF, so
+    # the per-round shuffles are pure scheduler overhead at the session
+    # default width; 8 partitions is plenty and cuts the round latency
+    # (cached plans don't get AQE partition coalescing by default).
+    # Scoped + restored, the _scoped_conf convention.
+    k = None
+    traj = []
+    prev = None
+    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+        for r in range(_KCORE_ROUNDS + 1):
+            deg = _deg(e)
+            row = deg.agg(
+                F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")
+            ).collect()[0]
+            vr, er = row.v, (row.dsum or 0) // 2
+            if prev is not None:
+                prev.unpersist()
+            if k is None:
+                k = (2 * er) // vr + 1 if vr else 1
+            traj.append((r, k, vr, er))
+            if r == _KCORE_ROUNDS:
+                break
+            keep = deg.where(F.col("d") >= k).select("node")
+            prev_e = e
+            e = (
+                prev_e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+                .select("a", "b")
+                .cache()
+            )
+            prev = prev_e
     e.unpersist()
     return spark.createDataFrame(
         traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
