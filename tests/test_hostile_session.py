@@ -35,6 +35,11 @@ SAMPLED = [
     "stream_cdf_apply_replica",  # round 7: foreachBatch MERGE + versioned dirs, non-UTC tz
     "scale_partition_evolution",  # round 7: dual-spec partition pruning, timestamp_ntz split
     "sim_pq_adc_topk",  # round 7: adaptive shortlist count() under AQE disabled
+    "graph_kcore_peeling",  # round 7: scoped shuffle width restore under foreign conf
+    "ml_eval_auc_rank",  # round 7: per-slice rank windows at 200 shuffle partitions
+    "agg_bloom_filter_membership",  # round 7: adaptive m from count() under AQE disabled
+    "timeseries_ewma_halflife",  # round 7: in-frame bigint fold under non-UTC session tz
+    "sql_create_sql_udf",  # round 7: SQL UDF registration on a foreign session
 ]
 
 
