@@ -1032,3 +1032,82 @@ def timeseries_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+RFM_TILES = 5  # quintile scores
+
+
+@register(
+    "events_rfm_segmentation",
+    tags=("timeseries", "window", "agg"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey,
+         NTILE({RFM_TILES}) OVER (ORDER BY last_order, custkey) AS r_score,
+         NTILE({RFM_TILES}) OVER (ORDER BY freq, custkey) AS f_score,
+         NTILE({RFM_TILES}) OVER (ORDER BY cents, custkey) AS m_score,
+         cents
+  FROM base
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    reduction: per customer compute Recency (last order date),
+    Frequency (order count), Monetary (lifetime cents), quintile-score
+    each with NTILE over a UNIQUE (metric, custkey) order (ntile is
+    position-based, so a unique sort order makes every score
+    deterministic in both engines), and roll up customer counts and
+    exact-integer revenue per (R,F,M) cell.
+
+    Scale: one partial-aggregable pass over orders builds the per-
+    customer base; the three ntile windows are GLOBAL sorts — the
+    documented single-task pinch at extreme customer counts, where the
+    100 TB form is the distributed-scan rank (range-partition on the
+    metric, local ntile from broadcast per-partition offsets, the
+    pipe_sequence_packing pattern); the final rollup is bounded at
+    {RFM_TILES}^3 cells.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    wr = Window.orderBy("last_order", "custkey")
+    wf = Window.orderBy("freq", "custkey")
+    wm = Window.orderBy("cents", "custkey")
+    scored = base.select(
+        "custkey",
+        F.ntile(RFM_TILES).over(wr).alias("r_score"),
+        F.ntile(RFM_TILES).over(wf).alias("f_score"),
+        F.ntile(RFM_TILES).over(wm).alias("m_score"),
+        "cents",
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

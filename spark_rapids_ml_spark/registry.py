@@ -88,6 +88,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_mode_deterministic",
     "sql_session_variables",
     "sql_create_sql_udf",
+    "events_rfm_segmentation",
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
     "scale_partition_evolution",
