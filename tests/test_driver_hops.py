@@ -41,6 +41,9 @@ ALLOWED = {
     "operators/dedup.py": {
         ".limit(CLUSTER_LOCAL_EDGE_CAP + 1).collect()",  # explicit cap
     },
+    "operators/graph.py": {
+        'F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")',  # k-core round stats: ONE row per round
+    },
     "operators/llm_pipeline.py": {
         'groupBy("pid")',  # packing: one row per partition id
         "vocab.collect()",  # BPE training vocabulary (declared driver-iterative)
