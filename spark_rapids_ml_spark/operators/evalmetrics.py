@@ -165,28 +165,9 @@ def ml_eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_langs × 20)-row profile; the metric is two partial-aggregable
     group-bys joined on the tiny class key.
     """
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
-    wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
-    profile = (
-        tok.groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(wl))
-        .where(F.col("rk") <= 20)
-        .select(F.col("lang").alias("cand_lang"), "term")
-    )
-    doc_terms = tok.select("doc_id", F.col("lang").alias("true_lang"), "term").distinct()
-    overlap = (
-        doc_terms.join(F.broadcast(profile), "term")
-        .groupBy("doc_id", "true_lang", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
-    pred = (
-        overlap.withColumn("rk", F.row_number().over(wd))
-        .where(F.col("rk") == 1)
-        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
-    )
+    from spark_rapids_ml_spark.operators.textstats import langid_predictions
+
+    pred = langid_predictions(load(spark, sf_dir, "documents"))
     by_true = pred.groupBy(F.col("true_lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)).alias("tp"),

@@ -197,6 +197,40 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def langid_predictions(d: DataFrame) -> DataFrame:
+    """(doc_id, true_lang, pred_lang) from the profile language
+    classifier: top-20-token profiles per language trained from the
+    corpus, each doc classified by distinct-term profile overlap with
+    (hits DESC, lang) tie-break. Shared by text_langid_profile
+    (accuracy view) and ml_eval_confusion_prf (per-class PRF view) so
+    both metrics grade the SAME predictor.
+
+    Scale: profiles are a tiny broadcast table (n_langs x 20); the
+    classify join is (distinct doc-term) ⋈ profile on term — linear in
+    the corpus with a broadcast join."""
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    profile = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "term")
+    )
+    doc_terms = tok.select("doc_id", F.col("lang").alias("true_lang"), "term").distinct()
+    overlap = (
+        doc_terms.join(F.broadcast(profile), "term")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
+    return (
+        overlap.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+
+
 @register(
     "text_langid_profile",
     tags=("text", "langid"),
@@ -240,28 +274,7 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify join is (distinct doc-term) ⋈ profile on term — linear in
     the corpus with a broadcast join.
     """
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
-    wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
-    profile = (
-        tok.groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(wl))
-        .where(F.col("rk") <= 20)
-        .select(F.col("lang").alias("cand_lang"), "term")
-    )
-    doc_terms = tok.select("doc_id", F.col("lang").alias("true_lang"), "term").distinct()
-    overlap = (
-        doc_terms.join(F.broadcast(profile), "term")
-        .groupBy("doc_id", "true_lang", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
-    pred = (
-        overlap.withColumn("rk", F.row_number().over(wd))
-        .where(F.col("rk") == 1)
-        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
-    )
+    pred = langid_predictions(load(spark, sf_dir, "documents"))
     return (
         pred.groupBy(F.col("true_lang").alias("lang"))
         .agg(
