@@ -279,28 +279,30 @@ def ml_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_N_TEST = 100  # vec_id < 100 form the held-out evaluation set
 KNN_K = 5
-
-_SQL_EMB = (
-    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
-    " FROM embeddings"
-)
+_KNN_Q = 1_000_000  # micro-quantization: scores are EXACT int64 dots
 
 
 @register(
     "ml_knn_classifier",
     tags=("ml", "similarity"),
     oracle=f"""
-WITH e AS ({_SQL_EMB}),
-q AS (SELECT vec_id AS qid, label AS true_label, emb AS qemb FROM e WHERE vec_id < {KNN_N_TEST}),
-t AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= {KNN_N_TEST}),
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {_KNN_Q}) AS BIGINT)) AS mic
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS true_label, mic AS qm FROM e WHERE vec_id < {KNN_N_TEST}),
+t AS (SELECT vec_id, label, mic AS tm FROM e WHERE vec_id >= {KNN_N_TEST}),
 scored AS (
   SELECT q.qid, q.true_label, t.vec_id, t.label,
-         ROUND(list_cosine_similarity(q.qemb, t.emb), 6) AS cos
+         CAST(list_dot_product(list_transform(q.qm, x -> CAST(x AS DOUBLE)),
+                               list_transform(t.tm, x -> CAST(x AS DOUBLE))) AS BIGINT) AS sim
   FROM q JOIN t ON TRUE
 ),
 ranked AS (
   SELECT qid, true_label, vec_id, label,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
   FROM scored
 ),
 votes AS (
@@ -321,55 +323,90 @@ ORDER BY qid
 """,
 )
 def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN classification over the embedding corpus: each held-out
-    vector takes the majority label of its {KNN_K} nearest training
-    neighbors by cosine (rank key = ROUND(cos, 6) + vec_id tie-break,
-    vote tie-break = (count DESC, label ASC) — every ordering total,
-    so the prediction is deterministic cross-engine). The lazy
-    classifier every embedding pipeline ships first, and the
-    label-quality probe for embedding-space audits.
+    """k-NN classification over the embedding corpus by maximum inner
+    product (MIPS) on micro-quantized vectors: each held-out vector
+    takes the majority label of its {KNN_K} best training neighbors.
+    Scores are EXACT int64 dot products (components quantized to
+    1e-6 units in-row — no accumulation ever happens in floating
+    point, so rank and vote are bit-deterministic under ANY execution
+    order; the DuckDB oracle's double-path dot stays exact because
+    every partial sum is < 2^53). Vote tie-break (count DESC, label
+    ASC) and rank tie-break (sim DESC, vec_id ASC) are total orders.
 
-    Scale: the held-out set is broadcast against the corpus (the
-    sim_bruteforce_topk shape) — at 100 TB swap the scored CTE for any
-    ANN tier (IVF/PQ candidates feed the identical vote reduction);
-    the vote itself is a partial-aggregable count on (query, label).
+    Scale: the query matrix (eval x dim int64) broadcasts into a
+    mapInPandas kernel that scores each training batch with ONE int64
+    GEMM and emits only its per-batch top-{KNN_K} per query — the
+    partial-top-k-then-merge shape (a max-k selection is exactly
+    mergeable), so the final exact window sees batches x eval x
+    {KNN_K} rows, never the full eval x corpus cross product. Swap the
+    GEMM stage for any ANN tier's candidates at 100 TB; the vote
+    reduction is unchanged.
 
     Accuracy note (same honesty as ml_naive_bayes_langid): this
-    corpus's labels are geometry-INDEPENDENT, so accuracy lands at
+    corpus's labels are geometry-independent, so accuracy lands at
     chance (~1/n_labels) by construction — the operator's correctness
-    is the hash-pinned vote mechanics (plus a numpy replay of the
-    neighbor set in tests/test_evalmetrics.py), not a recall gate.
+    is the hash-pinned scoring/vote mechanics (plus a numpy replay in
+    tests/test_evalmetrics.py), not a recall gate.
     """
-    from spark_rapids_ml_spark.operators.similarity import dot_expr, with_unit_vector
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    e = with_unit_vector(load(spark, sf_dir, "embeddings"), "embedding", "unit")
-    q = F.broadcast(
-        e.where(F.col("vec_id") < KNN_N_TEST).select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("true_label"),
-            F.col("unit").alias("qunit"),
-        )
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") < KNN_N_TEST)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded: KNN_N_TEST x dim eval matrix (the model-input convention)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlabels = {int(r.vec_id): int(r.label) for r in qrows}
+    qmat = np.round(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * _KNN_Q
+    ).astype(np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            t = np.round(
+                np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * _KNN_Q
+            ).astype(np.int64)
+            sims = t @ qmat.T  # exact int64 GEMM: (batch, n_queries)
+            vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            k = min(KNN_K, len(vids))
+            out = {"qid": [], "vec_id": [], "label": [], "sim": []}
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                # per-batch partial top-k with the (sim DESC, vec_id ASC)
+                # tie-break: lexsort on (-sim, vec_id)
+                idx = np.lexsort((vids, -col))[:k]
+                out["qid"].extend([qid] * len(idx))
+                out["vec_id"].extend(vids[idx])
+                out["label"].extend(labels[idx])
+                out["sim"].extend(col[idx])
+            yield pd.DataFrame(out)
+
+    partial = (
+        e.where(F.col("vec_id") >= KNN_N_TEST)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(score, "qid long, vec_id long, label long, sim long")
     )
-    t = e.where(F.col("vec_id") >= KNN_N_TEST)
-    scored = q.join(t).select(
-        "qid",
-        "true_label",
-        "vec_id",
-        "label",
-        F.round(dot_expr("qunit", "unit"), 6).alias("cos"),
-    )
-    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
     votes = (
-        scored.withColumn("rk", F.row_number().over(wr))
+        partial.withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= KNN_K)
-        .groupBy("qid", "true_label", "label")
+        .groupBy("qid", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wv = Window.partitionBy("qid").orderBy(F.col("n").desc(), "label")
+    truth = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), qlabels[int(q)]) for q in qids], "qid long, true_label long"
+        )
+    )
     return (
         votes.withColumn("vr", F.row_number().over(wv))
         .where(F.col("vr") == 1)
+        .join(truth, "qid")
         .select(
             F.col("qid").cast("bigint").alias("qid"),
             F.col("true_label").cast("bigint").alias("true_label"),

@@ -44,6 +44,9 @@ ALLOWED = {
     "operators/graph.py": {
         'F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")',  # k-core round stats: ONE row per round
     },
+    "operators/evalmetrics.py": {
+        'e.where(F.col("vec_id") < KNN_N_TEST)',  # kNN query matrix: KNN_N_TEST x dim rows (model input, corpus-independent)
+    },
     "operators/llm_pipeline.py": {
         'groupBy("pid")',  # packing: one row per partition id
         "vocab.collect()",  # BPE training vocabulary (declared driver-iterative)

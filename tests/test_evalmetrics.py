@@ -94,10 +94,11 @@ def test_confusion_marginals_consistent(spark):
 
 def test_knn_predictions_match_numpy_replay(spark):
     """Every kNN prediction must equal a numpy recomputation of the
-    5-nearest-by-rounded-cosine vote with the declared tie-breaks."""
+    top-5-by-exact-integer-MIPS vote with the declared tie-breaks."""
     import numpy as np
 
     from spark_rapids_ml_spark.operators.evalmetrics import (
+        _KNN_Q,
         KNN_K,
         KNN_N_TEST,
         ml_knn_classifier,
@@ -105,14 +106,19 @@ def test_knn_predictions_match_numpy_replay(spark):
 
     got = {r.qid: (r.pred_label, r.votes) for r in ml_knn_classifier(spark, SF).collect()}
     rows = load(spark, SF, "embeddings").collect()
-    E = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
-    unit = {k: (v / np.linalg.norm(v), lab) for k, (v, lab) in E.items()}
-    train = [(k, u, lab) for k, (u, lab) in unit.items() if k >= KNN_N_TEST]
-    for qid, (qu, _) in unit.items():
+    mic = {
+        r.vec_id: (
+            np.round(np.array(r.embedding, dtype=np.float64) * _KNN_Q).astype(np.int64),
+            r.label,
+        )
+        for r in rows
+    }
+    train = [(k, m, lab) for k, (m, lab) in mic.items() if k >= KNN_N_TEST]
+    for qid, (qm, _) in mic.items():
         if qid >= KNN_N_TEST:
             continue
         scored = sorted(
-            ((round(float(qu @ u), 6), vid, lab) for vid, u, lab in train),
+            ((int(qm @ m), vid, lab) for vid, m, lab in train),
             key=lambda t: (-t[0], t[1]),
         )[:KNN_K]
         counts: dict[int, int] = {}
