@@ -24,6 +24,9 @@ from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
 
+AUC_SCAN_PARTITIONS = 32  # distributed-scan width for per-segment ranks
+
+
 @register(
     "ml_eval_auc_rank",
     tags=("ml", "eval"),
@@ -63,13 +66,17 @@ def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the statistic engine-dependent; the composite key IS
     the declared tie-break).
 
-    Scale: one broadcast dim join + one rank shuffle per slice + a
-    partial-aggregable reduction. Evaluation slices are numerous in
-    practice (model × segment × cohort), so the per-slice sort
-    parallelizes across slices; a single global-AUC call at 100 TB
-    would instead bucket scores into a fixed histogram and integrate
-    (the approximate path), but eval sets are sampled, not the full
-    corpus. The final ratio is one IEEE division of exact integers.
+    Scale: one broadcast dim join, then per-segment ranks via the
+    DISTRIBUTED SCAN (the pipe_sequence_packing pattern): range-
+    partition on (segment, score_key), local row_number per
+    (partition, segment) in parallel, add each partition's broadcast
+    per-segment offset (an n_partitions × n_segments driver
+    reduction — tiny, bounded). A naive Window.partitionBy(segment)
+    would sort each segment in ONE task (5 tasks for 15M rows at
+    sf10); the scan keeps parallelism at the partition count no
+    matter how few slices there are, and the ranks — global positions
+    in a strict total order — are identical by construction. The
+    final ratio is one IEEE division of exact integers.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select(
@@ -85,8 +92,33 @@ def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("o_orderkey")
         ).alias("score_key"),
     )
-    w = Window.partitionBy("segment").orderBy("score_key")
-    ranked = scored.withColumn("r", F.row_number().over(w))
+    t = scored.repartitionByRange(AUC_SCAN_PARTITIONS, "segment", "score_key").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    t = t.localCheckpoint(eager=False)  # pin pid: both consumers need ONE layout
+    from spark_rapids_ml_spark.operators.dedup import register_checkpoint
+
+    register_checkpoint(t)
+    w_local = Window.partitionBy("pid", "segment").orderBy("score_key")
+    # per-(partition, segment) counts -> exclusive per-segment offsets
+    # (driver-side: n_partitions x n_segments rows, the scan's middle step)
+    counts = (
+        t.groupBy("pid", "segment").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in counts:
+        by_seg.setdefault(r.segment, []).append((r.pid, r.n))
+    offsets: dict[str, int] = {}
+    for seg, lst in by_seg.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offsets[f"{pid}|{seg}"] = acc
+            acc += n
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.concat_ws("|", F.col("pid").cast("string"), F.col("segment")),
+    )
+    ranked = t.withColumn("r", F.row_number().over(w_local) + offset_expr)
     s = ranked.groupBy("segment").agg(
         F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0)).alias("pos_rank_sum"),
         F.sum("label").alias("n_pos"),

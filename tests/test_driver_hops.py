@@ -46,6 +46,7 @@ ALLOWED = {
     },
     "operators/evalmetrics.py": {
         'e.where(F.col("vec_id") < KNN_N_TEST)',  # kNN query matrix: KNN_N_TEST x dim rows (model input, corpus-independent)
+        'groupBy("pid", "segment")',  # AUC scan offsets: n_partitions x n_segments rows
     },
     "operators/llm_pipeline.py": {
         'groupBy("pid")',  # packing: one row per partition id

@@ -627,13 +627,21 @@ def test_partition_evolution_prunes_under_both_specs(spark):
     assert "prio_class" in joined
 
 
-def test_auc_rank_broadcasts_dim_and_partial_aggregates(spark):
-    """The AUC eval joins a small dim (customer segments) — must be
-    broadcast — and reduces via two-phase hash aggregation."""
+def test_auc_rank_distributed_scan_no_per_segment_sort(spark):
+    """The AUC ranks come from the distributed scan: the visible plan
+    (downstream of the pid-pinning checkpoint) must window over
+    (pid, segment) — parallel across partitions — and NEVER over
+    segment alone (which would sort each slice in one task); the
+    reduction is two-phase hash aggregation. (The broadcast dim join
+    sits upstream of the checkpoint, pinned by its own query and
+    invisible here.)"""
     from spark_rapids_ml_spark.operators.evalmetrics import ml_eval_auc_rank
 
     plan = plan_of(ml_eval_auc_rank(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "pid" in plan  # window keyed on (pid, segment)
+    import re
+
+    assert not re.search(r"windowspecdefinition\(segment#\d+, score_key", plan)
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
