@@ -648,10 +648,16 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    tot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    # ONE corpus-wide reduction; the marginals and the total then
+    # aggregate the already-reduced (w1, w2, n_pair) vocabulary table
+    # (sum over a group of counts == count over the group's rows), so
+    # the token stream crosses the network exactly once.
+    cxy = _cache(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")))
+    cx = cxy.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    cy = cxy.groupBy("w2").agg(F.sum("n_pair").alias("c2"))
+    tot = cxy.agg(F.sum("n_pair").alias("nb"))
     return (
         cxy.where(F.col("n_pair") >= COLLOC_MIN_COUNT)
         .join(cx, "w1")
