@@ -89,6 +89,7 @@ SWEEP_PRIORITY: list[str] = [
     "sql_session_variables",
     "sql_create_sql_udf",
     "events_rfm_segmentation",
+    "stream_stateful_ewma",
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
     "scale_partition_evolution",

@@ -59,8 +59,14 @@ def _stream_dir(sf_dir: str) -> str:
     d = f"/root/repo/.tmp/stream_src/{tag}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    # absolute target: a RELATIVE sf_dir would otherwise produce a
+    # symlink resolved against the link's own directory — broken, and
+    # the file source silently reads zero rows
+    target = os.path.abspath(table_path(sf_dir, "events"))
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)  # stale/broken link from a differently-spelled sf_dir
     if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+        os.symlink(target, link)
     return d
 
 
@@ -1500,3 +1506,111 @@ def stream_cdf_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ------------------------------------------- stateful streaming EWMA
+
+EWMA_STATE_FRAME = 20  # mirrors timeseries_ewma_halflife's trailing frame
+EWMA_STATE_USER_MOD = 20
+
+
+def _ewma_stateful_of(src: DataFrame) -> DataFrame:
+    """applyInPandasWithState EWMA over any event stream frame keyed by
+    user: state carries the trailing (frame-1) micro-integer values, so
+    each event's EWMA is computed exactly once, in (ts, event_id)
+    order, with the batch query's exact power-of-two integer
+    arithmetic (the Python float division is the same IEEE op both
+    engines run). Shared by the declared query and the multi-batch
+    replay test."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("hist", ArrayType(LongType()))])
+    frame = EWMA_STATE_FRAME
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        out_ids, out_ewma = [], []
+        for _, r in rows.iterrows():
+            iv = int(round(float(r["value"]) * 1_000_000))
+            hist.append(iv)
+            if len(hist) > frame:
+                hist = hist[-frame:]
+            L = len(hist)
+            num = 0
+            for i, v in enumerate(hist):  # oldest -> newest
+                num += v << (frame - L + i)
+            den = (1 << frame) - (1 << (frame - L))
+            out_ids.append(int(r["event_id"]))
+            out_ewma.append(float(num) / float(den) / 1_000_000.0)
+        state.update((hist[-(frame - 1) :],))
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out_ids), "event_id": out_ids, "ewma": out_ewma}
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_stateful_ewma",
+    tags=("streaming", "stateful", "timeseries"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(round(value * 1000000) AS BIGINT) AS iv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % {EWMA_STATE_USER_MOD} = 7
+),
+w AS (
+  SELECT a.user_id, a.event_id,
+         SUM(b.iv * (CAST(1 AS BIGINT) << ({EWMA_STATE_FRAME - 1} - (a.rn - b.rn)))) AS num,
+         SUM(CAST(1 AS BIGINT) << ({EWMA_STATE_FRAME - 1} - (a.rn - b.rn))) AS den
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_STATE_FRAME - 1} AND a.rn
+  GROUP BY a.user_id, a.event_id
+)
+SELECT user_id, event_id,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS ewma
+FROM w ORDER BY event_id
+""",
+)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA as a custom stateful operator: the state store
+    carries each user's trailing {EWMA_STATE_FRAME - 1} micro-integer
+    values; every arriving event is scored exactly once with the
+    power-of-two decay arithmetic of timeseries_ewma_halflife — and
+    the oracle IS that batch query's SQL, so the hash check pins
+    stream ≡ batch on an ORDER-SENSITIVE statistic (a much stronger
+    equivalence than for commutative aggregates: any batching or
+    ordering bug shifts every subsequent EWMA). Batch-boundary
+    invariance is separately pinned by a 1-vs-3-micro-batch replay
+    test over time-split staging.
+
+    Scale: state is O(users x frame) integers in the state store,
+    shuffled on user_id and checkpointed incrementally; per-event cost
+    is the bounded frame fold. NoTimeout is correct for the bounded
+    user entity set (see stream_stateful_user_stats for the unbounded-
+    key eviction pattern).
+    """
+    s = _read_stream(spark, sf_dir).where(
+        F.col("user_id") % EWMA_STATE_USER_MOD == 7
+    )
+    res = _run_to_memory(_ewma_stateful_of(s), "update")
+    return res.select("user_id", "event_id", "ewma").orderBy("event_id")

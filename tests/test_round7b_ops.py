@@ -73,3 +73,54 @@ def test_ewma_first_row_equals_value_and_bounds(spark):
         hi = max(r.value for r in rows)
         for r in rows:
             assert lo - 1e-6 <= out[r.event_id] <= hi + 1e-6  # convex combination
+
+
+def test_stream_ewma_batch_boundary_invariance(spark, tmp_path):
+    """The stateful streaming EWMA must produce identical output
+    whether the events arrive as ONE micro-batch or as THREE
+    time-split micro-batches — the state carry-over is exactly the
+    trailing frame, so batching cannot shift any EWMA."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    declared = {
+        (r.user_id, r.event_id): r.ewma
+        for r in sq.stream_stateful_ewma(spark, SF).collect()
+    }
+
+    ev = sq.normalize_event_ts(
+        spark.read.schema(
+            spark.read.parquet(f"{SF}/events.parquet").schema
+        ).parquet(f"{SF}/events.parquet")
+    )
+    qs = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    src = str(tmp_path / "staged")
+    bounds = [(None, qs[0]), (qs[0], qs[1]), (qs[1], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") > lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") <= hi)
+        # event_id is assigned in ts order in the generator, so the
+        # three ranges are time-ordered slabs; mtime staggers them so
+        # maxFilesPerTrigger=1 replays them in order
+        d = f"{src}/b{i}"
+        part.coalesce(1).write.parquet(d)
+        time.sleep(1.1)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f))
+
+    s = sq._read_stream(
+        spark, SF, src_dir=f"{src}/b*", one_file_per_trigger=True
+    ).where(F.col("user_id") % sq.EWMA_STATE_USER_MOD == 7)
+    res = sq._run_to_memory(sq._ewma_stateful_of(s), "update")
+    replayed = {
+        (r.user_id, r.event_id): r.ewma
+        for r in res.select("user_id", "event_id", "ewma").collect()
+    }
+    assert replayed == declared
