@@ -1054,3 +1054,146 @@ def sink_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("key_sum"),
     ).select(F.lit("feed").alias("section"), "key", "n", "value_sum", "key_sum")
     return state_agg.unionByName(feed_agg).orderBy("section", "key")
+
+
+EXPIRE_RETAIN = 2  # snapshot retention: keep the newest 2 versions
+EXPIRE_FILES_PER_SNAP = 2  # fixed repartition -> deterministic file count
+EXPIRE_URGENT_BUMP = 1.05  # v3 restates urgent-priority prices by +5%
+
+
+@register(
+    "sink_snapshot_expire_vacuum",
+    tags=("sink", "scale"),
+    oracle=f"""
+WITH v2src AS (
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority <> '5-LOW'
+),
+v3src AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST({EXPIRE_URGENT_BUMP} AS DECIMAL(4,2)), 2) AS DOUBLE)
+              ELSE o_totalprice END AS price
+  FROM v2src
+),
+v2 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+  FROM v2src GROUP BY o_orderpriority
+),
+v3 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+  FROM v3src GROUP BY o_orderpriority
+),
+live AS (
+  SELECT 2 AS version, * FROM v2
+  UNION ALL
+  SELECT 3 AS version, * FROM v3
+)
+SELECT version, o_orderpriority, n, total,
+       CAST(1 AS BIGINT) AS n_expired,
+       CAST({EXPIRE_FILES_PER_SNAP} AS BIGINT) AS files_vacuumed,
+       CAST(1 AS BIGINT) AS expired_read_fails
+FROM live
+ORDER BY version, o_orderpriority
+""",
+)
+def sink_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY + VACUUM — the retention stage the lakehouse
+    lifecycle was missing (Delta VACUUM / Iceberg expire_snapshots):
+    three committed snapshot versions (v1 = base, v2 = row-level
+    delete of the 5-LOW priority band, v3 = urgent-price restatement),
+    then retention keep-newest-{EXPIRE_RETAIN} expires v1 — its data
+    files are PHYSICALLY deleted and the manifest rewritten. The
+    output pins, in one hash: the live versions' aggregates read
+    AFTER the vacuum (proving deletion touched no live bytes — the
+    oracle recomputes them from source), the expired-version count,
+    the exact number of data files vacuumed (snapshot writes use a
+    fixed {EXPIRE_FILES_PER_SNAP}-file layout so the count is
+    deterministic), and that a time-travel read of the expired
+    version now FAILS (= 1) — retention must break old reads loudly,
+    never serve partial data.
+
+    Scale: expiry is pure manifest metadata plus file deletes —
+    O(files of expired snapshots), no data read; the live-read proof
+    is the normal manifest-resolved scan. Real formats diff REACHABLE
+    files against retained snapshots before deleting (orphan-file
+    protection); with whole-snapshot dirs the reachable set IS the
+    directory, which is why each version writes to an immutable dir.
+    """
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/root/repo/.tmp/sinks/{tag}/snap_expire_orders"
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-run
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    v2 = o.where(F.col("o_orderpriority") != "5-LOW")
+    v3 = v2.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(EXPIRE_URGENT_BUMP).cast("decimal(4,2)"),
+                2,
+            ).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    manifest = []
+    for version, snap in ((1, o), (2, v2), (3, v3)):
+        vdir = os.path.join(root, f"v{version}")
+        snap.repartition(EXPIRE_FILES_PER_SNAP).write.mode("overwrite").parquet(vdir)
+        manifest.append((version, vdir))
+    # retention: expire everything older than the newest EXPIRE_RETAIN
+    cutoff = max(v for v, _ in manifest) - EXPIRE_RETAIN
+    expired = [(v, d) for v, d in manifest if v <= cutoff]
+    live = [(v, d) for v, d in manifest if v > cutoff]
+    files_vacuumed = 0
+    for _v, d in expired:
+        files_vacuumed += sum(
+            1 for f in os.listdir(d) if f.startswith("part-")
+        )
+        shutil.rmtree(d)
+    (
+        spark.createDataFrame(live, "version INT, dir STRING")
+        .write.mode("overwrite")
+        .json(os.path.join(root, "_manifest"))
+    )
+    # a time-travel read of the expired version must now fail loudly
+    expired_read_fails = 0
+    for _v, d in expired:
+        try:
+            spark.read.parquet(d).count()
+        except Exception:  # noqa: BLE001 — the failure IS the assertion
+            expired_read_fails += 1
+    mrows = (
+        spark.read.schema("version INT, dir STRING")
+        .json(os.path.join(root, "_manifest"))
+        .collect()
+    )
+    out = None
+    for r in sorted(mrows, key=lambda r: r["version"]):
+        agg = (
+            spark.read.parquet(r["dir"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .select(
+                F.lit(r["version"]).cast("int").alias("version"),
+                "o_orderpriority",
+                "n",
+                "total",
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.select(
+        "*",
+        F.lit(len(expired)).cast("bigint").alias("n_expired"),
+        F.lit(files_vacuumed).cast("bigint").alias("files_vacuumed"),
+        F.lit(expired_read_fails).cast("bigint").alias("expired_read_fails"),
+    ).orderBy("version", "o_orderpriority")

@@ -90,6 +90,7 @@ SWEEP_PRIORITY: list[str] = [
     "sql_create_sql_udf",
     "events_rfm_segmentation",
     "stream_stateful_ewma",
+    "sink_snapshot_expire_vacuum",
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
     "scale_partition_evolution",
