@@ -1456,9 +1456,13 @@ def agg_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     n itself is one scalar aggregate (bounded driver state, the
     kmeans-centroid convention).
     """
-    keys = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key")
-    ).distinct()
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    # cached via the shared registry: the distinct key set feeds three
+    # consumers (count for sizing, filter build, truth join)
+    keys = _cache(
+        load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    )
     m_bits = BLOOM_BITS_PER_KEY * keys.count()
 
     def positions(df: DataFrame) -> DataFrame:

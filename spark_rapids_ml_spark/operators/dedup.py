@@ -1479,24 +1479,33 @@ def pipe_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- asymmetric containment
 
 CONTAIN_THRESHOLD = 0.4  # |A ∩ B| / |A| floor for a reported pair
-# Adaptive slice (same rationale as dedup_lsh_quality_eval below): a
-# fixed 400-doc cap loses dup/containment pairs quadratically as the
-# corpus grows around it (0 pairs by sf10); n/5 floored at 400 and
-# capped at 50k keeps the pair yield nonzero at every SF while
-# bounding the posting-list join.
-CONTAIN_CAP_FLOOR = 400
-CONTAIN_CAP_CEIL = 50_000
-_SQL_CONTAIN_CAP = (
-    f"GREATEST({CONTAIN_CAP_FLOOR},"
-    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {CONTAIN_CAP_CEIL}))"
+
+# Adaptive evaluation slice, shared by dedup_containment_pairs and
+# dedup_lsh_quality_eval: a FIXED doc cap loses dup/containment pairs
+# quadratically as the corpus grows around it (0 pairs by sf0.1/sf10);
+# n/5 floored at 400 (small corpora evaluated whole) and capped at 50k
+# (bounds the posting-list truth join) keeps the pair yield nonzero at
+# every SF. One helper pair keeps the SQL and Python forms structurally
+# in lockstep — the oracle and the implementation must bind the SAME
+# cap or they diverge.
+DOC_SLICE_FLOOR = 400
+DOC_SLICE_CEIL = 50_000
+_SQL_DOC_SLICE_CAP = (
+    f"GREATEST({DOC_SLICE_FLOOR},"
+    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {DOC_SLICE_CEIL}))"
 )
+
+
+def _doc_slice_cap(n_docs: int) -> int:
+    """Python twin of _SQL_DOC_SLICE_CAP (same integer arithmetic)."""
+    return max(DOC_SLICE_FLOOR, min(n_docs // 5, DOC_SLICE_CEIL))
 
 
 @register(
     "dedup_containment_pairs",
     tags=("dedup", "jaccard"),
     oracle=f"""
-WITH sh AS ({sql_shingle_rows(where="doc_id <= " + _SQL_CONTAIN_CAP)}),
+WITH sh AS ({sql_shingle_rows(where="doc_id <= " + _SQL_DOC_SLICE_CAP)}),
 card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -1531,10 +1540,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify join).
     """
     alldocs = load(spark, sf_dir, "documents")
-    cap = max(CONTAIN_CAP_FLOOR, min(alldocs.count() // 5, CONTAIN_CAP_CEIL))
+    cap = _doc_slice_cap(alldocs.count())
     d = alldocs.where(F.col("doc_id") <= cap)
-    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id", F.explode(shingles("toks")).alias("shingle")
+    # cached via the shared registry: the shingle explode (the
+    # dominant stage) feeds the cardinality aggregate AND both sides
+    # of the posting-list join
+    sh = _cache(
+        d.select("doc_id", F.split("text", " ").alias("toks")).select(
+            "doc_id", F.explode(shingles("toks")).alias("shingle")
+        )
     )
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -1571,20 +1585,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as n/5, floored at 400 (small corpora are evaluated whole) and
 # capped at 50k docs (bounds the truth join; pair yield stays nonzero
 # because total dup pairs grow linearly with the corpus).
-LSH_EVAL_CAP_FLOOR = 400
-LSH_EVAL_CAP_CEIL = 50_000
 LSH_EVAL_JACCARD = 0.5  # ground-truth duplicate threshold
-_SQL_EVAL_CAP = (
-    f"GREATEST({LSH_EVAL_CAP_FLOOR},"
-    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {LSH_EVAL_CAP_CEIL}))"
-)
 
 
 @register(
     "dedup_lsh_quality_eval",
     tags=("dedup", "minhash", "eval"),
     oracle=f"""
-WITH capv AS (SELECT {_SQL_EVAL_CAP} AS cap),
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
 docs400 AS (SELECT * FROM documents WHERE doc_id <= (SELECT cap FROM capv)),
 {_sql_minhash_cte(table="docs400")},
 {_sql_guarded_pairs_cte()},
@@ -1632,13 +1640,14 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this while the candidate tier runs on everything.
     """
     all_docs = load(spark, sf_dir, "documents")
-    cap = max(
-        LSH_EVAL_CAP_FLOOR, min(all_docs.count() // 5, LSH_EVAL_CAP_CEIL)
-    )  # one scalar aggregate of bounded driver state
+    cap = _doc_slice_cap(all_docs.count())  # one bounded scalar aggregate
     docs = all_docs.where(F.col("doc_id") <= cap)
     cand = _lsh_pairs_of(docs).select("doc_a", "doc_b")
-    sh = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id", F.explode(shingles("toks")).alias("shingle")
+    # cached: the shingle explode feeds card and both truth-join sides
+    sh = _cache(
+        docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+            "doc_id", F.explode(shingles("toks")).alias("shingle")
+        )
     )
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -309,6 +309,15 @@ def ml_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_linestatus")
 
 
+def _round_half_away(a):
+    """Half-away-from-zero rounding (numpy.round is half-to-even):
+    matches Spark F.round / DuckDB round() so exact .5 micro-unit ties
+    quantize identically in kernel, engine, and oracle."""
+    import numpy as np
+
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
 KNN_N_TEST = 100  # vec_id < 100 form the held-out evaluation set
 KNN_K = 5
 _KNN_Q = 1_000_000  # micro-quantization: scores are EXACT int64 dots
@@ -392,15 +401,15 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # bounded: KNN_N_TEST x dim eval matrix (the model-input convention)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qlabels = {int(r.vec_id): int(r.label) for r in qrows}
-    qmat = np.round(
+    qmat = _round_half_away(
         np.array([r.embedding for r in qrows], dtype=np.float64) * _KNN_Q
-    ).astype(np.int64)
+    )
 
     def score(batches):
         for pdf in batches:
-            t = np.round(
+            t = _round_half_away(
                 np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64) * _KNN_Q
-            ).astype(np.int64)
+            )
             sims = t @ qmat.T  # exact int64 GEMM: (batch, n_queries)
             vids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()

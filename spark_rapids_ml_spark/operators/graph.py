@@ -397,10 +397,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one partial-aggregable degree count (the
     exchange carries nodes, not edges) + two semi-joins of the edge
     list against the surviving-node set — the Pregel superstep shape;
-    the edge set shrinks monotonically, caches are per-round and the
-    result is localCheckpointed so all blocks release via the shared
-    registry. k comes from two scalar aggregates (bounded driver
-    state, same convention as the kmeans centroid collect).
+    the edge set shrinks monotonically, each round's edge cache is
+    unpersisted as soon as the next round materializes, and the
+    returned trajectory is five driver-local rows — no cached blocks
+    survive the query. k and the per-round stats come from one scalar
+    aggregate per round (bounded driver state, same convention as the
+    kmeans centroid collect).
     """
     from spark_rapids_ml_spark.operators.scale_patterns import _scoped_conf
 

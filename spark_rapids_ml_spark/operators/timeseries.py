@@ -892,11 +892,9 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_FRAME = 20  # trailing rows in the decay window (half-life = 1 row)
 EWMA_USER_MOD = 20  # deterministic 1-in-20 user slice keeps output bounded
 
-
-@register(
-    "timeseries_ewma_halflife",
-    tags=("timeseries", "window"),
-    oracle=f"""
+# Shared by the batch query below AND stream_stateful_ewma (whose hash
+# check pins stream == batch by running this very SQL as its oracle).
+EWMA_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_id, CAST(round(value * 1000000) AS BIGINT) AS iv,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -913,7 +911,13 @@ w AS (
 SELECT user_id, event_id,
        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS ewma
 FROM w ORDER BY event_id
-""",
+"""
+
+
+@register(
+    "timeseries_ewma_halflife",
+    tags=("timeseries", "window"),
+    oracle=EWMA_ORACLE,
 )
 def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (decay 1/2 per step,

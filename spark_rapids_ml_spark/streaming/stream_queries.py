@@ -1510,8 +1510,11 @@ def stream_cdf_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- stateful streaming EWMA
 
-EWMA_STATE_FRAME = 20  # mirrors timeseries_ewma_halflife's trailing frame
-EWMA_STATE_USER_MOD = 20
+from spark_rapids_ml_spark.operators.timeseries import (  # noqa: E402
+    EWMA_FRAME as EWMA_STATE_FRAME,
+    EWMA_ORACLE as _EWMA_BATCH_ORACLE,
+    EWMA_USER_MOD as EWMA_STATE_USER_MOD,
+)
 
 
 def _ewma_stateful_of(src: DataFrame) -> DataFrame:
@@ -1543,12 +1546,16 @@ def _ewma_stateful_of(src: DataFrame) -> DataFrame:
     frame = EWMA_STATE_FRAME
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         hist = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
         out_ids, out_ewma = [], []
         for _, r in rows.iterrows():
-            iv = int(round(float(r["value"]) * 1_000_000))
+            x = float(r["value"]) * 1_000_000
+            # half-away-from-zero, matching F.round / DuckDB round()
+            iv = int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
             hist.append(iv)
             if len(hist) > frame:
                 hist = hist[-frame:]
@@ -1572,24 +1579,7 @@ def _ewma_stateful_of(src: DataFrame) -> DataFrame:
 @register(
     "stream_stateful_ewma",
     tags=("streaming", "stateful", "timeseries"),
-    oracle=f"""
-WITH e AS (
-  SELECT user_id, event_id, CAST(round(value * 1000000) AS BIGINT) AS iv,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE user_id % {EWMA_STATE_USER_MOD} = 7
-),
-w AS (
-  SELECT a.user_id, a.event_id,
-         SUM(b.iv * (CAST(1 AS BIGINT) << ({EWMA_STATE_FRAME - 1} - (a.rn - b.rn)))) AS num,
-         SUM(CAST(1 AS BIGINT) << ({EWMA_STATE_FRAME - 1} - (a.rn - b.rn))) AS den
-  FROM e a JOIN e b
-    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_STATE_FRAME - 1} AND a.rn
-  GROUP BY a.user_id, a.event_id
-)
-SELECT user_id, event_id,
-       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS ewma
-FROM w ORDER BY event_id
-""",
+    oracle=_EWMA_BATCH_ORACLE,
 )
 def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING EWMA as a custom stateful operator: the state store

@@ -106,9 +106,11 @@ def test_knn_predictions_match_numpy_replay(spark):
 
     got = {r.qid: (r.pred_label, r.votes) for r in ml_knn_classifier(spark, SF).collect()}
     rows = load(spark, SF, "embeddings").collect()
+    from spark_rapids_ml_spark.operators.evalmetrics import _round_half_away
+
     mic = {
         r.vec_id: (
-            np.round(np.array(r.embedding, dtype=np.float64) * _KNN_Q).astype(np.int64),
+            _round_half_away(np.array(r.embedding, dtype=np.float64) * _KNN_Q),
             r.label,
         )
         for r in rows
@@ -156,8 +158,10 @@ def test_centroid_pipeline_matches_numpy_replay(spark):
         ).alias("is_train"),
     )
     is_train = {r.vec_id: r.is_train for r in hdf.collect()}
+    from spark_rapids_ml_spark.operators.evalmetrics import _round_half_away
+
     mic = {
-        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        r.vec_id: _round_half_away(np.array(r.embedding, dtype=np.float64) * 1e6)
         for r in rows
     }
     lab = {r.vec_id: r.label for r in rows}
@@ -168,7 +172,7 @@ def test_centroid_pipeline_matches_numpy_replay(spark):
             sums[lab[vid]] = sums.get(lab[vid], np.zeros(len(m), dtype=np.int64)) + m
             cnts[lab[vid]] = cnts.get(lab[vid], 0) + 1
     cents = {
-        c: np.round(sums[c].astype(np.float64) / cnts[c]).astype(np.int64) for c in sums
+        c: _round_half_away(sums[c].astype(np.float64) / cnts[c]) for c in sums
     }
     res: dict[int, list[int]] = {}
     for vid, m in mic.items():
