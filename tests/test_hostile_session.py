@@ -40,6 +40,7 @@ SAMPLED = [
     "agg_bloom_filter_membership",  # round 7: adaptive m from count() under AQE disabled
     "timeseries_ewma_halflife",  # round 7: in-frame bigint fold under non-UTC session tz
     "sql_create_sql_udf",  # round 7: SQL UDF registration on a foreign session
+    "stream_stateful_ewma",  # round 7: applyInPandasWithState + state shuffle under foreign conf
 ]
 
 
