@@ -189,3 +189,51 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "scalar_interval_arithmetic",
+    tags=("scalar", "date"),
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 2 YEAR + INTERVAL 3 MONTH, '%Y-%m-%d') AS ym_shift,
+       strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS d_shift,
+       strftime(o_orderdate - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS dt_shift,
+       CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+FROM orders
+WHERE o_orderkey <= 600
+ORDER BY o_orderkey
+""",
+)
+def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERVAL arithmetic — the year-month and day-time interval
+    tiers Spark distinguishes at the type level: calendar shifts
+    (+2 years +3 months via year-month interval, end-of-month clamping
+    included), fixed-duration shifts (+45 days, −90 minutes via
+    day-time interval), and month/day deltas against an epoch
+    (DuckDB's date_diff counts month BOUNDARIES crossed, which is
+    months_between truncated toward zero only for same-sign whole
+    comparisons — floor(months_between) differs on partial months, so
+    the Spark side counts boundaries explicitly from the year/month
+    fields). All in-row, codegen'd, pushdown-transparent.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 600)
+    d = F.col("o_orderdate")
+    months_since = (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - 1)
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            d.cast("date") + F.expr("INTERVAL '2-3' YEAR TO MONTH"), "yyyy-MM-dd"
+        ).alias("ym_shift"),
+        F.date_format(d.cast("date") + F.expr("INTERVAL 45 DAY"), "yyyy-MM-dd").alias(
+            "d_shift"
+        ),
+        F.date_format(
+            d.cast("timestamp") - F.expr("INTERVAL 90 MINUTE"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("dt_shift"),
+        months_since.cast("bigint").alias("months_since"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+    ).orderBy("o_orderkey")

@@ -91,6 +91,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_rfm_segmentation",
     "stream_stateful_ewma",
     "sink_snapshot_expire_vacuum",
+    "scalar_interval_arithmetic",
     "sink_lakehouse_lifecycle",
     "stream_cdf_apply_replica",
     "scale_partition_evolution",
