@@ -10,7 +10,7 @@ verified against a numpy oracle in tests/test_pca.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -698,4 +698,147 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cluster").cast("bigint").alias("cluster"), "n", "mean_silhouette")
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------- histogram split finding
+
+# The gradient-boosted-tree training primitive (the histogram kernel
+# of LightGBM/XGBoost `hist`): bin every feature, aggregate per-bin
+# (count, label-sum) in ONE pass, then score every split boundary from
+# the cumulative histogram. Distributed cost is a single groupBy on
+# (dim, bin) whose cardinality is features x bins (1024 rows here) —
+# the classic "aggregate the histogram, not the data" trick.
+TREE_N_BINS = 16
+
+
+@register(
+    "ml_tree_split_histogram",
+    tags=("ml", "tree"),
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, label, g.d AS dim, CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 64))) g(d)
+),
+rng AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim),
+b AS (
+  SELECT x.dim, x.label,
+         CAST(CASE WHEN r.mx = r.mn THEN 0
+              ELSE LEAST(FLOOR((x.v - r.mn) / (r.mx - r.mn) * {TREE_N_BINS}), {TREE_N_BINS - 1}) END AS BIGINT) AS bin
+  FROM x JOIN rng r ON x.dim = r.dim
+),
+h AS (SELECT dim, bin, COUNT(*) AS c, SUM(label) AS s FROM b GROUP BY dim, bin),
+tot AS (SELECT dim, SUM(c) AS n, SUM(s) AS st FROM h GROUP BY dim),
+cum AS (
+  SELECT dim, bin,
+         SUM(c) OVER (PARTITION BY dim ORDER BY bin) AS nl,
+         SUM(s) OVER (PARTITION BY dim ORDER BY bin) AS sl
+  FROM h
+),
+gains AS (
+  SELECT c.dim, c.bin AS split_bin, c.nl AS n_left, t.n - c.nl AS n_right,
+         CAST(c.sl * c.sl AS DOUBLE) / c.nl
+         + CAST((t.st - c.sl) * (t.st - c.sl) AS DOUBLE) / (t.n - c.nl)
+         - CAST(t.st * t.st AS DOUBLE) / t.n AS gain
+  FROM cum c JOIN tot t ON c.dim = t.dim
+  WHERE c.nl > 0 AND t.n - c.nl > 0
+),
+best AS (
+  SELECT dim, split_bin, n_left, n_right, gain,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY gain DESC, split_bin) AS rk
+  FROM gains
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(split_bin AS BIGINT) AS split_bin,
+       CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       ROUND(gain, 6) AS gain
+FROM best WHERE rk = 1 ORDER BY dim
+""",
+)
+def ml_tree_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best variance-reduction split per feature, found from per-bin
+    histograms — the inner loop of distributed GBDT training (LightGBM
+    feature-histogram aggregation; XGBoost `tree_method=hist`).
+
+    gain(t) = SL²/nL + SR²/nR − S²/n over label sums, every sum an
+    exact bigint; the three divisions are IEEE ops in a fixed order,
+    so the score is bit-identical cross-engine. Bin ids come from one
+    double expression both engines evaluate identically (float32 →
+    double widening is exact).
+
+    Scale: the raw (row × feature) explode is map-side only — it
+    partial-aggregates into ≤ dims × bins rows BEFORE the exchange, so
+    the shuffle carries a 1024-row histogram regardless of corpus
+    size. The split scan is a window over that tiny table. This is
+    the piece that makes histogram-GBDT O(rows) per tree level with
+    constant shuffle volume; deeper trees re-run it per node on
+    filtered rows.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        "label",
+        F.col("vf").cast("double").alias("v"),
+    )
+    rng = x.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = x.join(F.broadcast(rng), "dim").select(
+        "dim",
+        "label",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * TREE_N_BINS
+                ),
+                F.lit(TREE_N_BINS - 1),
+            )
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    h = binned.groupBy("dim", "bin").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("label").alias("s")
+    )
+    tot = h.groupBy("dim").agg(F.sum("c").alias("n"), F.sum("s").alias("st"))
+    wc = Window.partitionBy("dim").orderBy("bin")
+    cum = h.select(
+        "dim",
+        "bin",
+        F.sum("c").over(wc).alias("nl"),
+        F.sum("s").over(wc).alias("sl"),
+    )
+    g = (
+        cum.join(tot, "dim")
+        .where((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+        .select(
+            "dim",
+            F.col("bin").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            (F.col("n") - F.col("nl")).alias("n_right"),
+            (
+                (F.col("sl") * F.col("sl")).cast("double") / F.col("nl")
+                + ((F.col("st") - F.col("sl")) * (F.col("st") - F.col("sl"))).cast(
+                    "double"
+                )
+                / (F.col("n") - F.col("nl"))
+                - (F.col("st") * F.col("st")).cast("double") / F.col("n")
+            ).alias("gain"),
+        )
+    )
+    wb = Window.partitionBy("dim").orderBy(F.col("gain").desc(), "split_bin")
+    return (
+        g.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("split_bin").cast("bigint").alias("split_bin"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.round("gain", 6).alias("gain"),
+        )
+        .orderBy("dim")
     )

@@ -1686,3 +1686,122 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_vs_truth"),
         )
     )
+
+
+# ------------------------------------------- exact duplicated substrings
+
+# Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL'22): instead of whole-doc similarity,
+# find TOKEN SPANS that recur verbatim across documents. The paper uses
+# a suffix array; the distributed re-expression is rolling fixed-width
+# token windows hashed and grouped — a window shared by >= 2 distinct
+# docs marks its span duplicated. Span coverage is then the exact union
+# of the duplicated windows' [pos, pos+W-1] intervals per doc.
+SUBSTR_WINDOW = 8  # tokens per window (the paper's 50-token unit scaled
+#                    to this corpus' ~54-token docs)
+
+
+@register(
+    "dedup_exact_substring_spans",
+    tags=("dedup", "substring"),
+    oracle=f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id <= (SELECT cap FROM capv)
+        AND len(string_split(text, ' ')) >= {SUBSTR_WINDOW}),
+win AS (
+  SELECT doc_id, g.i AS pos,
+         {sql_hash60(f"array_to_string(toks[CAST(g.i AS INT):CAST(g.i + {SUBSTR_WINDOW - 1} AS INT)], ' ')")} AS wh
+  FROM d CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}))) g(i)
+),
+dupw AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+dwin AS (SELECT w.doc_id, w.pos FROM win w JOIN dupw USING (wh)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p.tp) AS covered_tokens
+  FROM dwin CROSS JOIN LATERAL (SELECT unnest(generate_series(pos, pos + {SUBSTR_WINDOW - 1}))) p(tp)
+  GROUP BY doc_id
+),
+nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dwin GROUP BY doc_id),
+tl AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_dup_windows AS BIGINT) AS n_dup_windows,
+       CAST(c.covered_tokens AS BIGINT) AS covered_tokens,
+       CAST(c.covered_tokens AS DOUBLE) / t.n_tokens AS dup_frac
+FROM tl t JOIN nd n USING (doc_id) JOIN cov c USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report: which docs contain verbatim
+    {SUBSTR_WINDOW}-token substrings that also occur in another doc,
+    how many window positions are duplicated, and the EXACT fraction of
+    tokens covered by the union of duplicated spans (interval union
+    computed by exploding each window to its token positions and
+    counting distinct — no driver-side interval merging).
+
+    Scale: the window table carries (doc_id, pos, hash60) — 24 bytes a
+    row, never the text — and is W× the token count. The only shuffle
+    wider than the corpus is the groupBy on the window hash, which
+    partial-aggregates (each mapper emits one row per distinct window
+    it saw). At 100 TB this replaces the suffix array the reference
+    paper builds on one machine: same duplicated-span semantics, but
+    every stage is a hash-partitioned aggregate. Coverage explode is
+    bounded: W rows per DUPLICATED window only.
+    """
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    d = (
+        alldocs.where(F.col("doc_id") <= cap)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= SUBSTR_WINDOW)
+    )
+    # (doc_id, pos, window-hash) — hashed BEFORE the shuffle so the
+    # exchange never carries window text
+    win = _cache(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (SUBSTR_WINDOW - 1))
+            ).alias("pos"),
+            "toks",
+        ).select(
+            "doc_id",
+            "pos",
+            hash60(
+                F.concat_ws(" ", F.expr(f"slice(toks, pos, {SUBSTR_WINDOW})"))
+            ).alias("wh"),
+        )
+    )
+    dupw = (
+        win.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    dwin = _cache(win.join(dupw, "wh").select("doc_id", "pos"))
+    cov = (
+        dwin.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SUBSTR_WINDOW - 1))
+            ).alias("tp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tp").alias("covered_tokens"))
+    )
+    nd = dwin.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    tl = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return (
+        tl.join(nd, "doc_id")
+        .join(cov, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_dup_windows").cast("bigint").alias("n_dup_windows"),
+            F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("n_tokens")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -475,3 +475,117 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
+
+
+# --------------------------------------------- link prediction
+
+LP_MIN_COMMON = 2  # candidate floor: one shared neighbor is noise
+LP_TOP_K = 25
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    tags=("graph",),
+    oracle=f"""
+WITH sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
+                    THEN 2 ELSE 1 END AS ms),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT ms FROM sup)
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+cn AS (
+  SELECT n1.src AS a, n2.src AS b, COUNT(*) AS n_common
+  FROM sym n1 JOIN sym n2 ON n1.dst = n2.dst AND n1.src < n2.src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.a, c.b, c.n_common, da.d AS deg_a, db.d AS deg_b,
+         CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common) AS jac
+  FROM cn c
+  JOIN deg da ON c.a = da.src
+  JOIN deg db ON c.b = db.src
+  LEFT JOIN e ON c.a = e.a AND c.b = e.b
+  WHERE e.a IS NULL AND c.n_common >= {LP_MIN_COMMON}
+)
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+       ROUND(jac, 6) AS jaccard
+FROM cand ORDER BY jac DESC, a, b LIMIT {LP_TOP_K}
+""",
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003): for part pairs NOT currently co-purchased, score how much
+    their co-purchase neighborhoods overlap — the top candidates are
+    the "customers also bought together" suggestions. The anti-join on
+    the existing edge set is what makes it a *prediction*: every
+    reported pair is a wedge-connected non-edge.
+
+    Scale: identical shapes to graph_triangle_count — edge build is an
+    equi-join on l_orderkey with the same adaptive min-support guard
+    (keeps the graph sparse at corpus scale), the candidate generator
+    is the wedge join on the shared-neighbor key, and the existing-edge
+    exclusion is a left-anti hash join. Jaccard is one exact-integer
+    IEEE division, so the ranking is bit-stable cross-engine.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    min_sup = 2 if li.count() > CO_SUPPORT_THRESH else 1
+    a, b = li.alias("a"), li.alias("b")
+    e = _cache(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_sup)
+        .select("a", "b")
+    )
+    sym = _cache(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n1, n2 = sym.alias("n1"), sym.alias("n2")
+    cn = (
+        n1.join(
+            n2,
+            (F.col("n1.dst") == F.col("n2.dst"))
+            & (F.col("n1.src") < F.col("n2.src")),
+        )
+        .groupBy(F.col("n1.src").alias("a"), F.col("n2.src").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= LP_MIN_COMMON)
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    )
+    return (
+        cn.join(e, ["a", "b"], "left_anti")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            jac.alias("jac"),
+        )
+        .orderBy(F.col("jac").desc(), "a", "b")
+        .limit(LP_TOP_K)
+        .select(
+            "a", "b", "n_common", "deg_a", "deg_b", F.round("jac", 6).alias("jaccard")
+        )
+    )

@@ -1006,3 +1006,112 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("qid", "rk")
     )
+
+
+# ------------------------------------------- sparse (inverted-index) cosine
+
+# Sparse TF-IDF cosine over 3-token shingle SETS — the information-
+# retrieval complement of the dense-embedding tiers above: candidates
+# come from an inverted-index self-join on shared shingles, so a pair
+# is only ever scored if it shares at least one term. Weights are
+# INTEGER idf scores w = (IDF_SCALE * n_docs) // df (rare shingles
+# weigh more), which keeps every dot product and squared norm an exact
+# bigint in both engines; the cosine is then two correctly-rounded
+# IEEE sqrts and one division — bit-identical cross-engine.
+SPARSE_COS_THRESHOLD = 0.5
+IDF_SCALE = 16  # idf <= IDF_SCALE * 50k slice = 8e5; w^2 sums stay << 2^63
+
+from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows  # noqa: E402
+from spark_rapids_ml_spark.operators.dedup import (  # noqa: E402
+    _SQL_DOC_SLICE_CAP,
+    _cache,
+    _doc_slice_cap,
+)
+
+
+@register(
+    "sim_sparse_tfidf_cosine_pairs",
+    tags=("similarity", "text", "sparse"),
+    oracle=f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+sh AS ({sql_shingle_rows(where="doc_id <= (SELECT cap FROM capv)")}),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+w AS (SELECT sh.doc_id, sh.shingle,
+             ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
+      FROM sh JOIN df USING (shingle)),
+nrm AS (SELECT doc_id, SUM(w * w) AS ss FROM w GROUP BY doc_id),
+dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
+        FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT d.doc_a, d.doc_b,
+       ROUND(CAST(CAST(d.dp AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(na.ss AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(nb.ss AS BIGINT) AS DOUBLE))), 6) AS cosine
+FROM dot d
+JOIN nrm na ON d.doc_a = na.doc_id
+JOIN nrm nb ON d.doc_b = nb.doc_id
+WHERE CAST(CAST(d.dp AS BIGINT) AS DOUBLE)
+      / (sqrt(CAST(CAST(na.ss AS BIGINT) AS DOUBLE))
+         * sqrt(CAST(CAST(nb.ss AS BIGINT) AS DOUBLE))) >= {SPARSE_COS_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def sim_sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse idf-weighted cosine pairs via an inverted-index self-join
+    — the classic IR document-similarity pipeline (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07) re-expressed as
+    three DataFrame aggregations and one posting-list equi-join.
+
+    Representation: each doc is the SET of its distinct 3-token
+    shingles, weighted by integer idf = (16 * n_docs) // df. Shared
+    rare shingles dominate the score, which is what distinguishes this
+    from raw containment/Jaccard (dedup.py): near-dup pairs score high
+    even when one side has extra boilerplate made of common shingles.
+
+    Scale: the only pairwise work is the equi-join on `shingle`, so
+    cost is sum(df^2) over the vocabulary, NOT n_docs^2 — df here is
+    tiny (p99 = 4 at sf0.01) because 3-shingles are near-unique. At
+    100 TB the join key (shingle) is the shuffle partition key; a
+    skew-capped posting-list guard (as in dedup.lsh_candidate_pairs)
+    or a df ceiling bounds the worst key. Everything else is
+    partial-aggregable group-bys over (doc, shingle) rows.
+    """
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    d = alldocs.where(F.col("doc_id") <= cap).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # cached: the exploded posting table feeds df, norms, and both
+    # join sides
+    sh = _cache(d.select("doc_id", F.explode(shingles("toks")).alias("shingle")))
+    n_docs = sh.select("doc_id").distinct().count()
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = sh.join(df, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    cos = F.col("dp").cast("double") / (
+        F.sqrt(F.col("ss_a").cast("double")) * F.sqrt(F.col("ss_b").cast("double"))
+    )
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= SPARSE_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
