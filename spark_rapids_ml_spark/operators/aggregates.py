@@ -1567,3 +1567,103 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------- chi-square independence
+
+CHI2_MICRO = 1_000_000  # fixed-point scale for summable contributions
+
+
+@register(
+    "agg_chisq_independence",
+    tags=("aggregate", "stats"),
+    oracle=f"""
+WITH o AS (
+  SELECT event_type, dayofweek(ts) AS dow0, COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+ct AS (SELECT dow0, SUM(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n FROM o),
+cells AS (
+  SELECT o.event_type, o.dow0, o.obs,
+         CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS e
+  FROM o JOIN rt USING (event_type) JOIN ct USING (dow0)
+),
+contrib AS (
+  SELECT event_type, obs,
+         CAST(FLOOR((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+                    * {CHI2_MICRO}.0) AS BIGINT) AS cmicro
+  FROM cells
+),
+parts AS (
+  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n_events,
+         CAST(SUM(cmicro) AS BIGINT) AS chi2_part_micro
+  FROM contrib GROUP BY 1
+)
+SELECT event_type, n_events, chi2_part_micro,
+       CAST(chi2_part_micro AS DOUBLE) / {CHI2_MICRO}.0 AS chi2_part
+FROM parts
+UNION ALL
+SELECT '__ALL__', CAST(SUM(n_events) AS BIGINT), CAST(SUM(chi2_part_micro) AS BIGINT),
+       CAST(CAST(SUM(chi2_part_micro) AS BIGINT) AS DOUBLE) / {CHI2_MICRO}.0
+FROM parts
+ORDER BY event_type
+""",
+)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the event_type ×
+    weekday contingency table (is traffic mix stable across the week —
+    the standard drift/seasonality check on an event log), reported as
+    per-type partial statistics plus the '__ALL__' total; df is
+    (types−1)(days−1) = 24 here.
+
+    Determinism: a FLOAT Σ(O−E)²/E depends on cell visit order, so the
+    per-cell contribution is floored into MICRO fixed-point (the
+    pagerank nano-unit discipline) and summed as exact bigints — the
+    total is then bit-identical cross-engine and across partitionings,
+    understating true chi² by < 35 µ. Each cell's (O−E)²/E is itself a
+    fixed-order IEEE tree on exact integer inputs.
+
+    Scale: one partial-aggregable groupBy to the 35-cell contingency
+    table; marginals and the total aggregate THAT table. The exchange
+    carries ~35 rows at any corpus size.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    ev = load(spark, sf_dir, "events")
+    o = _cache(
+        ev.groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow0")).agg(
+            F.count(F.lit(1)).alias("obs")
+        )
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow0").agg(F.sum("obs").alias("c"))
+    n_tot = o.agg(F.sum("obs")).collect()[0][0]  # 1-value driver scalar
+    e = (F.col("r") * F.col("c")).cast("double") / F.lit(float(n_tot))
+    od = F.col("obs").cast("double")
+    cmicro = F.floor((od - e) * (od - e) / e * CHI2_MICRO).cast("bigint")
+    parts = _cache(
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow0")
+        .select("event_type", "obs", cmicro.alias("cmicro"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("obs").cast("bigint").alias("n_events"),
+            F.sum("cmicro").cast("bigint").alias("chi2_part_micro"),
+        )
+    )
+    total = parts.agg(
+        F.lit("__ALL__").alias("event_type"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("chi2_part_micro").cast("bigint").alias("chi2_part_micro"),
+    )
+    out = parts.select(
+        "event_type", "n_events", "chi2_part_micro"
+    ).unionAll(total.select("event_type", "n_events", "chi2_part_micro"))
+    return out.select(
+        "event_type",
+        "n_events",
+        "chi2_part_micro",
+        (F.col("chi2_part_micro").cast("double") / CHI2_MICRO).alias("chi2_part"),
+    ).orderBy("event_type")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_rapids_ml_spark.functions.portable import sql_hash60
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -661,3 +662,165 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("strategy", "o_orderpriority")
+
+
+# --------------------------------------------- grid-bucketed spatial join
+
+# Geospatial nearest-neighbor join distilled to its scale pattern:
+# bucket both point sets into an adaptive GxG grid, equi-join each
+# probe point's 3x3 cell neighborhood against the build side, take the
+# per-probe argmin. Points here are deterministic hash geocodes of the
+# entity keys in INTEGER micro-units on the unit square (the container
+# has no geo data; the plumbing — grid key, neighborhood explode,
+# equi-join, argmin — is exactly what real lat/lon would use, with
+# geohash cells for the sphere).
+GEO_UNIT = 1_000_000  # micro-unit coordinate space [0, 1e6)^2
+GEO_SEED_CX, GEO_SEED_CY = 101, 102  # customer x/y hash seeds
+GEO_SEED_SX, GEO_SEED_SY = 201, 202  # supplier x/y hash seeds
+
+
+def _grid_g(n_build: int) -> int:
+    """G = clamp(floor(sqrt(n)), 8, 1024): ~1 build point per cell, so
+    a 3x3 probe neighborhood holds ~9 candidates at ANY corpus size."""
+    import math
+
+    return max(8, min(1024, int(math.floor(math.sqrt(float(n_build))))))
+
+
+_SQL_GRID_G = (
+    "GREATEST(8, LEAST(1024, CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM customer)"
+    " AS DOUBLE))) AS BIGINT)))"
+)
+
+
+@register(
+    "join_spatial_grid_knn",
+    tags=("join", "spatial"),
+    oracle=f"""
+WITH gv AS (SELECT {_SQL_GRID_G} AS g),
+cpt AS (
+  SELECT c_custkey,
+         {sql_hash60("CAST(c_custkey AS VARCHAR)", seed=GEO_SEED_CX)} % {GEO_UNIT} AS x,
+         {sql_hash60("CAST(c_custkey AS VARCHAR)", seed=GEO_SEED_CY)} % {GEO_UNIT} AS y
+  FROM customer
+),
+spt AS (
+  SELECT s_suppkey,
+         {sql_hash60("CAST(s_suppkey AS VARCHAR)", seed=GEO_SEED_SX)} % {GEO_UNIT} AS x,
+         {sql_hash60("CAST(s_suppkey AS VARCHAR)", seed=GEO_SEED_SY)} % {GEO_UNIT} AS y
+  FROM supplier
+),
+cc AS (SELECT c_custkey, x, y,
+              (x * (SELECT g FROM gv)) // {GEO_UNIT} AS cx,
+              (y * (SELECT g FROM gv)) // {GEO_UNIT} AS cy FROM cpt),
+sc AS (
+  SELECT DISTINCT s_suppkey, s.x, s.y,
+         GREATEST(0, LEAST((SELECT g FROM gv) - 1,
+                           (s.x * (SELECT g FROM gv)) // {GEO_UNIT} + d.dx)) AS cx,
+         GREATEST(0, LEAST((SELECT g FROM gv) - 1,
+                           (s.y * (SELECT g FROM gv)) // {GEO_UNIT} + d.dy)) AS cy
+  FROM spt s CROSS JOIN (SELECT a.dx, b.dy
+                         FROM (VALUES (-1),(0),(1)) a(dx),
+                              (VALUES (-1),(0),(1)) b(dy)) d
+),
+cand AS (
+  SELECT s.s_suppkey, c.c_custkey,
+         (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS dist2
+  FROM sc s JOIN cc c ON s.cx = c.cx AND s.cy = c.cy
+),
+best AS (
+  SELECT s_suppkey, c_custkey, dist2,
+         ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY dist2, c_custkey) AS rk
+  FROM cand
+)
+SELECT s_suppkey, c_custkey AS nearest_custkey, CAST(dist2 AS BIGINT) AS dist2_micro
+FROM best WHERE rk = 1 ORDER BY s_suppkey
+""",
+)
+def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest customer to each supplier within its 3×3 grid
+    neighborhood — the grid-bucketed spatial join (the partitioning
+    trick behind every distributed geo engine: Sedona's uniform grid,
+    geohash prefix joins). Every coordinate and distance is an exact
+    integer, so the argmin is bit-deterministic cross-engine with no
+    FP geometry anywhere.
+
+    Semantics: candidates are the build points in the probe's 3×3 cell
+    neighborhood (radius ≥ one cell width). G ≈ √n_build keeps ~1
+    build point per cell, so candidate count stays ~9 at ANY scale; a
+    probe with an empty neighborhood yields no row (e^-9 of probes at
+    uniform density).
+
+    Scale: the neighborhood explode is a constant 9× on the PROBE side
+    only; the join is a plain equi-join on the cell key (shuffle
+    partitions by cell, AQE may broadcast the smaller side), and the
+    argmin is a per-probe window over ≤ ~9·density rows. No
+    cross-join, no distance computed outside matching cells.
+    """
+    from spark_rapids_ml_spark.functions.portable import hash60
+
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    g = _grid_g(cust.count())
+    ckey = F.col("c_custkey").cast("string")
+    skey = F.col("s_suppkey").cast("string")
+    cc = cust.select(
+        "c_custkey",
+        (hash60(ckey, seed=GEO_SEED_CX) % GEO_UNIT).alias("x"),
+        (hash60(ckey, seed=GEO_SEED_CY) % GEO_UNIT).alias("y"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(f"(x * {g}) div {GEO_UNIT}").alias("cx"),
+        F.expr(f"(y * {g}) div {GEO_UNIT}").alias("cy"),
+    )
+    sc = (
+        supp.select(
+            "s_suppkey",
+            (hash60(skey, seed=GEO_SEED_SX) % GEO_UNIT).alias("x"),
+            (hash60(skey, seed=GEO_SEED_SY) % GEO_UNIT).alias("y"),
+        )
+        .select(
+            "s_suppkey",
+            "x",
+            "y",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select("s_suppkey", "x", "y", "dx", F.explode(F.expr("array(-1, 0, 1)")).alias("dy"))
+        .select(
+            "s_suppkey",
+            "x",
+            "y",
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(g - 1), F.expr(f"(x * {g}) div {GEO_UNIT}") + F.col("dx")),
+            ).alias("cx"),
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(g - 1), F.expr(f"(y * {g}) div {GEO_UNIT}") + F.col("dy")),
+            ).alias("cy"),
+        )
+        .distinct()
+    )
+    cand = sc.alias("s").join(
+        cc.alias("c"),
+        (F.col("s.cx") == F.col("c.cx")) & (F.col("s.cy") == F.col("c.cy")),
+    )
+    dist2 = (F.col("s.x") - F.col("c.x")) * (F.col("s.x") - F.col("c.x")) + (
+        F.col("s.y") - F.col("c.y")
+    ) * (F.col("s.y") - F.col("c.y"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("s_suppkey").orderBy("dist2", "c_custkey")
+    return (
+        cand.select("s_suppkey", "c_custkey", dist2.alias("dist2"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "s_suppkey",
+            F.col("c_custkey").alias("nearest_custkey"),
+            F.col("dist2").cast("bigint").alias("dist2_micro"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1115,3 +1115,101 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --------------------------------------------- A/B experiment analysis
+
+
+@register(
+    "events_abtest_welch_ttest",
+    tags=("timeseries", "analytics", "stats"),
+    oracle="""
+WITH g AS (
+  SELECT event_type, user_id % 2 AS variant,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM events GROUP BY 1, 2
+),
+ab AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.s / CAST(a.n AS DOUBLE) AS m_a, b.s / CAST(b.n AS DOUBLE) AS m_b,
+         (a.ss - a.s * a.s / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS v_a,
+         (b.ss - b.s * b.s / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS v_b
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6) AS t_stat,
+       ROUND((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+             / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+                + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)), 6) AS df_welch
+FROM ab ORDER BY event_type
+""",
+)
+def events_abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t statistic and
+    Welch–Satterthwaite degrees of freedom per event_type, with the
+    variant assigned by the standard deterministic hash bucket
+    (user_id % 2 — the production form hashes a salted user key; the
+    modulo keeps the oracle portable).
+
+    Determinism: per-cell n / Σx / Σx² ride exact DECIMAL(18,2) sums
+    (the engine-wide power-sum discipline); the t and df formulas are
+    then fixed-order IEEE trees evaluated identically in both engines,
+    with the oracle's decimal→double casts routed through VARCHAR
+    (sql_dsum rationale, portable.py) so the casts are correctly
+    rounded at any magnitude.
+
+    Scale: one partial-aggregable groupBy over (event_type, variant) —
+    the exchange carries ~10 summary rows however large the event log
+    is; the variant self-join is on that summary table. This is the
+    always-on experimentation readout a 100 TB event pipeline runs per
+    metric per day.
+    """
+    dec = F.col("value").cast("decimal(18,2)")
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+            F.sum(dec * dec).cast("double").alias("ss"),
+        )
+    )
+    a = g.where(F.col("variant") == 0).alias("a")
+    b = g.where(F.col("variant") == 1).alias("b")
+    nda = F.col("a.n").cast("double")
+    ndb = F.col("b.n").cast("double")
+    m_a = F.col("a.s") / nda
+    m_b = F.col("b.s") / ndb
+    v_a = (F.col("a.ss") - F.col("a.s") * F.col("a.s") / nda) / (
+        F.col("a.n") - 1
+    ).cast("double")
+    v_b = (F.col("b.ss") - F.col("b.s") * F.col("b.s") / ndb) / (
+        F.col("b.n") - 1
+    ).cast("double")
+    se2 = v_a / nda + v_b / ndb
+    t = (m_a - m_b) / F.sqrt(se2)
+    df_w = (
+        se2
+        * se2
+        / (
+            (v_a / nda) * (v_a / nda) / (F.col("a.n") - 1).cast("double")
+            + (v_b / ndb) * (v_b / ndb) / (F.col("b.n") - 1).cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").cast("bigint").alias("n_a"),
+            F.col("b.n").cast("bigint").alias("n_b"),
+            F.round(m_a, 6).alias("mean_a"),
+            F.round(m_b, 6).alias("mean_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(df_w, 6).alias("df_welch"),
+        )
+        .orderBy("event_type")
+    )

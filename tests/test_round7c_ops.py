@@ -124,3 +124,105 @@ def test_link_prediction_candidates_are_nonedges(spark):
         if prev is not None:  # ranking is descending
             assert r.jaccard <= prev + 1e-9
         prev = r.jaccard
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    rows = {r.event_type: r for r in ts.events_abtest_welch_ttest(spark, SF).collect()}
+    ev = load(spark, SF, "events").select("event_type", "user_id", "value").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev:
+        groups[(r.event_type, r.user_id % 2)].append(round(r.value, 2))
+    for et, got in rows.items():
+        a = np.array(groups[(et, 0)], dtype=np.float64)
+        b = np.array(groups[(et, 1)], dtype=np.float64)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+        assert got.n_a == len(a) and got.n_b == len(b)
+        assert abs(got.t_stat - t) < 1e-4
+        assert abs(got.df_welch - df) < 0.01
+        assert got.df_welch <= len(a) + len(b) - 2 + 1e-6  # Welch df upper bound
+
+
+def test_chisq_parts_sum_and_nonneg(spark):
+    from spark_rapids_ml_spark.operators import aggregates as agg
+
+    rows = agg.agg_chisq_independence(spark, SF).collect()
+    parts = [r for r in rows if r.event_type != "__ALL__"]
+    tot = [r for r in rows if r.event_type == "__ALL__"][0]
+    assert tot.chi2_part_micro == sum(r.chi2_part_micro for r in parts)  # exact
+    assert tot.n_events == sum(r.n_events for r in parts)
+    assert tot.n_events == load(spark, SF, "events").count()
+    for r in parts:
+        assert r.chi2_part_micro >= 0
+    # numpy recomputation (same floor-micro fixed point)
+    ev = load(spark, SF, "events").select("event_type", F.dayofweek("ts").alias("dw")).collect()
+    from collections import Counter
+
+    obs = Counter((r.event_type, r.dw - 1) for r in ev)
+    rt = Counter()
+    ct = Counter()
+    for (et, dw), o in obs.items():
+        rt[et] += o
+        ct[dw] += o
+    n = sum(obs.values())
+    import math
+
+    expect_micro = Counter()
+    for (et, dw), o in obs.items():
+        e = (rt[et] * ct[dw]) / n
+        expect_micro[et] += math.floor((o - e) * (o - e) / e * agg.CHI2_MICRO)
+    for r in parts:
+        assert r.chi2_part_micro == expect_micro[r.event_type]
+
+
+def test_spatial_knn_matches_bruteforce(spark):
+    from spark_rapids_ml_spark.operators import joins as jo
+
+    got = {
+        r.s_suppkey: (r.nearest_custkey, r.dist2_micro)
+        for r in jo.join_spatial_grid_knn(spark, SF).collect()
+    }
+    cust = [r.c_custkey for r in load(spark, SF, "customer").select("c_custkey").collect()]
+    supp = [r.s_suppkey for r in load(spark, SF, "supplier").select("s_suppkey").collect()]
+    U = jo.GEO_UNIT
+    g = jo._grid_g(len(cust))
+    cpts = {
+        k: (_h60(f"{jo.GEO_SEED_CX}|{k}") % U, _h60(f"{jo.GEO_SEED_CY}|{k}") % U)
+        for k in cust
+    }
+    from collections import defaultdict
+
+    bycell = defaultdict(list)
+    for k, (x, y) in cpts.items():
+        bycell[(x * g // U, y * g // U)].append(k)
+    expect = {}
+    for s in supp:
+        x, y = _h60(f"{jo.GEO_SEED_SX}|{s}") % U, _h60(f"{jo.GEO_SEED_SY}|{s}") % U
+        cx, cy = x * g // U, y * g // U
+        cells = {
+            (max(0, min(g - 1, cx + dx)), max(0, min(g - 1, cy + dy)))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        }
+        best = None
+        for cell in cells:
+            for k in bycell.get(cell, ()):
+                px, py = cpts[k]
+                d2 = (x - px) ** 2 + (y - py) ** 2
+                if best is None or (d2, k) < best:
+                    best = (d2, k)
+        if best is not None:
+            expect[s] = (best[1], best[0])
+    assert got == expect
