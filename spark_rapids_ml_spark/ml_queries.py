@@ -842,3 +842,142 @@ def ml_tree_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------- distributed logistic IRLS
+
+# Iteratively-reweighted least squares for a binary GLM, run as THREE
+# unrolled Newton steps where each step is one map-side-combined scan
+# producing 9 sufficient statistics (gradient + packed Hessian) and a
+# closed-form 3x3 Cramer solve — the distributed-GLM pattern (Spark
+# MLlib's LogisticRegression aggregates the same per-partition
+# gradient/Hessian state; here the whole recursion is also expressible
+# as SQL CTEs, so the DuckDB oracle replays the identical training).
+#
+# Two determinism substitutions make the training hash-oracle-able:
+# - the RATIONAL link p = 1/2 + z/(2(1+|z|)) replaces the logistic
+#   sigmoid: libm exp() is not correctly rounded, so cross-engine
+#   bit-equality is impossible with the true sigmoid (production keeps
+#   exp; this fixture tier swaps only the link, not the algorithm);
+# - per-row gradient/Hessian contributions are floored into NANO
+#   fixed-point and summed as exact bigints (the pagerank discipline),
+#   so each step's statistics are identical on any partitioning.
+LOGREG_ITERS = 3
+LOGREG_DIM_A, LOGREG_DIM_B = 36, 53  # most label-correlated dims (r~0.11)
+_LOGREG_NANO = 1_000_000_000
+_LOGREG_KEYS = ("sg0", "sg1", "sg2", "h00", "h01", "h02", "h11", "h12", "h22")
+
+
+def _logreg_z(b: str) -> str:
+    return f"({b}.b0 + {b}.b1*x1 + {b}.b2*x2)"
+
+
+def _logreg_stats_cte(rows: str, b: str) -> str:
+    zz = _logreg_z(b)
+    p = f"(0.5 + {zz}/(2.0*(1.0+abs({zz}))))"
+    w = f"({p}*(1.0-{p}))"
+    terms = {
+        "sg0": f"(y - {p})",
+        "sg1": f"(y - {p})*x1",
+        "sg2": f"(y - {p})*x2",
+        "h00": w,
+        "h01": f"{w}*x1",
+        "h02": f"{w}*x2",
+        "h11": f"{w}*x1*x1",
+        "h12": f"{w}*x1*x2",
+        "h22": f"{w}*x2*x2",
+    }
+    cols = ", ".join(
+        f"SUM(CAST(FLOOR(({e}) * {_LOGREG_NANO}.0) AS BIGINT)) AS {k}"
+        for k, e in terms.items()
+    )
+    return f"SELECT {cols} FROM {rows} CROSS JOIN {b}"
+
+
+def _logreg_newton_cte(s: str, b: str) -> str:
+    d = {k: f"(CAST(s.{k} AS DOUBLE)/{_LOGREG_NANO}.0)" for k in _LOGREG_KEYS}
+    det = (
+        f"({d['h00']}*({d['h11']}*{d['h22']}-{d['h12']}*{d['h12']})"
+        f" - {d['h01']}*({d['h01']}*{d['h22']}-{d['h12']}*{d['h02']})"
+        f" + {d['h02']}*({d['h01']}*{d['h12']}-{d['h11']}*{d['h02']}))"
+    )
+    d0 = (
+        f"({d['sg0']}*({d['h11']}*{d['h22']}-{d['h12']}*{d['h12']})"
+        f" - {d['h01']}*({d['sg1']}*{d['h22']}-{d['h12']}*{d['sg2']})"
+        f" + {d['h02']}*({d['sg1']}*{d['h12']}-{d['h11']}*{d['sg2']}))"
+    )
+    d1 = (
+        f"({d['h00']}*({d['sg1']}*{d['h22']}-{d['sg2']}*{d['h12']})"
+        f" - {d['sg0']}*({d['h01']}*{d['h22']}-{d['h12']}*{d['h02']})"
+        f" + {d['h02']}*({d['h01']}*{d['sg2']}-{d['sg1']}*{d['h02']}))"
+    )
+    d2 = (
+        f"({d['h00']}*({d['h11']}*{d['sg2']}-{d['sg1']}*{d['h12']})"
+        f" - {d['h01']}*({d['h01']}*{d['sg2']}-{d['sg1']}*{d['h02']})"
+        f" + {d['sg0']}*({d['h01']}*{d['h12']}-{d['h11']}*{d['h02']}))"
+    )
+    return (
+        f"SELECT {b}.b0 + {d0}/{det} AS b0, {b}.b1 + {d1}/{det} AS b1,"
+        f" {b}.b2 + {d2}/{det} AS b2 FROM {s} s CROSS JOIN {b}"
+    )
+
+
+def _logreg_sql(rows_cte: str) -> str:
+    """The full unrolled-IRLS WITH-query; `rows_cte` is the only
+    engine-specific fragment (array indexing syntax differs)."""
+    ctes = [
+        f"rows_ AS ({rows_cte})",
+        "bt0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, LOGREG_ITERS + 1):
+        ctes.append(f"st{i} AS ({_logreg_stats_cte('rows_', f'bt{i-1}')})")
+        ctes.append(f"bt{i} AS ({_logreg_newton_cte(f'st{i}', f'bt{i-1}')})")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT (SELECT COUNT(*) FROM rows_) AS n,
+       (SELECT COUNT(*) FROM rows_ CROSS JOIN bt{LOGREG_ITERS} b
+        WHERE (CASE WHEN {_logreg_z('b')} >= 0.0 THEN 1.0 ELSE 0.0 END) = y) AS n_correct,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+FROM bt{LOGREG_ITERS}"""
+
+
+_LOGREG_ROWS_DUCK = (
+    f"SELECT CAST(embedding[{LOGREG_DIM_A}] AS DOUBLE) AS x1,"
+    f" CAST(embedding[{LOGREG_DIM_B}] AS DOUBLE) AS x2,"
+    " CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings"
+)
+_LOGREG_ROWS_SPARK = (
+    f"SELECT CAST(element_at(embedding, {LOGREG_DIM_A}) AS DOUBLE) AS x1,"
+    f" CAST(element_at(embedding, {LOGREG_DIM_B}) AS DOUBLE) AS x2,"
+    " CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings"
+)
+
+
+@register(
+    "ml_logreg_irls_newton",
+    tags=("ml", "glm", "scale"),
+    oracle=_logreg_sql(_LOGREG_ROWS_DUCK),
+)
+def ml_logreg_irls_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary GLM trained by three unrolled IRLS/Newton steps over
+    (element 36, element 53) → 1{label ≥ 5}, returning the
+    coefficients and the training-set decision accuracy. The Spark
+    side and the DuckDB oracle execute the SAME generated SQL (only
+    the array-indexing fragment differs), so the hash oracle pins the
+    entire three-step training trajectory, not just the final algebra.
+
+    Scale: per step, the only corpus-wide work is one aggregation to 9
+    mergeable fixed-point statistics — gradient and packed 3×3 Hessian
+    — with map-side combine; the Newton solve runs on that 1-row
+    state. d features grow state O(d²) (the ridge/PCA moment-matrix
+    shape) while the pass count stays ITERS. The weak per-dim label
+    signal in this corpus (r ≈ 0.11) makes the fitted accuracy modest
+    by design; the operator pins the distributed-training mechanics.
+
+    The rational link and nano fixed-point substitutions (module
+    comment) are what make an ITERATIVE float-state training loop
+    hash-comparable across engines at all.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    e.createOrReplaceTempView("embeddings")
+    return spark.sql(_logreg_sql(_LOGREG_ROWS_SPARK))

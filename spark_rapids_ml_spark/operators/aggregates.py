@@ -1639,13 +1639,14 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("dow0").agg(F.sum("obs").alias("c"))
-    n_tot = o.agg(F.sum("obs")).collect()[0][0]  # 1-value driver scalar
-    e = (F.col("r") * F.col("c")).cast("double") / F.lit(float(n_tot))
+    n_tot = o.agg(F.sum("obs").alias("n_tot"))  # 1-row frame, broadcast below
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n_tot").cast("double")
     od = F.col("obs").cast("double")
     cmicro = F.floor((od - e) * (od - e) / e * CHI2_MICRO).cast("bigint")
     parts = _cache(
         o.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow0")
+        .crossJoin(F.broadcast(n_tot))
         .select("event_type", "obs", cmicro.alias("cmicro"))
         .groupBy("event_type")
         .agg(

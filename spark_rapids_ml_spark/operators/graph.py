@@ -589,3 +589,119 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             "a", "b", "n_common", "deg_a", "deg_b", F.round("jac", 6).alias("jaccard")
         )
     )
+
+
+# --------------------------------------------- label propagation (LPA)
+
+LPA_ROUNDS = 4  # fixed synchronous supersteps (unrolled in the oracle)
+LPA_MIN_SUP = 2  # co-purchase support floor (3 above CO_SUPPORT_THRESH)
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"""sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
+                    THEN {LPA_MIN_SUP + 1} ELSE {LPA_MIN_SUP} END AS ms)""",
+        """e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM sup)
+)""",
+        "sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)",
+        "lbl0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"cnt{i} AS (SELECT s.src AS v, l.lbl, COUNT(*) AS c"
+            f" FROM sym s JOIN lbl{i - 1} l ON s.dst = l.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"lbl{i} AS (SELECT v, lbl FROM (SELECT v, lbl,"
+            f" ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk"
+            f" FROM cnt{i}) WHERE rk = 1)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lbl{LPA_ROUNDS} GROUP BY lbl
+ORDER BY n_members DESC, community LIMIT 25"""
+
+
+@register("graph_label_propagation", tags=("graph", "scale"), oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the part co-purchase graph: every node starts as
+    its own label; each superstep adopts the most frequent label among
+    neighbors, ties broken by SMALLEST label — the deterministic
+    variant (vanilla LPA's random tie-break isn't reproducible, let
+    alone cross-engine). A fixed {LPA_ROUNDS}-round horizon makes the
+    whole trajectory unrollable as oracle CTEs, like pagerank's.
+    Output: the 25 largest communities.
+
+    Edges need >= 2 co-purchases at every scale (one shared order is
+    noise that fuses everything into 2 giant communities — measured at
+    sf0.01), bumped to 3 above CO_SUPPORT_THRESH like the other
+    co-purchase operators.
+
+    Scale: per superstep, one |E|-row equi-join (neighbor label fetch)
+    + one (v, lbl) groupBy + one per-node argmax window — all keyed
+    shuffles, state is one label per node. Each superstep's frontier
+    DataFrame is cached and the previous round's unpersisted (bounded
+    executor memory across rounds, the BFS discipline).
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    min_sup = LPA_MIN_SUP + 1 if li.count() > CO_SUPPORT_THRESH else LPA_MIN_SUP
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_sup)
+        .select("a", "b")
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sym = sym.repartition("dst").cache()  # join key of every superstep
+    lbl = _cache(sym.select(F.col("src").alias("v")).distinct().select("v", F.col("v").alias("lbl")))
+    wv = Window.partitionBy("v").orderBy(F.col("c").desc(), "lbl")
+    prev = None
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            sym.join(lbl, sym["dst"] == lbl["v"])
+            .groupBy(sym["src"].alias("vv"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("vv").alias("v"), "lbl", "c")
+        )
+        nxt = (
+            cnt.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("v", "lbl")
+        )
+        nxt = nxt.cache()
+        nxt.count()  # materialize before unpersisting the input level
+        if prev is not None:
+            prev.unpersist()
+        prev, lbl = lbl, nxt
+    out = (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("lbl").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )
+    rows = out.collect()  # bounded: top-25 communities
+    lbl.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    sym.unpersist()
+    return spark.createDataFrame(rows, "community bigint, n_members bigint").orderBy(
+        F.col("n_members").desc(), "community"
+    )

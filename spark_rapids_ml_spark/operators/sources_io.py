@@ -1197,3 +1197,156 @@ def sink_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(files_vacuumed).cast("bigint").alias("files_vacuumed"),
         F.lit(expired_read_fails).cast("bigint").alias("expired_read_fails"),
     ).orderBy("version", "o_orderpriority")
+
+
+# --------------------------------------------- write-audit-publish
+
+# The WAP pattern (Netflix's Iceberg workflow): incoming data lands in
+# a STAGING snapshot invisible to readers, a declarative audit suite
+# runs against the staged files, and only the passing subset is
+# published by an atomic manifest pointer flip — failing rows go to a
+# quarantine table for triage instead of poisoning the serving table.
+WAP_DELTA_MOD = 3   # orders keys % 3 == 0 form the incoming batch
+WAP_NEG_MOD = 30    # injected range violation: negated price
+WAP_NULL_MOD = 45   # injected completeness violation: NULL priority
+WAP_DUP_MOD = 60    # injected uniqueness violation: doubled instance
+
+
+@register(
+    "scale_write_audit_publish",
+    tags=("sink", "lakehouse", "dq"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders WHERE o_orderkey % {WAP_DELTA_MOD} <> 0
+),
+delta0 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {WAP_NULL_MOD} = 0 THEN NULL ELSE o_orderpriority END AS prio,
+         CASE WHEN o_orderkey % {WAP_NEG_MOD} = 0 THEN -o_totalprice ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % {WAP_DELTA_MOD} = 0
+),
+staged AS (
+  SELECT * FROM delta0
+  UNION ALL
+  SELECT * FROM delta0 WHERE k % {WAP_DUP_MOD} = 0
+),
+keyc AS (SELECT k, COUNT(*) AS kc FROM staged GROUP BY k),
+audited AS (
+  SELECT s.*, (s.price < 0) AS v_range, (s.prio IS NULL) AS v_null, (c.kc > 1) AS v_dup
+  FROM staged s JOIN keyc c USING (k)
+),
+quarantined AS (SELECT * FROM audited WHERE v_range OR v_null OR v_dup),
+pass AS (SELECT k, prio, price FROM audited WHERE NOT (v_range OR v_null OR v_dup)),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM pass)
+SELECT metric, value FROM (
+  SELECT 'audit_range_violations' AS metric,
+         CAST((SELECT COUNT(*) FROM audited WHERE v_range) AS DOUBLE) AS value
+  UNION ALL SELECT 'audit_null_violations', CAST((SELECT COUNT(*) FROM audited WHERE v_null) AS DOUBLE)
+  UNION ALL SELECT 'audit_dup_instances', CAST((SELECT COUNT(*) FROM audited WHERE v_dup) AS DOUBLE)
+  UNION ALL SELECT 'quarantined_rows', CAST((SELECT COUNT(*) FROM quarantined) AS DOUBLE)
+  UNION ALL SELECT 'published_delta_rows', CAST((SELECT COUNT(*) FROM pass) AS DOUBLE)
+  UNION ALL SELECT 'v2_rows', CAST((SELECT COUNT(*) FROM v2) AS DOUBLE)
+  UNION ALL SELECT 'v2_price_sum',
+         (SELECT CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) FROM v2)
+) ORDER BY metric
+""",
+)
+def scale_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish against committed artifacts: (1) the
+    incoming orders batch (with three classes of injected corruption)
+    is STAGED to its own snapshot dir; (2) the audit suite — range
+    (price ≥ 0), completeness (priority NOT NULL), uniqueness (key
+    count = 1 within the batch; BOTH instances of a duplicate are
+    quarantined, the safe triage rule) — runs over the staged files
+    in one pass plus one key-count self-join; (3) failing instances
+    are written to a quarantine table, passing rows appended as
+    published v2, and the _manifest pointer flips v1 → v2 atomically
+    (readers resolve the manifest, so they see v1 until the flip and
+    v2 after — never the staging dir). The result reads ONLY committed
+    artifacts: quarantine + published files re-read from disk.
+
+    Scale: the audit is a single-pass conditional aggregate plus an
+    equi-join on the batch's own key histogram (batch-sized, not
+    table-sized); publish appends files and rewrites O(1) manifest
+    metadata — no table rewrite. This composes dq_constraint_checks
+    (the audit) with sink_snapshot_time_travel (the manifest) into the
+    gate real pipelines run before every commit.
+    """
+    root = _sink("write_audit_publish", sf_dir)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    # v1: the serving table (committed)
+    base = o.where(F.col("k") % WAP_DELTA_MOD != 0)
+    base.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+
+    # stage the incoming batch, corruption injected
+    delta0 = o.where(F.col("k") % WAP_DELTA_MOD == 0).select(
+        "k",
+        F.when(F.col("k") % WAP_NULL_MOD == 0, F.lit(None)).otherwise(F.col("prio")).alias("prio"),
+        F.when(F.col("k") % WAP_NEG_MOD == 0, -F.col("price")).otherwise(F.col("price")).alias("price"),
+    )
+    staged_df = delta0.unionAll(delta0.where(F.col("k") % WAP_DUP_MOD == 0))
+    staged_df.write.mode("overwrite").parquet(os.path.join(root, "staging"))
+    staged = spark.read.parquet(os.path.join(root, "staging"))
+
+    # audit the STAGED FILES (not the in-memory lineage)
+    keyc = staged.groupBy("k").agg(F.count(F.lit(1)).alias("kc"))
+    audited = staged.join(keyc, "k").select(
+        "k",
+        "prio",
+        "price",
+        (F.col("price") < 0).alias("v_range"),
+        F.col("prio").isNull().alias("v_null"),
+        (F.col("kc") > 1).alias("v_dup"),
+    )
+    bad = F.col("v_range") | F.col("v_null") | F.col("v_dup")
+    audited.where(bad).write.mode("overwrite").parquet(os.path.join(root, "quarantine"))
+    audited.where(~bad).select("k", "prio", "price").write.mode("overwrite").parquet(
+        os.path.join(root, "delta_published")
+    )
+
+    # atomic publish: flip the manifest pointer v1 -> v1+delta
+    spark.createDataFrame(
+        [(2, "v1"), (2, "delta_published")], "version INT, dir STRING"
+    ).coalesce(1).write.mode("overwrite").json(os.path.join(root, "_manifest"))
+
+    # serving read: resolve the manifest, then aggregate committed files
+    mrows = (
+        spark.read.schema("version INT, dir STRING")
+        .json(os.path.join(root, "_manifest"))
+        .where(F.col("version") == 2)
+        .collect()
+    )
+    v2 = None
+    for r in mrows:
+        part = spark.read.parquet(os.path.join(root, r.dir))
+        v2 = part if v2 is None else v2.unionByName(part)
+    quar = spark.read.parquet(os.path.join(root, "quarantine"))
+
+    def one(metric: str, df_val) -> DataFrame:
+        return df_val.select(F.lit(metric).alias("metric"), F.col("v").cast("double").alias("value"))
+
+    pub_cnt = spark.read.parquet(os.path.join(root, "delta_published")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    parts = [
+        one("audit_range_violations", quar.agg(F.sum(F.col("v_range").cast("int")).alias("v"))),
+        one("audit_null_violations", quar.agg(F.sum(F.col("v_null").cast("int")).alias("v"))),
+        one("audit_dup_instances", quar.agg(F.sum(F.col("v_dup").cast("int")).alias("v"))),
+        one("quarantined_rows", quar.agg(F.count(F.lit(1)).alias("v"))),
+        one("published_delta_rows", pub_cnt),
+        one("v2_rows", v2.agg(F.count(F.lit(1)).alias("v"))),
+        one(
+            "v2_price_sum",
+            v2.agg(F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("v")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("metric")

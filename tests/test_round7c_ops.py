@@ -226,3 +226,106 @@ def test_spatial_knn_matches_bruteforce(spark):
         if best is not None:
             expect[s] = (best[1], best[0])
     assert got == expect
+
+
+def test_logreg_irls_matches_numpy_replay(spark):
+    row = mlq.ml_logreg_irls_newton(spark, SF).collect()[0]
+    e = load(spark, SF, "embeddings").select("embedding", "label").collect()
+    E = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e])
+    x1 = E[:, mlq.LOGREG_DIM_A - 1]
+    x2 = E[:, mlq.LOGREG_DIM_B - 1]
+    y = np.array([1.0 if r.label >= 5 else 0.0 for r in e])
+    NANO = mlq._LOGREG_NANO
+    A = np.stack([np.ones_like(x1), x1, x2], 1)
+    b = np.zeros(3)
+    for _ in range(mlq.LOGREG_ITERS):
+        z = A @ b
+        p = 0.5 + z / (2 * (1 + np.abs(z)))
+        w = p * (1 - p)
+        g = (
+            np.array(
+                [
+                    np.floor((y - p) * NANO).sum(),
+                    np.floor((y - p) * x1 * NANO).sum(),
+                    np.floor((y - p) * x2 * NANO).sum(),
+                ]
+            )
+            / NANO
+        )
+        hs = [
+            np.floor(w * NANO).sum(),
+            np.floor(w * x1 * NANO).sum(),
+            np.floor(w * x2 * NANO).sum(),
+            np.floor(w * x1 * x1 * NANO).sum(),
+            np.floor(w * x1 * x2 * NANO).sum(),
+            np.floor(w * x2 * x2 * NANO).sum(),
+        ]
+        h00, h01, h02, h11, h12, h22 = [v / NANO for v in hs]
+        H = np.array([[h00, h01, h02], [h01, h11, h12], [h02, h12, h22]])
+        b = b + np.linalg.solve(H, g)
+    assert row.n == len(y)
+    assert abs(row.b0 - b[0]) < 1e-5
+    assert abs(row.b1 - b[1]) < 1e-5
+    assert abs(row.b2 - b[2]) < 1e-5
+    acc = ((A @ b >= 0).astype(float) == y).sum()
+    assert row.n_correct == acc
+
+
+def test_label_propagation_matches_python_replay(spark):
+    got = [(r.community, r.n_members) for r in g.graph_label_propagation(spark, SF).collect()]
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    min_sup = g.LPA_MIN_SUP  # below CO_SUPPORT_THRESH at sf0.001
+    co = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] += 1
+    adj = defaultdict(list)
+    for (a, b), c in co.items():
+        if c >= min_sup:
+            adj[a].append(b)
+            adj[b].append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(g.LPA_ROUNDS):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = Counter(lbl[u] for u in ns)
+            # most frequent, ties -> smallest label
+            nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lbl = nxt
+    sizes = Counter(lbl.values())
+    expect = sorted(((l, n) for l, n in sizes.items()), key=lambda t: (-t[1], t[0]))[:25]
+    assert got == expect
+
+
+def test_write_audit_publish_invariants(spark):
+    from spark_rapids_ml_spark.operators import sources_io as sio
+    import os
+
+    vals = {r.metric: r.value for r in sio.scale_write_audit_publish(spark, SF).collect()}
+    o = load(spark, SF, "orders")
+    n_orders = o.count()
+    n_base = o.where(F.col("o_orderkey") % sio.WAP_DELTA_MOD != 0).count()
+    n_delta = n_orders - n_base
+    n_dupkeys = o.where(F.col("o_orderkey") % sio.WAP_DUP_MOD == 0).count()
+    staged_instances = n_delta + n_dupkeys
+    # conservation: every staged instance either publishes or quarantines
+    assert vals["published_delta_rows"] + vals["quarantined_rows"] == staged_instances
+    assert vals["v2_rows"] == n_base + vals["published_delta_rows"]
+    assert vals["audit_dup_instances"] == 2 * n_dupkeys
+    # the published files themselves must satisfy every audited constraint
+    root = sio._sink("write_audit_publish", SF)
+    pub = spark.read.parquet(os.path.join(root, "delta_published"))
+    assert pub.where(F.col("price") < 0).count() == 0
+    assert pub.where(F.col("prio").isNull()).count() == 0
+    assert pub.groupBy("k").count().where(F.col("count") > 1).count() == 0
+    # manifest points at v1 + delta_published (the atomic flip target)
+    man = spark.read.schema("version INT, dir STRING").json(os.path.join(root, "_manifest"))
+    dirs = {r.dir for r in man.where(F.col("version") == 2).collect()}
+    assert dirs == {"v1", "delta_published"}
