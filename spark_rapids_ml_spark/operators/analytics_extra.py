@@ -237,3 +237,93 @@ def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------- Gini concentration
+
+
+@register(
+    "agg_gini_revenue_concentration",
+    tags=("agg", "stats"),
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS r
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT c_mktsegment, r,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY r, c_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM rev
+),
+s AS (
+  SELECT c_mktsegment,
+         MAX(n) AS n,
+         CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(r * i) AS VARCHAR) AS DOUBLE) AS sxi
+  FROM rk GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+       sx AS total_revenue,
+       ROUND(2.0 * sxi / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM s ORDER BY c_mktsegment
+""",
+)
+def agg_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    standard whale-concentration metric (how unequal is spend across
+    the customer base), via the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted revenue.
+    Zero-order customers count (LEFT JOIN + COALESCE 0): dropping them
+    understates concentration.
+
+    Determinism: revenue and the rank-weighted sum are exact DECIMAL
+    aggregates (rank ties carry equal x, so the tie order can't change
+    Σi·xᵢ); the closing formula is two divisions and one subtraction
+    in fixed IEEE order, and the decimal→double casts route through
+    VARCHAR (sql_dsum rationale).
+
+    Scale: one join + groupBy for revenue, then ONE window sort per
+    segment (the rank) — the same global-sort pinch as NTILE/RFM,
+    documented there with the distributed-scan rank as the 100 TB
+    form. Everything after the rank is partial-aggregable.
+    """
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("r", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    rk = rev.select(
+        "c_mktsegment",
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    s = rk.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n"),
+        F.sum("r").cast("double").alias("sx"),
+        F.sum(F.col("r") * F.col("i")).cast("double").alias("sxi"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("sxi") / (nd * F.col("sx")) - (nd + 1.0) / nd, 6
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")

@@ -915,3 +915,89 @@ def pipe_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_idx")
     )
+
+
+# --------------------------------------------- token-budget selection
+
+TB_SCORE_SCALE = 1_000_000  # integer quality score = distinct-ratio micro
+TB_BUDGET_NUM, TB_BUDGET_DEN = 2, 5  # budget = 40% of corpus tokens
+
+
+@register(
+    "pipe_token_budget_selection",
+    tags=("pipeline", "selection"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len({SQL_TOKENS}) AS n_tok,
+         len(list_distinct({SQL_TOKENS})) AS n_dis
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         (CAST(n_dis AS BIGINT) * {TB_SCORE_SCALE}) // n_tok AS score
+  FROM t
+),
+budget AS (SELECT (SUM(n_tok) * {TB_BUDGET_NUM}) // {TB_BUDGET_DEN} AS b FROM scored),
+ranked AS (
+  SELECT doc_id, n_tok, score,
+         SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored
+),
+sel AS (SELECT * FROM ranked WHERE cum <= (SELECT b FROM budget))
+SELECT CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM sel) AS BIGINT) AS n_selected,
+       CAST((SELECT b FROM budget) AS BIGINT) AS budget_tokens,
+       CAST((SELECT MAX(cum) FROM sel) AS BIGINT) AS tokens_selected,
+       CAST((SELECT MIN(score) FROM sel) AS BIGINT) AS cut_score
+""",
+)
+def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-per-token data selection under a token budget —
+    the "which 40% of the corpus do we train on" knapsack that data
+    curation runs after dedup/filtering: rank docs by an integer
+    quality score (distinct-token ratio in micro units — the
+    repetition-penalty proxy), admit in rank order while the running
+    token total fits the budget (budget = 40% of corpus tokens,
+    computed from the same scan).
+
+    Determinism: score and budget are pure integer arithmetic; the
+    admission order (score DESC, doc_id) is total, so the cumulative
+    sum and the cut point are exact.
+
+    Scale: scoring is per-row; the admission is ONE global-sort window
+    cumsum — the same documented pinch as RFM/NTILE (at 100 TB:
+    range-partition by score, compute per-range token totals, then a
+    two-pass prefix-sum assigns each range an offset; only the
+    boundary range needs the within-range scan). Output is a 1-row
+    summary, so nothing corpus-sized leaves the executors.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("n_dis"),
+    )
+    scored = t.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"(n_dis * {TB_SCORE_SCALE}) div n_tok").alias("score"),
+    )
+    budget = scored.agg(
+        F.expr(f"(SUM(n_tok) * {TB_BUDGET_NUM}) div {TB_BUDGET_DEN}").alias("b")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.select("doc_id", "n_tok", "score", F.sum("n_tok").over(w).alias("cum"))
+    sel = ranked.crossJoin(F.broadcast(budget)).where(F.col("cum") <= F.col("b"))
+    summary = sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.max("cum").cast("bigint").alias("tokens_selected"),
+        F.min("score").cast("bigint").alias("cut_score"),
+        F.max("b").cast("bigint").alias("budget_tokens"),
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return n_docs.crossJoin(summary).select(
+        "n_docs", "n_selected", "budget_tokens", "tokens_selected", "cut_score"
+    )

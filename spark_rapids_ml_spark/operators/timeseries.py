@@ -1213,3 +1213,85 @@ def events_abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- marketing attribution
+
+ATTR_WINDOW_US = 86_400_000_000  # 24 h lookback, in microseconds
+
+
+@register(
+    "events_attribution_last_touch",
+    tags=("timeseries", "analytics"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts
+  FROM events
+),
+attributed AS (
+  SELECT CASE WHEN prev_type IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) <= {ATTR_WINDOW_US}
+              THEN prev_type ELSE 'direct' END AS channel,
+         value
+  FROM ordered WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM attributed GROUP BY channel ORDER BY channel
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent NON-purchase event within a 24 h lookback
+    (else the 'direct' bucket), then channels roll up to purchase
+    count + exact-decimal revenue. The carry is last(..., ignorenulls)
+    over an unbounded-preceding-to-1-preceding frame — the same
+    last-observation-carried-forward shape as the as-of join, so the
+    attribution needs NO self-join against the click stream.
+
+    Determinism: event order is (ts, event_id) — a total order; the
+    24 h test compares exact epoch microseconds; revenue is a
+    DECIMAL(18,2) sum surfaced via the VARCHAR-routed cast.
+
+    Scale: ONE shuffle (user_id window partitioning) over the event
+    log, then a channel-cardinality groupBy. This is the attribution
+    shape that replaces the naive purchases×impressions interval join,
+    which explodes quadratically on active users.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    ordered = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(nonp_type, ignorenulls=True).over(w).alias("prev_type"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    channel = F.when(
+        F.col("prev_type").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("prev_ts") <= ATTR_WINDOW_US
+        ),
+        F.col("prev_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        ordered.where(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -321,3 +321,112 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------- robust statistics
+
+MAD_USER_CAP = 150  # bounded output slice (users are hash-uniform)
+
+
+@register(
+    "window_median_mad_robust",
+    tags=("window", "stats"),
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE user_id <= {MAD_USER_CAP}
+),
+rk AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM v
+),
+med AS (SELECT user_id, MAX(n) AS n,
+               MAX(CASE WHEN i = (n + 1) // 2 THEN cents END) AS median_cents
+        FROM rk GROUP BY user_id),
+dev AS (
+  SELECT v.user_id, v.event_id, abs(v.cents - m.median_cents) AS d
+  FROM v JOIN med m USING (user_id)
+),
+drk AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM dev
+),
+mad AS (SELECT user_id, MAX(CASE WHEN i = (n + 1) // 2 THEN d END) AS mad_cents
+        FROM drk GROUP BY user_id)
+SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+       CAST(m.median_cents AS BIGINT) AS median_cents,
+       CAST(a.mad_cents AS BIGINT) AS mad_cents
+FROM med m JOIN mad a USING (user_id)
+ORDER BY m.user_id
+""",
+)
+def window_median_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust center + spread: the LOWER MEDIAN (element at
+    rank (n+1)//2 under a total order — no interpolation, so no FP)
+    and the median absolute deviation around it, both in exact integer
+    cents. MAD is the robust alternative to the z-score stack
+    (events_rolling_zscore_anomaly): one outlier payment shifts a
+    stddev arbitrarily but moves MAD by at most one rank step —
+    anomaly gates on MAD survive the heavy-tailed spend distributions
+    that break Gaussian gates.
+
+    The rank-select formulation (row_number = (n+1)//2) is what makes
+    an exact median portable: both engines' native median() functions
+    interpolate even-count groups in engine-specific float arithmetic.
+
+    Scale: two windows and one join, ALL partitioned by user_id — one
+    logical co-partitioning, so the exchange happens once and the
+    median/deviation/MAD stages run partition-local. The user cap
+    bounds the declared output; the plan is per-key linear in events.
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") <= MAD_USER_CAP)
+        .select("user_id", "event_id", cents.alias("cents"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    wn = Window.partitionBy("user_id")
+    rk = v.select(
+        "user_id",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer (n+1)//2 via div — matches the oracle's rank arithmetic
+    med = rk.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.expr("i = (n + 1) div 2"), F.col("cents"))
+        ).alias("median_cents"),
+    )
+    dev = v.join(med.select("user_id", "median_cents"), "user_id").select(
+        "user_id",
+        "event_id",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("d", "event_id")
+    drk = dev.select(
+        "user_id",
+        "d",
+        F.row_number().over(wd).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = drk.groupBy("user_id").agg(
+        F.max(F.when(F.expr("i = (n + 1) div 2"), F.col("d"))).alias("mad_cents")
+    )
+    return (
+        med.join(mad, "user_id")
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("median_cents").cast("bigint").alias("median_cents"),
+            F.col("mad_cents").cast("bigint").alias("mad_cents"),
+        )
+        .orderBy("user_id")
+    )

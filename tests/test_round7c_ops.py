@@ -329,3 +329,113 @@ def test_write_audit_publish_invariants(spark):
     man = spark.read.schema("version INT, dir STRING").json(os.path.join(root, "_manifest"))
     dirs = {r.dir for r in man.where(F.col("version") == 2).collect()}
     assert dirs == {"v1", "delta_published"}
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    from spark_rapids_ml_spark.operators import analytics_extra as ax
+
+    rows = ax.agg_gini_revenue_concentration(spark, SF).collect()
+    assert rows
+    segs = load(spark, SF, "customer").select("c_mktsegment").distinct().count()
+    assert len(rows) == segs
+    total_cust = load(spark, SF, "customer").count()
+    assert sum(r.n_customers for r in rows) == total_cust
+    for r in rows:
+        assert 0 <= r.gini < 1  # Gini of non-negative data
+        assert r.total_revenue >= 0
+    # numpy recomputation for one segment
+    import numpy as np
+
+    seg = rows[0].c_mktsegment
+    c = load(spark, SF, "customer").where(F.col("c_mktsegment") == seg)
+    o = load(spark, SF, "orders")
+    rev = {r.c_custkey: 0.0 for r in c.select("c_custkey").collect()}
+    for r in (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r.o_custkey] = round(rev[r.o_custkey] + r.o_totalprice, 2)
+    x = np.sort(np.array(list(rev.values())))
+    n = len(x)
+    gini = 2 * (x * np.arange(1, n + 1)).sum() / (n * x.sum()) - (n + 1) / n
+    assert abs(rows[0].gini - gini) < 1e-4
+
+
+def test_attribution_conserves_purchases(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    rows = ts.events_attribution_last_touch(spark, SF).collect()
+    ev = load(spark, SF, "events")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch  # every purchase lands once
+    channels = {r.channel for r in rows}
+    assert "purchase" not in channels  # a purchase never self-attributes
+    assert channels <= {"view", "click", "signup", "error", "direct"}
+    total_rev = sum(r.revenue for r in rows)
+    exact = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(total_rev - exact) < 1e-6
+
+
+def test_token_budget_selection_greedy_optimality(spark):
+    from spark_rapids_ml_spark.operators import llm_pipeline as lp
+
+    row = lp.pipe_token_budget_selection(spark, SF).collect()[0]
+    assert row.tokens_selected <= row.budget_tokens
+    assert 0 < row.n_selected <= row.n_docs
+    # replay the greedy in Python
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    scored = []
+    for r in docs:
+        toks = r.text.split(" ")
+        scored.append((len(set(toks)) * lp.TB_SCORE_SCALE // len(toks), r.doc_id, len(toks)))
+    budget = sum(t for _, _, t in scored) * lp.TB_BUDGET_NUM // lp.TB_BUDGET_DEN
+    cum = n_sel = 0
+    cut = None
+    for score, _doc, ntok in sorted(scored, key=lambda t: (-t[0], t[1])):
+        if cum + ntok > budget:
+            break
+        cum += ntok
+        n_sel += 1
+        cut = score
+    assert (row.n_selected, row.tokens_selected, row.cut_score, row.budget_tokens) == (
+        n_sel,
+        cum,
+        cut,
+        budget,
+    )
+
+
+def test_median_mad_matches_python(spark):
+    from spark_rapids_ml_spark.operators import windows as wd
+
+    got = {
+        r.user_id: (r.n, r.median_cents, r.mad_cents)
+        for r in wd.window_median_mad_robust(spark, SF).collect()
+    }
+    ev = (
+        load(spark, SF, "events")
+        .where(F.col("user_id") <= wd.MAD_USER_CAP)
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    by_user = defaultdict(list)
+    for r in ev:
+        cents = int(Decimal(repr(r.value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        by_user[r.user_id].append((cents, r.event_id))
+    expect = {}
+    for u, vals in by_user.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(c - med), e) for c, e in vals)
+        mad = devs[(n + 1) // 2 - 1][0]
+        expect[u] = (n, med, mad)
+    assert got == expect
