@@ -888,3 +888,100 @@ def mm_image_augment_flip_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     return payloads.mapInPandas(run, AUG_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# tile impurity (image-complexity scoring)
+# ---------------------------------------------------------------------------
+
+TILE_ROWS, TILE_COLS = 2, 2  # 2x2 grid over the 16x8 raster
+TILE_BUCKETS = 8  # brightness (r+g+b in 0..765) // 96 -> 8 bins
+_TILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tile", LongType()),
+        StructField("n_px", LongType()),
+        StructField("impurity_micro", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_image_tile_impurity",
+    tags=("multimodal", "quality"),
+    oracle=f"""
+-- per-tile Gini impurity of brightness buckets over the decoded
+-- 16x8 raster: pixel k sits in tile (row//4)*2 + (col//8); brightness
+-- bucket = (r+g+b)//96; impurity_micro = 1e6*(n^2 - SUM(c^2))//n^2 —
+-- pure integer arithmetic, bit-exact cross-engine.
+WITH d AS (
+  SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
+),
+px AS (
+  SELECT d.doc_id, g.k,
+         ((g.k // 16) // 4) * {TILE_COLS} + ((g.k % 16) // 8) AS tile,
+         (ascii(substr(d.text, CAST((3 * g.k) % d.L AS INTEGER) + 1, 1))
+        + ascii(substr(d.text, CAST((3 * g.k + 1) % d.L AS INTEGER) + 1, 1))
+        + ascii(substr(d.text, CAST((3 * g.k + 2) % d.L AS INTEGER) + 1, 1))) // 96 AS bucket
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 127)) AS k) g
+),
+cnt AS (SELECT doc_id, tile, bucket, COUNT(*) AS c FROM px GROUP BY 1, 2, 3),
+imp AS (
+  SELECT doc_id, tile, SUM(c) AS n, SUM(c * c) AS sc2
+  FROM cnt GROUP BY doc_id, tile
+)
+SELECT doc_id, CAST(tile AS BIGINT) AS tile, CAST(n AS BIGINT) AS n_px,
+       CAST((1000000 * (n * n - sc2)) // (n * n) AS BIGINT) AS impurity_micro
+FROM imp ORDER BY doc_id, tile
+""",
+)
+def mm_image_tile_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-level image complexity: the 16×8 decoded raster splits
+    into a 2×2 tile grid; each tile scores the Gini impurity of its
+    brightness-bucket histogram (1 − Σpᵢ², in micro fixed-point via
+    exact integers). Flat tiles (sky, padding, letterboxes) score near
+    0, busy tiles near 1 — the per-region complexity signal a
+    multimodal curation pipeline uses to drop blank/boilerplate
+    regions before captioning or OCR, and the deterministic stand-in
+    for the entropy score (log2 is a libm call; Gini is rational).
+
+    Scale: the decode is stateless mapInPandas over payload batches
+    (real P6 parse, no shuffle); only (doc, tile, n, impurity) rows —
+    4 per image — leave the stage. The DuckDB oracle recomputes every
+    bucket count from the text-transcode arithmetic, so decode, tiling
+    and histogram are all value-checked.
+    """
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(ppm_from_text)
+
+    th, tw = FAKE_H // TILE_ROWS, FAKE_W // TILE_COLS  # 4 x 8 tiles
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                img = decode_ppm(bytes(pdf["payload"].iloc[i]))
+                s = img.astype(np.int64).sum(axis=2)  # (h, w) brightness
+                buckets = s // 96
+                for tr in range(TILE_ROWS):
+                    for tc in range(TILE_COLS):
+                        tb = buckets[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]
+                        n = tb.size
+                        _vals, cts = np.unique(tb, return_counts=True)
+                        sc2 = int((cts.astype(np.int64) ** 2).sum())
+                        rows.append(
+                            {
+                                "doc_id": int(pdf["doc_id"].iloc[i]),
+                                "tile": tr * TILE_COLS + tc,
+                                "n_px": n,
+                                "impurity_micro": (1_000_000 * (n * n - sc2)) // (n * n),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _TILE_SCHEMA.fields])
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    payloads = d.select("doc_id", to_ppm("text").alias("payload"))
+    return payloads.mapInPandas(run, _TILE_SCHEMA).orderBy("doc_id", "tile")

@@ -1604,3 +1604,96 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_to_memory(_ewma_stateful_of(s), "update")
     return res.select("user_id", "event_id", "ewma").orderBy("event_id")
+
+
+# --------------------------------------------- heavy-hitter maintenance
+
+HH_TOP_K = 10
+HH_STAGE_FILES = 4  # micro-batches the staged source replays
+
+
+@register(
+    "stream_topk_heavy_hitters",
+    tags=("streaming", "stateful"),
+    oracle=f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {HH_TOP_K}
+""",
+)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k maintenance: the event stream replays as
+    {HH_STAGE_FILES} genuine micro-batches (distributed ranged staging,
+    maxFilesPerTrigger=1); foreachBatch folds each batch's per-user
+    partial counts into a VERSIONED state table (state_v{{i}} =
+    state_v{{i-1}} + batch aggregate — the snapshot-commit discipline,
+    so a retried batch rewrites its own version instead of
+    double-counting). The final answer is the top-{HH_TOP_K} heavy
+    hitters from the last committed state, hash-equal to the batch
+    GROUP BY because counts are exactly mergeable.
+
+    Scale: per tick the work is O(batch) + a merge against per-key
+    state that is CARDINALITY-bounded, not stream-length-bounded; at
+    100 TB the state table caps with a Misra-Gries residual exactly
+    like the batch agg_freq_items_merge, trading the long tail for a
+    bounded error the summary reports. Merge order is irrelevant
+    (integer sums commute) — batch-boundary invariance is pinned by
+    the replay test.
+    """
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_hh/{tag}"
+    state_root = f"/root/repo/.tmp/sinks/{tag}/hh_state"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+
+    # distributed ranged staging: no driver materialization
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ev.repartitionByRange(HH_STAGE_FILES, "event_id").write.mode("overwrite").parquet(
+        stage
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        prev_dir = os.path.join(state_root, f"state_v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"state_v{batch_id}")
+        )
+
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{_CHECKPOINT_ROOT}/hh_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    versions = sorted(
+        int(d.split("_v")[1]) for d in os.listdir(state_root) if d.startswith("state_v")
+    )
+    final = spark.read.parquet(os.path.join(state_root, f"state_v{versions[-1]}"))
+    return (
+        final.select("user_id", F.col("n_events").cast("bigint").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(HH_TOP_K)
+    )

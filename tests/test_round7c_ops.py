@@ -439,3 +439,62 @@ def test_median_mad_matches_python(spark):
         mad = devs[(n + 1) // 2 - 1][0]
         expect[u] = (n, med, mad)
     assert got == expect
+
+
+def test_tile_impurity_matches_numpy(spark):
+    from spark_rapids_ml_spark.operators import multimodal as mm
+
+    got = {
+        (r.doc_id, r.tile): (r.n_px, r.impurity_micro)
+        for r in mm.mm_image_tile_impurity(spark, SF).collect()
+    }
+    docs = (
+        load(spark, SF, "documents")
+        .where(F.col("doc_id") <= 100)
+        .select("doc_id", "text")
+        .collect()
+    )
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm
+
+    th, tw = mm.FAKE_H // mm.TILE_ROWS, mm.FAKE_W // mm.TILE_COLS
+    expect = {}
+    for r in docs:
+        img = decode_ppm(mm.ppm_from_text(r.text))
+        s = img.astype(np.int64).sum(axis=2)
+        buckets = s // 96
+        for tr in range(mm.TILE_ROWS):
+            for tc in range(mm.TILE_COLS):
+                tb = buckets[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]
+                n = tb.size
+                _v, cts = np.unique(tb, return_counts=True)
+                sc2 = int((cts.astype(np.int64) ** 2).sum())
+                expect[(r.doc_id, tr * mm.TILE_COLS + tc)] = (
+                    n,
+                    (1_000_000 * (n * n - sc2)) // (n * n),
+                )
+    assert got == expect
+    for n, imp in got.values():
+        assert 0 <= imp < 1_000_000
+
+
+def test_stream_heavy_hitters_multibatch_and_batch_parity(spark):
+    import os
+
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    got = [(r.user_id, r.n_events) for r in sq.stream_topk_heavy_hitters(spark, SF).collect()]
+    # the staged source really replayed as HH_STAGE_FILES micro-batches
+    tag = SF.strip("/").replace("/", "_")
+    state_root = f"/root/repo/.tmp/sinks/{tag}/hh_state"
+    versions = sorted(d for d in os.listdir(state_root) if d.startswith("state_v"))
+    assert len(versions) == sq.HH_STAGE_FILES
+    # stream answer == batch answer (counts are exactly mergeable)
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(sq.HH_TOP_K)
+        .collect()
+    )
+    assert got == [(r.user_id, r.n) for r in batch]
