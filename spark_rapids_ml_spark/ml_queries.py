@@ -933,11 +933,15 @@ def _logreg_sql(rows_cte: str) -> str:
         ctes.append(f"st{i} AS ({_logreg_stats_cte('rows_', f'bt{i-1}')})")
         ctes.append(f"bt{i} AS ({_logreg_newton_cte(f'st{i}', f'bt{i-1}')})")
     joined = ",\n".join(ctes)
+    # ROUND(...)+0 normalizes IEEE -0.0 to +0.0: a coefficient that
+    # rounds to zero carries a summation-order-noise sign (first seen
+    # on b1 at the sf1 probe) — same convention as the PCA covariance
+    # oracle.
     return f"""WITH {joined}
 SELECT (SELECT COUNT(*) FROM rows_) AS n,
        (SELECT COUNT(*) FROM rows_ CROSS JOIN bt{LOGREG_ITERS} b
         WHERE (CASE WHEN {_logreg_z('b')} >= 0.0 THEN 1.0 ELSE 0.0 END) = y) AS n_correct,
-       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+       ROUND(b0, 6) + 0 AS b0, ROUND(b1, 6) + 0 AS b1, ROUND(b2, 6) + 0 AS b2
 FROM bt{LOGREG_ITERS}"""
 
 
