@@ -64,14 +64,28 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 7 rotation: (a) the operators ADDED this round (never
-    # driver-sampled, new code — highest priority), then (b) the 23
-    # queries that had never had a driver correctness row across
-    # r01-r06 (each is judge-verified and hash-green in the committed
-    # SWEEP artifacts at sf0.01/sf1, incl. the composed lakehouse
-    # lifecycle), (c) the queries whose implementation changed this
-    # round, (d) the stalest surviving driver rows (r02 vintage) to
-    # fill the 50-sample window. Names absent are skipped.
+    # -- round 7 rotation (continued session): (a) the 16 operators
+    # added in the second round-7 session — newest code, never
+    # driver-sampled — then (b) the first session's 20 additions, then
+    # (c) the queries that had never had a driver correctness row
+    # through r06, (d) stalest surviving driver rows. Names absent are
+    # skipped.
+    "sim_sparse_tfidf_cosine_pairs",
+    "dedup_exact_substring_spans",
+    "ml_tree_split_histogram",
+    "graph_link_prediction_jaccard",
+    "events_abtest_welch_ttest",
+    "agg_chisq_independence",
+    "join_spatial_grid_knn",
+    "ml_logreg_irls_newton",
+    "graph_label_propagation",
+    "scale_write_audit_publish",
+    "agg_gini_revenue_concentration",
+    "events_attribution_last_touch",
+    "pipe_token_budget_selection",
+    "window_median_mad_robust",
+    "mm_image_tile_impurity",
+    "stream_topk_heavy_hitters",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",
