@@ -1295,3 +1295,211 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------- Kaplan-Meier survival
+
+KM_CHURN_HORIZON_US = 43_200_000_000  # last event > 12 h before corpus end = churned
+KM_HOUR_US = 3_600_000_000
+_KM_PACK = 1_000_000_000  # step packing: n_risk * PACK + deaths
+_KM_ONE = 1_000_000  # S = 1.0 in micro units
+
+
+@register(
+    "events_survival_kaplan_meier",
+    tags=("timeseries", "analytics", "stats"),
+    oracle=f"""
+WITH life AS (
+  SELECT user_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // {KM_HOUR_US} AS dur,
+         (epoch_us((SELECT MAX(ts) FROM events)) - epoch_us(MAX(ts))
+            > {KM_CHURN_HORIZON_US}) AS observed
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n FROM life),
+bydur AS (
+  SELECT dur, COUNT(*) AS n_at, SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d
+  FROM life GROUP BY dur
+),
+steps AS (
+  SELECT dur, d,
+         (SELECT n FROM tot) - COALESCE(SUM(n_at) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM bydur
+),
+death_steps AS (SELECT dur, d, n_risk FROM steps WHERE d > 0),
+packed AS (
+  SELECT list(n_risk * {_KM_PACK} + d ORDER BY dur) AS pk,
+         list(dur ORDER BY dur) AS durs
+  FROM death_steps
+),
+km AS (
+  SELECT d.dur, d.n_risk, d.d,
+         list_reduce(
+           list_prepend(CAST({_KM_ONE} AS BIGINT),
+                        pk[1:CAST(list_position(durs, d.dur) AS INT)]),
+           (acc, x) -> acc * ((x // {_KM_PACK}) - (x % {_KM_PACK})) // (x // {_KM_PACK})
+         ) AS s_micro
+  FROM death_steps d CROSS JOIN packed
+)
+SELECT CAST(dur AS BIGINT) AS dur_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_churned, CAST(s_micro AS BIGINT) AS survival_micro
+FROM km ORDER BY dur_hours
+""",
+)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: duration =
+    floor-hours between a user's first and last event; a user whose
+    last event sits more than 12 h before the corpus end is CHURNED
+    (the death event), anyone still active is right-censored — the
+    estimator's whole point is that censored users leave the risk set
+    without counting as deaths. One row per death time: at-risk count,
+    deaths, and S(t) = Π (nᵢ−dᵢ)/nᵢ.
+
+    Determinism: the cumulative product is the KM hazard folded in
+    MICRO fixed-point over a (n_risk, deaths)-packed bigint array with
+    floor division at each step (a float Π or exp(Σlog) would be
+    accumulation-order- and libm-dependent); duration uses
+    floor-of-elapsed-micros, not boundary-counting date_diff, so both
+    engines bucket identically.
+
+    Scale: the corpus-sized work is ONE groupBy(user) over the event
+    log; everything after runs on the step table, whose size is
+    bounded by the TIME RESOLUTION (≤ span-in-hours rows), not the
+    corpus — the fold's O(steps²) slice arithmetic is over ≤ ~720
+    elements at any SF. The curve itself is the retention deliverable
+    (survival at t = the fraction of users still active t hours into
+    their lifetime).
+    """
+    ev = load(spark, sf_dir, "events")
+    cmax = ev.agg(F.max("ts").alias("corpus_max"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            F.expr(f"(unix_micros(last_ts) - unix_micros(first_ts)) div {KM_HOUR_US}").alias("dur"),
+            (
+                F.unix_micros("corpus_max") - F.unix_micros("last_ts")
+                > KM_CHURN_HORIZON_US
+            ).alias("observed"),
+        )
+    )
+    tot = life.agg(F.count(F.lit(1)).alias("n"))
+    bydur = life.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.col("observed").cast("int")).alias("d"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    steps = (
+        bydur.crossJoin(F.broadcast(tot))
+        .select(
+            "dur",
+            "d",
+            (F.col("n") - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))).alias("n_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    packed = steps.agg(
+        F.expr(f"transform(array_sort(collect_list(struct(dur, n_risk * {_KM_PACK} + d AS pkv))), s -> s.pkv)").alias("pk"),
+        F.expr("array_sort(collect_list(dur))").alias("durs"),
+    )
+    km = steps.crossJoin(F.broadcast(packed)).select(
+        "dur",
+        "n_risk",
+        "d",
+        F.expr(
+            f"aggregate(slice(pk, 1, CAST(array_position(durs, dur) AS INT)),"
+            f" CAST({_KM_ONE} AS BIGINT),"
+            f" (acc, x) -> acc * ((x div {_KM_PACK}) - (x % {_KM_PACK})) div (x div {_KM_PACK}))"
+        ).alias("s_micro"),
+    )
+    return km.select(
+        F.col("dur").cast("bigint").alias("dur_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("s_micro").cast("bigint").alias("survival_micro"),
+    ).orderBy("dur_hours")
+
+
+# --------------------------------------------- ML lag-feature assembly
+
+LAGF_USER_CAP = 30
+
+
+@register(
+    "timeseries_lag_features",
+    tags=("timeseries", "ml", "window"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+  FROM events WHERE user_id <= {LAGF_USER_CAP} AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+cal AS (
+  SELECT b.user_id, CAST(g.d AS DATE) AS day
+  FROM bounds b CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS d) g
+),
+dense AS (
+  SELECT c.user_id, c.day, COALESCE(d.rev_cents, 0) AS rev_cents
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(COALESCE(lag(rev_cents, 1) OVER w, -1) AS BIGINT) AS lag1_cents,
+       CAST(COALESCE(lag(rev_cents, 7) OVER w, -1) AS BIGINT) AS lag7_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_sum_cents,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+ORDER BY user_id, day
+""",
+)
+def timeseries_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature assembly over a time series: per
+    user, a DENSE daily revenue calendar (zero-filled gaps via a
+    per-user date sequence — lags over a sparse series would silently
+    mean "last active day", not "yesterday"), then the standard lag
+    block: t−1, t−7, and the trailing-7-day sum/count. Missing-history
+    rows carry the −1 sentinel the training pipeline masks on. All
+    features are exact integer cents — bit-stable labels for model
+    training and cross-engine hashing.
+
+    Scale: one groupBy to daily grain, one per-user explode bounded by
+    each user's OWN active span (never corpus-global), then a single
+    user-partitioned window pass computing every feature column — the
+    canonical feature-store backfill shape; adding lag-14/lag-28
+    columns reuses the same sorted window, zero extra shuffles.
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        load(spark, sf_dir, "events")
+        .where((F.col("user_id") <= LAGF_USER_CAP) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = bounds.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    dense = cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("rev_cents"), F.lit(0)).alias("rev_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return dense.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.coalesce(F.lag("rev_cents", 1).over(w), F.lit(-1)).cast("bigint").alias("lag1_cents"),
+        F.coalesce(F.lag("rev_cents", 7).over(w), F.lit(-1)).cast("bigint").alias("lag7_cents"),
+        F.sum("rev_cents").over(w7).cast("bigint").alias("roll7_sum_cents"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("roll7_n"),
+    ).orderBy("user_id", "day")

@@ -86,6 +86,8 @@ SWEEP_PRIORITY: list[str] = [
     "window_median_mad_robust",
     "mm_image_tile_impurity",
     "stream_topk_heavy_hitters",
+    "events_survival_kaplan_meier",
+    "timeseries_lag_features",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

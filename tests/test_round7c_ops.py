@@ -498,3 +498,74 @@ def test_stream_heavy_hitters_multibatch_and_batch_parity(spark):
         .collect()
     )
     assert got == [(r.user_id, r.n) for r in batch]
+
+
+def test_kaplan_meier_matches_python_fold(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    rows = ts.events_survival_kaplan_meier(spark, SF).collect()
+    ev = load(spark, SF, "events").select("user_id", "ts").collect()
+    from collections import defaultdict
+
+    first, last = {}, {}
+    for r in ev:
+        u = r.user_id
+        first[u] = min(first.get(u, r.ts), r.ts)
+        last[u] = max(last.get(u, r.ts), r.ts)
+    cmax = max(last.values())
+    us = lambda t: int(t.timestamp() * 1_000_000)
+    life = [
+        (
+            (us(last[u]) - us(first[u])) // ts.KM_HOUR_US,
+            us(cmax) - us(last[u]) > ts.KM_CHURN_HORIZON_US,
+        )
+        for u in first
+    ]
+    n_total = len(life)
+    from collections import Counter
+
+    at = Counter(d for d, _ in life)
+    deaths = Counter(d for d, o in life if o)
+    s = ts._KM_ONE
+    seen = 0
+    expect = []
+    for dur in sorted(at):
+        n_risk = n_total - seen
+        seen += at[dur]
+        d = deaths.get(dur, 0)
+        if d == 0:
+            continue
+        s = s * (n_risk - d) // n_risk
+        expect.append((dur, n_risk, d, s))
+    got = [(r.dur_hours, r.n_risk, r.n_churned, r.survival_micro) for r in rows]
+    assert got == expect
+    # survival and risk set are both non-increasing
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival_micro <= a.survival_micro
+        assert b.n_risk <= a.n_risk
+
+
+def test_lag_features_dense_calendar_and_rolling(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    rows = ts.timeseries_lag_features(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    import datetime as dt
+
+    for u, rs in by_user.items():
+        days = [dt.date.fromisoformat(r.day) for r in rs]
+        # dense: consecutive calendar days, no gaps
+        for a, b in zip(days, days[1:]):
+            assert (b - a).days == 1
+        revs = [r.rev_cents for r in rs]
+        for i, r in enumerate(rs):
+            assert r.lag1_cents == (revs[i - 1] if i >= 1 else -1)
+            assert r.lag7_cents == (revs[i - 7] if i >= 7 else -1)
+            lo = max(0, i - 6)
+            assert r.roll7_sum_cents == sum(revs[lo : i + 1])
+            assert r.roll7_n == i + 1 - lo
