@@ -985,3 +985,123 @@ def mm_image_tile_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
     payloads = d.select("doc_id", to_ppm("text").alias("payload"))
     return payloads.mapInPandas(run, _TILE_SCHEMA).orderBy("doc_id", "tile")
+
+
+# ---------------------------------------------------------------------------
+# energy segmentation (VAD shape)
+# ---------------------------------------------------------------------------
+
+SEG_FRAME = 64  # samples per analysis frame (matches mm_audio_frame_sample)
+_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_voiced", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("longest_run", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_audio_energy_segments",
+    tags=("multimodal", "decode"),
+    oracle=f"""
+-- VAD-style segmentation over the decoded PCM: frame energy is the
+-- exact integer SUM(v^2); a frame is VOICED iff its energy exceeds
+-- the doc's mean frame energy (energy * nf > total — integer cross-
+-- multiplication, no division); voiced runs found by gap-and-islands.
+WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(1, n_chars // {SEG_FRAME}) AS nf,
+         LEAST(n_chars, GREATEST(1, n_chars // {SEG_FRAME}) * {SEG_FRAME}) AS take
+  FROM documents WHERE doc_id <= 50
+),
+samp AS (
+  SELECT d.doc_id, g.s // {SEG_FRAME} AS frame_idx,
+         ascii(substr(d.text, CAST(g.s AS INTEGER) + 1, 1)) - 128 AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.take - 1)) AS s) g
+),
+fe AS (SELECT doc_id, frame_idx, SUM(v * v) AS energy FROM samp GROUP BY 1, 2),
+tote AS (SELECT doc_id, SUM(energy) AS tot, COUNT(*) AS nf FROM fe GROUP BY doc_id),
+flag AS (
+  SELECT f.doc_id, f.frame_idx, (f.energy * t.nf > t.tot) AS voiced
+  FROM fe f JOIN tote t USING (doc_id)
+),
+isl AS (
+  SELECT doc_id, frame_idx, voiced,
+         frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id, voiced ORDER BY frame_idx) AS grp
+  FROM flag
+),
+runs AS (
+  SELECT doc_id, COUNT(*) AS run_len FROM isl WHERE voiced GROUP BY doc_id, grp
+)
+SELECT t.doc_id, CAST(t.nf AS BIGINT) AS n_frames,
+       CAST(COALESCE((SELECT SUM(run_len) FROM runs r WHERE r.doc_id = t.doc_id), 0) AS BIGINT) AS n_voiced,
+       CAST(COALESCE((SELECT COUNT(*) FROM runs r WHERE r.doc_id = t.doc_id), 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE((SELECT MAX(run_len) FROM runs r WHERE r.doc_id = t.doc_id), 0) AS BIGINT) AS longest_run
+FROM tote t ORDER BY t.doc_id
+""",
+)
+def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over REAL decoded audio: the
+    RIFF/PCM payload is parsed, framed at {SEG_FRAME} samples, and a
+    frame is VOICED iff its exact integer energy Σv² exceeds the doc's
+    mean frame energy (compared by integer cross-multiplication — no
+    division, no FP). Voiced runs collapse to per-doc segment stats
+    (count, coverage, longest run) — the trim/silence-split decision a
+    speech-data pipeline makes before transcription, and the audio
+    sibling of mm_image_tile_impurity's region scoring.
+
+    Scale: decode + framing + the in-doc island scan all happen inside
+    one stateless mapInPandas batch (a doc's frame list is bounded by
+    its own length); only the 5-number summary per doc leaves the
+    stage. The oracle recomputes frames from the text-transcode bytes
+    and finds runs with SQL gap-and-islands — decode, energy rule and
+    segmentation are all value-checked.
+    """
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(wav_from_text)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                sig, _sr = decode_wav(bytes(pdf["payload"].iloc[i]))
+                v = sig.astype(np.int64)
+                nf = max(1, len(v) // SEG_FRAME)
+                take = min(len(v), nf * SEG_FRAME)
+                v = v[:take]
+                if len(v) < nf * SEG_FRAME:  # short doc: single padded frame
+                    e = np.array([int((v * v).sum())], dtype=np.int64)
+                else:
+                    e = (v * v).reshape(nf, SEG_FRAME).sum(axis=1)
+                tot = int(e.sum())
+                voiced = e * nf > tot
+                n_voiced = int(voiced.sum())
+                n_seg = longest = cur = 0
+                for fl in voiced:
+                    if fl:
+                        cur += 1
+                        if cur == 1:
+                            n_seg += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                rows.append(
+                    {
+                        "doc_id": int(pdf["doc_id"].iloc[i]),
+                        "n_frames": int(nf),
+                        "n_voiced": n_voiced,
+                        "n_segments": n_seg,
+                        "longest_run": longest,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _SEG_SCHEMA.fields])
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    payloads = d.select("doc_id", to_wav("text").alias("payload"))
+    return payloads.mapInPandas(run, _SEG_SCHEMA).orderBy("doc_id")

@@ -441,3 +441,39 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY norm_type
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    tags=("sql", "surface"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics SQL surface
+    Spark and DuckDB both adopted): every non-aggregate select item is
+    inferred as a grouping key, and ORDER BY ALL sorts by the whole
+    select list left-to-right — a total order here since the grouping
+    keys lead it. The SAME SQL text runs on both engines, so the query
+    pins that the inference rules agree.
+
+    Scale: resolves at analysis time to an ordinary partial-aggregable
+    groupBy — zero runtime cost over writing the keys out.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )

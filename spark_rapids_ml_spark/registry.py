@@ -88,6 +88,8 @@ SWEEP_PRIORITY: list[str] = [
     "stream_topk_heavy_hitters",
     "events_survival_kaplan_meier",
     "timeseries_lag_features",
+    "mm_audio_energy_segments",
+    "sql_group_by_all",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

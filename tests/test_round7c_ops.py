@@ -569,3 +569,57 @@ def test_lag_features_dense_calendar_and_rolling(spark):
             lo = max(0, i - 6)
             assert r.roll7_sum_cents == sum(revs[lo : i + 1])
             assert r.roll7_n == i + 1 - lo
+
+
+def test_audio_segments_invariants_and_python_replay(spark):
+    from spark_rapids_ml_spark.operators import multimodal as mm
+    from spark_rapids_ml_spark.functions.codecs import decode_wav
+
+    got = {
+        r.doc_id: (r.n_frames, r.n_voiced, r.n_segments, r.longest_run)
+        for r in mm.mm_audio_energy_segments(spark, SF).collect()
+    }
+    docs = (
+        load(spark, SF, "documents")
+        .where(F.col("doc_id") <= 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    W = mm.SEG_FRAME
+    for r in docs:
+        sig, _sr = decode_wav(mm.wav_from_text(r.text))
+        v = sig.astype(np.int64)
+        nf = max(1, len(v) // W)
+        v = v[: min(len(v), nf * W)]
+        if len(v) < nf * W:
+            e = [int((v * v).sum())]
+        else:
+            e = (v * v).reshape(nf, W).sum(axis=1).tolist()
+        tot = sum(e)
+        voiced = [x * nf > tot for x in e]
+        n_seg = longest = cur = 0
+        for fl in voiced:
+            cur = cur + 1 if fl else 0
+            if cur == 1 and fl:
+                n_seg += 1
+            longest = max(longest, cur)
+        assert got[r.doc_id] == (nf, sum(voiced), n_seg, longest)
+        nfr, nv, ns, lr = got[r.doc_id]
+        assert ns <= nv <= nfr and lr <= nv  # segment accounting sanity
+
+
+def test_group_by_all_matches_explicit_grouping(spark):
+    from spark_rapids_ml_spark.operators import subqueries as sq
+
+    rows = sq.sql_group_by_all(spark, SF).collect()
+    explicit = (
+        load(spark, SF, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in explicit]
