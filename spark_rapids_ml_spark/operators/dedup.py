@@ -1709,13 +1709,13 @@ WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       WHERE doc_id <= (SELECT cap FROM capv)
         AND len(string_split(text, ' ')) >= {SUBSTR_WINDOW}),
-win AS (
+win AS MATERIALIZED (
   SELECT doc_id, g.i AS pos,
          {sql_hash60(f"array_to_string(toks[CAST(g.i AS INT):CAST(g.i + {SUBSTR_WINDOW - 1} AS INT)], ' ')")} AS wh
   FROM d CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}))) g(i)
 ),
 dupw AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
-dwin AS (SELECT w.doc_id, w.pos FROM win w JOIN dupw USING (wh)),
+dwin AS MATERIALIZED (SELECT w.doc_id, w.pos FROM win w JOIN dupw USING (wh)),
 cov AS (
   SELECT doc_id, COUNT(DISTINCT p.tp) AS covered_tokens
   FROM dwin CROSS JOIN LATERAL (SELECT unnest(generate_series(pos, pos + {SUBSTR_WINDOW - 1}))) p(tp)

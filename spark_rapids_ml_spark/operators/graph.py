@@ -489,14 +489,14 @@ LP_TOP_K = 25
     oracle=f"""
 WITH sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
                     THEN 2 ELSE 1 END AS ms),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= (SELECT ms FROM sup)
 ),
-sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
 deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
 cn AS (
   SELECT n1.src AS a, n2.src AS b, COUNT(*) AS n_common
@@ -601,14 +601,14 @@ def _lpa_oracle() -> str:
     ctes = [
         f"""sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
                     THEN {LPA_MIN_SUP + 1} ELSE {LPA_MIN_SUP} END AS ms)""",
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM sup)
 )""",
-        "sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)",
-        "lbl0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym)",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym)",
     ]
     for i in range(1, LPA_ROUNDS + 1):
         ctes.append(
@@ -616,7 +616,7 @@ def _lpa_oracle() -> str:
             f" FROM sym s JOIN lbl{i - 1} l ON s.dst = l.v GROUP BY 1, 2)"
         )
         ctes.append(
-            f"lbl{i} AS (SELECT v, lbl FROM (SELECT v, lbl,"
+            f"lbl{i} AS MATERIALIZED (SELECT v, lbl FROM (SELECT v, lbl,"
             f" ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk"
             f" FROM cnt{i}) WHERE rk = 1)"
         )

@@ -1034,10 +1034,10 @@ from spark_rapids_ml_spark.operators.dedup import (  # noqa: E402
     tags=("similarity", "text", "sparse"),
     oracle=f"""
 WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
-sh AS ({sql_shingle_rows(where="doc_id <= (SELECT cap FROM capv)")}),
+sh AS MATERIALIZED ({sql_shingle_rows(where="doc_id <= (SELECT cap FROM capv)")}),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
 df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-w AS (SELECT sh.doc_id, sh.shingle,
+w AS MATERIALIZED (SELECT sh.doc_id, sh.shingle,
              ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
       FROM sh JOIN df USING (shingle)),
 nrm AS (SELECT doc_id, SUM(w * w) AS ss FROM w GROUP BY doc_id),
