@@ -327,3 +327,102 @@ def agg_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(2.0) * F.col("sxi") / (nd * F.col("sx")) - (nd + 1.0) / nd, 6
         ).alias("gini"),
     ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------- association rules
+
+MB_MIN_SUPPORT = 2  # pair support floor (support-1 rules are noise)
+MB_TOP_K = 20
+
+
+@register(
+    "agg_market_basket_rules",
+    tags=("agg", "analytics"),
+    oracle=f"""
+WITH basket AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM basket),
+ic AS (SELECT p, COUNT(*) AS n_p FROM basket GROUP BY p),
+pc AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+  FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MB_MIN_SUPPORT}
+),
+rules AS (
+  SELECT pc.pa, pc.pb, pc.n_ab, ia.n_p AS n_a, ib.n_p AS n_b,
+         CAST(pc.n_ab AS DOUBLE) / ia.n_p AS confidence,
+         CAST(pc.n_ab * (SELECT n_baskets FROM nb) AS DOUBLE)
+           / CAST(ia.n_p * ib.n_p AS DOUBLE) AS lift
+  FROM pc JOIN ic ia ON pc.pa = ia.p JOIN ic ib ON pc.pb = ib.p
+)
+SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
+FROM rules ORDER BY lift DESC, pa, pb LIMIT {MB_TOP_K}
+""",
+)
+def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal & Srikant's
+    Apriori at the pairs level): for every co-purchased part pair with
+    support ≥ {MB_MIN_SUPPORT}, the rule statistics — confidence
+    P(b|a) = n_ab/n_a and lift n_ab·N/(n_a·n_b) — ranked by lift.
+    Complements graph_link_prediction_jaccard exactly: rules score
+    pairs that DO co-occur; link prediction scores pairs that don't
+    yet.
+
+    Determinism: supports are exact integers; confidence and lift are
+    one exact-integer IEEE division each (the product n_a·n_b stays a
+    bigint), ties broken by (pa, pb).
+
+    Scale: the basket self-join is the same per-order-bounded shape as
+    the co-purchase edge build (fan-out = lines per order, never
+    corpus²); item counts are a partial-aggregable groupBy, and the
+    rule join runs on the SUPPORT-FILTERED pair table. At 100 TB the
+    support floor is the Apriori pruning lever — raise it and the
+    pair table shrinks superlinearly.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    basket = _cache(li)
+    nb = basket.agg(F.count_distinct("o").alias("n_baskets"))
+    ic = basket.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= MB_MIN_SUPPORT)
+    )
+    ia = ic.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    ib = ic.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    conf = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = (F.col("n_ab") * F.col("n_baskets")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        pc.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            conf.alias("confu"),
+            lift.alias("liftu"),
+        )
+        .orderBy(F.col("liftu").desc(), "pa", "pb")
+        .limit(MB_TOP_K)
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round("confu", 6).alias("confidence"),
+            F.round("liftu", 6).alias("lift"),
+        )
+    )

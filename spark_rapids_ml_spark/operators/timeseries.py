@@ -1503,3 +1503,93 @@ def timeseries_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(w7).cast("bigint").alias("roll7_sum_cents"),
         F.count(F.lit(1)).over(w7).cast("bigint").alias("roll7_n"),
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------- peak concurrency
+
+
+@register(
+    "events_peak_concurrency",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT day, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS t, -1 AS delta FROM iv
+),
+sweep AS (
+  SELECT day, t, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+),
+mx AS (SELECT day, MAX(conc) AS max_conc FROM sweep GROUP BY day),
+peak AS (
+  SELECT s.day, s.conc, MIN(s.t) AS peak_time
+  FROM sweep s JOIN mx ON s.day = mx.day AND s.conc = mx.max_conc
+  GROUP BY s.day, s.conc
+)
+SELECT strftime(p.day, '%Y-%m-%d') AS day,
+       CAST((SELECT COUNT(*) FROM iv i WHERE i.day = p.day) AS BIGINT) AS n_intervals,
+       CAST(p.conc AS BIGINT) AS max_concurrent,
+       strftime(p.peak_time, '%Y-%m-%d %H:%M:%S.%f') AS peak_time
+FROM peak p ORDER BY day
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: each user's daily presence is
+    the interval [first event, last event]; interval boundaries become
+    ±1 delta points, the running sum over (t, delta) is the live
+    concurrency, and the answer is each day's maximum plus the FIRST
+    instant attaining it — the capacity-planning statistic (how many
+    sessions must the system hold at once), computed without any
+    interval self-join.
+
+    Determinism: within a (t, delta) tie group every step is the same
+    ±1 increment, so the prefix-sum VALUES are order-invariant even
+    though window ties are unordered; -1 sorts before +1 at equal t
+    (end-exclusive semantics). Peak time is a MIN over the tied max
+    rows. Everything is integer.
+
+    Scale: the sweep is one window partitioned by day — boundary
+    points are 2 rows per (user, day), so the sorted set is tiny
+    relative to the event log; the classic O(n log n) replacement for
+    the O(n²) overlap join. Finer partitioning (hour) bounds each
+    window further at cluster scale.
+    """
+    iv = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wsw = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select("day", "t", F.sum("delta").over(wsw).alias("conc"))
+    mx = sweep.groupBy("day").agg(F.max("conc").alias("max_conc"))
+    peak = (
+        sweep.join(mx, "day")
+        .where(F.col("conc") == F.col("max_conc"))
+        .groupBy("day", "conc")
+        .agg(F.min("t").alias("peak_time"))
+    )
+    niv = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_intervals"))
+    return (
+        peak.join(niv, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_intervals").cast("bigint").alias("n_intervals"),
+            F.col("conc").cast("bigint").alias("max_concurrent"),
+            F.date_format("peak_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("peak_time"),
+        )
+        .orderBy("day")
+    )

@@ -90,6 +90,8 @@ SWEEP_PRIORITY: list[str] = [
     "timeseries_lag_features",
     "mm_audio_energy_segments",
     "sql_group_by_all",
+    "events_peak_concurrency",
+    "agg_market_basket_rules",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

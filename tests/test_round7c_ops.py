@@ -623,3 +623,64 @@ def test_group_by_all_matches_explicit_grouping(spark):
         .collect()
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in explicit]
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    got = {
+        r.day: (r.n_intervals, r.max_concurrent)
+        for r in ts.events_peak_concurrency(spark, SF).collect()
+    }
+    ev = load(spark, SF, "events").select("user_id", "ts").collect()
+    from collections import defaultdict
+
+    iv = {}
+    for r in ev:
+        key = (r.user_id, r.ts.date())
+        s, e = iv.get(key, (r.ts, r.ts))
+        iv[key] = (min(s, r.ts), max(e, r.ts))
+    by_day = defaultdict(list)
+    for (u, d), (s, e) in iv.items():
+        by_day[d].append((s, e))
+    for d, ivs in by_day.items():
+        pts = [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs]
+        pts.sort()  # (t, delta): -1 before +1 at equal t
+        conc = mx = 0
+        for _, delta in pts:
+            conc += delta
+            mx = max(mx, conc)
+        assert got[d.isoformat()] == (len(ivs), mx)
+        assert mx <= len(ivs)
+
+
+def test_market_basket_rule_math(spark):
+    from spark_rapids_ml_spark.operators import analytics_extra as ax
+
+    rows = ax.agg_market_basket_rules(spark, SF).collect()
+    assert rows
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    n_baskets = len(by_order)
+    item = Counter()
+    for parts in by_order.values():
+        item.update(parts)
+    pair = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair[(ps[i], ps[j])] += 1
+    prev_lift = None
+    for r in rows:
+        assert r.n_ab == pair[(r.pa, r.pb)] >= ax.MB_MIN_SUPPORT
+        assert r.n_a == item[r.pa] and r.n_b == item[r.pb]
+        assert abs(r.confidence - r.n_ab / r.n_a) < 1e-6
+        assert abs(r.lift - r.n_ab * n_baskets / (r.n_a * r.n_b)) < 1e-4
+        if prev_lift is not None:
+            assert r.lift <= prev_lift + 1e-9
+        prev_lift = r.lift
