@@ -479,7 +479,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- link prediction
 
-LP_MIN_COMMON = 2  # candidate floor: one shared neighbor is noise
+LP_MIN_COMMON = 2  # candidate floor below CO_SUPPORT_THRESH (dense graph:
+#                      one shared neighbor is noise); above it the >= 2
+#                      co-purchase support floor has already de-noised the
+#                      graph so sharply that no non-edge shares 2 neighbors
+#                      (measured: 0 of 217k wedge pairs at sf10) — the floor
+#                      adaptively drops to 1 there, mirrored in the oracle
 LP_TOP_K = 25
 
 
@@ -497,6 +502,8 @@ e AS MATERIALIZED (
   HAVING COUNT(*) >= (SELECT ms FROM sup)
 ),
 sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+mc AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
+              THEN 1 ELSE {LP_MIN_COMMON} END AS floor_cn),
 deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
 cn AS (
   SELECT n1.src AS a, n2.src AS b, COUNT(*) AS n_common
@@ -510,7 +517,7 @@ cand AS (
   JOIN deg da ON c.a = da.src
   JOIN deg db ON c.b = db.src
   LEFT JOIN e ON c.a = e.a AND c.b = e.b
-  WHERE e.a IS NULL AND c.n_common >= {LP_MIN_COMMON}
+  WHERE e.a IS NULL AND c.n_common >= (SELECT floor_cn FROM mc)
 )
 SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
        CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
@@ -536,7 +543,9 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_rapids_ml_spark.operators.dedup import _cache
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    min_sup = 2 if li.count() > CO_SUPPORT_THRESH else 1
+    big = li.count() > CO_SUPPORT_THRESH
+    min_sup = 2 if big else 1
+    floor_cn = 1 if big else LP_MIN_COMMON
     a, b = li.alias("a"), li.alias("b")
     e = _cache(
         a.join(
@@ -564,7 +573,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy(F.col("n1.src").alias("a"), F.col("n2.src").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= LP_MIN_COMMON)
+        .where(F.col("n_common") >= floor_cn)
     )
     da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
