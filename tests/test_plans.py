@@ -698,3 +698,45 @@ def test_centroid_pipeline_broadcasts_model(spark):
     plan = plan_of(ml_centroid_train_eval_pipeline(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_round7b_ops_plan_shapes(spark):
+    """Plan pins for the second-session round-7 operators: the sparse
+    cosine and spatial joins must stay equi-joins (no cartesian/NLJ on
+    the hot path), the GBDT histogram must partial-aggregate before
+    its exchange, and the attribution carry must be ONE user window."""
+    from spark_rapids_ml_spark.operators.joins import join_spatial_grid_knn
+    from spark_rapids_ml_spark.operators.similarity import sim_sparse_tfidf_cosine_pairs
+    from spark_rapids_ml_spark.operators.timeseries import events_attribution_last_touch
+    from spark_rapids_ml_spark.ml_queries import ml_tree_split_histogram
+
+    sparse = plan_of(sim_sparse_tfidf_cosine_pairs(spark, SF))
+    assert "CartesianProduct" not in sparse
+    assert "BroadcastNestedLoopJoin" not in sparse
+
+    spatial = plan_of(join_spatial_grid_knn(spark, SF))
+    assert "CartesianProduct" not in spatial
+    assert "BroadcastNestedLoopJoin" not in spatial
+
+    tree = plan_of(ml_tree_split_histogram(spark, SF))
+    # two-phase hash aggregation on the (dim, bin) histogram (partial
+    # map-side, final after exchange) — the property that bounds the
+    # shuffle to dims x bins rows at any corpus size
+    assert tree.count("HashAggregate") >= 2
+    assert "Exchange" in tree
+
+    attr = plan_of(events_attribution_last_touch(spark, SF))
+    assert attr.count("Window") == 1  # one carry pass, no self-join
+    assert "CartesianProduct" not in attr
+
+
+def test_peak_concurrency_single_sweep_window(spark):
+    """The sweep line is one day-partitioned window over boundary
+    points — never an interval self-join (no join at all before the
+    max/peak aggregation re-join on the tiny per-day table)."""
+    from spark_rapids_ml_spark.operators.timeseries import events_peak_concurrency
+
+    txt = plan_of(events_peak_concurrency(spark, SF))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Window" in txt
