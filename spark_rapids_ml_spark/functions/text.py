@@ -45,3 +45,23 @@ def sql_shingle_rows(n: int = 3, table: str = "documents", where: str = "TRUE") 
   FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM {table} WHERE {where}) t
   CROSS JOIN LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1)))) g(i)
 """
+
+
+# Adaptive evaluation slice shared by the doc-corpus pairwise operators
+# (containment, LSH quality eval, sparse cosine, substring spans): a
+# FIXED doc cap loses dup/containment pairs quadratically as the corpus
+# grows around it; n/5 floored at 400 (small corpora evaluated whole)
+# and capped at 50k (bounds the posting-list truth join) keeps pair
+# yield nonzero at every SF. The SQL and Python forms must stay in
+# lockstep — the oracle and the implementation bind the SAME cap.
+DOC_SLICE_FLOOR = 400
+DOC_SLICE_CEIL = 50_000
+SQL_DOC_SLICE_CAP = (
+    f"GREATEST({DOC_SLICE_FLOOR},"
+    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {DOC_SLICE_CEIL}))"
+)
+
+
+def doc_slice_cap(n_docs: int) -> int:
+    """Python twin of SQL_DOC_SLICE_CAP (same integer arithmetic)."""
+    return max(DOC_SLICE_FLOOR, min(n_docs // 5, DOC_SLICE_CEIL))

@@ -1488,17 +1488,15 @@ CONTAIN_THRESHOLD = 0.4  # |A ∩ B| / |A| floor for a reported pair
 # every SF. One helper pair keeps the SQL and Python forms structurally
 # in lockstep — the oracle and the implementation must bind the SAME
 # cap or they diverge.
-DOC_SLICE_FLOOR = 400
-DOC_SLICE_CEIL = 50_000
-_SQL_DOC_SLICE_CAP = (
-    f"GREATEST({DOC_SLICE_FLOOR},"
-    f" LEAST((SELECT COUNT(*) FROM documents) // 5, {DOC_SLICE_CEIL}))"
+# canonical definition lives in functions/text.py (import-cycle-free:
+# dedup imports similarity mid-module, so operators needing the cap at
+# DECORATION time import it from there, not from this module)
+from spark_rapids_ml_spark.functions.text import (  # noqa: E402
+    DOC_SLICE_CEIL,
+    DOC_SLICE_FLOOR,
+    SQL_DOC_SLICE_CAP as _SQL_DOC_SLICE_CAP,
+    doc_slice_cap as _doc_slice_cap,
 )
-
-
-def _doc_slice_cap(n_docs: int) -> int:
-    """Python twin of _SQL_DOC_SLICE_CAP (same integer arithmetic)."""
-    return max(DOC_SLICE_FLOOR, min(n_docs // 5, DOC_SLICE_CEIL))
 
 
 @register(

@@ -1021,11 +1021,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSE_COS_THRESHOLD = 0.5
 IDF_SCALE = 16  # idf <= IDF_SCALE * 50k slice = 8e5; w^2 sums stay << 2^63
 
-from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows  # noqa: E402
-from spark_rapids_ml_spark.operators.dedup import (  # noqa: E402
-    _SQL_DOC_SLICE_CAP,
-    _cache,
-    _doc_slice_cap,
+from spark_rapids_ml_spark.functions.text import (  # noqa: E402
+    SQL_DOC_SLICE_CAP as _SQL_DOC_SLICE_CAP,
+    doc_slice_cap as _doc_slice_cap,
+    shingles,
+    sql_shingle_rows,
 )
 
 
@@ -1077,6 +1077,8 @@ def sim_sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     or a df ceiling bounds the worst key. Everything else is
     partial-aggregable group-bys over (doc, shingle) rows.
     """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
     alldocs = load(spark, sf_dir, "documents")
     cap = _doc_slice_cap(alldocs.count())
     d = alldocs.where(F.col("doc_id") <= cap).select(
