@@ -41,6 +41,13 @@ SAMPLED = [
     "timeseries_ewma_halflife",  # round 7: in-frame bigint fold under non-UTC session tz
     "sql_create_sql_udf",  # round 7: SQL UDF registration on a foreign session
     "stream_stateful_ewma",  # round 7: applyInPandasWithState + state shuffle under foreign conf
+    "events_attribution_last_touch",  # round 7b: epoch-us lookback under non-UTC session tz
+    "events_peak_concurrency",  # round 7b: date bucketing + microsecond formatting, non-UTC tz
+    "events_survival_kaplan_meier",  # round 7b: corpus-max horizon + HOF fold under foreign conf
+    "ml_logreg_irls_newton",  # round 7b: generated-SQL CTE chain at 200 shuffle partitions
+    "stream_topk_heavy_hitters",  # round 7b: ranged staging + foreachBatch state merge, AQE off
+    "join_spatial_grid_knn",  # round 7b: adaptive grid from count() under AQE disabled
+    "mm_image_tile_impurity",  # round 7b: mapInPandas decode under arrow-batch conf off
 ]
 
 
