@@ -58,6 +58,17 @@ SAMPLED = [
     "agg_bloom_filter_membership",
     "graph_kcore_peeling",
     "text_collocation_lift",
+    # round 7b: the fixed-point IRLS trajectory (nano sums), the KM
+    # fold (packed-array prefix product), the sweep line (tie groups
+    # carry identical deltas), Gini (rank-weighted decimal sums),
+    # histogram split (two-phase integer agg), LPA (deterministic
+    # tie-broken supersteps)
+    "ml_logreg_irls_newton",
+    "events_survival_kaplan_meier",
+    "events_peak_concurrency",
+    "agg_gini_revenue_concentration",
+    "ml_tree_split_histogram",
+    "graph_label_propagation",
 ]
 
 
