@@ -114,6 +114,11 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CO_SUPPORT_THRESH = 10_000_000  # lineitem rows above which edges need 2 co-purchases
+# De-noised co-purchase graph shared by label propagation and link
+# prediction: support >= GRAPH_MIN_SUP at every scale, +1 above
+# CO_SUPPORT_THRESH (triangle count keeps its own support-1 history
+# below the threshold — its oriented join tolerates the dense graph).
+GRAPH_MIN_SUP = 2
 
 
 @register(
@@ -479,12 +484,16 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- link prediction
 
-LP_MIN_COMMON = 2  # candidate floor below CO_SUPPORT_THRESH (dense graph:
-#                      one shared neighbor is noise); above it the >= 2
-#                      co-purchase support floor has already de-noised the
-#                      graph so sharply that no non-edge shares 2 neighbors
-#                      (measured: 0 of 217k wedge pairs at sf10) — the floor
-#                      adaptively drops to 1 there, mirrored in the oracle
+# Link prediction runs on the SAME de-noised graph as label
+# propagation (support >= 2 at every scale, 3 above CO_SUPPORT_THRESH):
+# with single-support edges the graph goes dense in the multi-million-
+# row sub-threshold regime and the UNDIRECTED wedge join explodes
+# (measured: 305 s at sf1 vs 7 s for LPA on the de-noised graph — the
+# support floor, not the wedge join, is the scale lever). The
+# common-neighbor candidate floor is 2 below the threshold and 1 above
+# it, where the sparser support-3 graph leaves no 2-neighbor non-edges
+# (measured: 0 of 217k wedge pairs at sf10).
+LP_MIN_COMMON = 2
 LP_TOP_K = 25
 
 
@@ -493,7 +502,7 @@ LP_TOP_K = 25
     tags=("graph",),
     oracle=f"""
 WITH sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
-                    THEN 2 ELSE 1 END AS ms),
+                    THEN {GRAPH_MIN_SUP + 1} ELSE {GRAPH_MIN_SUP} END AS ms),
 e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
@@ -544,7 +553,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     big = li.count() > CO_SUPPORT_THRESH
-    min_sup = 2 if big else 1
+    min_sup = GRAPH_MIN_SUP + 1 if big else GRAPH_MIN_SUP
     floor_cn = 1 if big else LP_MIN_COMMON
     a, b = li.alias("a"), li.alias("b")
     e = _cache(
@@ -603,7 +612,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------- label propagation (LPA)
 
 LPA_ROUNDS = 4  # fixed synchronous supersteps (unrolled in the oracle)
-LPA_MIN_SUP = 2  # co-purchase support floor (3 above CO_SUPPORT_THRESH)
+LPA_MIN_SUP = GRAPH_MIN_SUP  # co-purchase support floor (+1 above CO_SUPPORT_THRESH)
 
 
 def _lpa_oracle() -> str:

@@ -108,12 +108,15 @@ def test_link_prediction_candidates_are_nonedges(spark):
     by_order = defaultdict(set)
     for r in li:
         by_order[r.l_orderkey].add(r.l_partkey)
-    edges = set()
+    from collections import Counter
+
+    co = Counter()
     for parts in by_order.values():
         ps = sorted(parts)
         for i in range(len(ps)):
             for j in range(i + 1, len(ps)):
-                edges.add((ps[i], ps[j]))
+                co[(ps[i], ps[j])] += 1
+    edges = {p for p, c in co.items() if c >= g.GRAPH_MIN_SUP}
     prev = None
     for r in rows:
         assert r.a < r.b
