@@ -489,11 +489,16 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with single-support edges the graph goes dense in the multi-million-
 # row sub-threshold regime and the UNDIRECTED wedge join explodes
 # (measured: 305 s at sf1 vs 7 s for LPA on the de-noised graph — the
-# support floor, not the wedge join, is the scale lever). The
-# common-neighbor candidate floor is 2 below the threshold and 1 above
-# it, where the sparser support-3 graph leaves no 2-neighbor non-edges
-# (measured: 0 of 217k wedge pairs at sf10).
-LP_MIN_COMMON = 2
+# support floor, not the wedge join, is the scale lever). Support
+# stays 2 at EVERY scale for this operator: the support-2 sf10 graph
+# has only 217k wedge pairs (the wedge join is trivial there), while
+# LPA's +1 bump would leave zero wedge-connected non-edges at all.
+# On the de-noised graph every wedge-connected non-edge is a candidate
+# (floor 1): a count-based floor is density-dependent and empties
+# non-monotonically with corpus size (measured: >= 2 yields 100
+# candidates at sf0.01 but ZERO at sf1 and sf10), while the Jaccard
+# ranking already weighs the shared-neighbor evidence.
+LP_MIN_COMMON = 1
 LP_TOP_K = 25
 
 
@@ -501,18 +506,14 @@ LP_TOP_K = 25
     "graph_link_prediction_jaccard",
     tags=("graph",),
     oracle=f"""
-WITH sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
-                    THEN {GRAPH_MIN_SUP + 1} ELSE {GRAPH_MIN_SUP} END AS ms),
-e AS MATERIALIZED (
+WITH e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT ms FROM sup)
+  HAVING COUNT(*) >= {GRAPH_MIN_SUP}
 ),
 sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-mc AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
-              THEN 1 ELSE {LP_MIN_COMMON} END AS floor_cn),
 deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
 cn AS (
   SELECT n1.src AS a, n2.src AS b, COUNT(*) AS n_common
@@ -526,7 +527,7 @@ cand AS (
   JOIN deg da ON c.a = da.src
   JOIN deg db ON c.b = db.src
   LEFT JOIN e ON c.a = e.a AND c.b = e.b
-  WHERE e.a IS NULL AND c.n_common >= (SELECT floor_cn FROM mc)
+  WHERE e.a IS NULL AND c.n_common >= {LP_MIN_COMMON}
 )
 SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
        CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
@@ -552,9 +553,6 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_rapids_ml_spark.operators.dedup import _cache
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    big = li.count() > CO_SUPPORT_THRESH
-    min_sup = GRAPH_MIN_SUP + 1 if big else GRAPH_MIN_SUP
-    floor_cn = 1 if big else LP_MIN_COMMON
     a, b = li.alias("a"), li.alias("b")
     e = _cache(
         a.join(
@@ -564,7 +562,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_co"))
-        .where(F.col("n_co") >= min_sup)
+        .where(F.col("n_co") >= GRAPH_MIN_SUP)
         .select("a", "b")
     )
     sym = _cache(
@@ -582,7 +580,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy(F.col("n1.src").alias("a"), F.col("n2.src").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= floor_cn)
+        .where(F.col("n_common") >= LP_MIN_COMMON)
     )
     da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
