@@ -985,3 +985,67 @@ def ml_logreg_irls_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     e.createOrReplaceTempView("embeddings")
     return spark.sql(_logreg_sql(_LOGREG_ROWS_SPARK))
+
+
+# --------------------------------------------- calibration reliability
+
+CALIB_BINS = 10
+_CALIB_MICRO = 1_000_000
+
+
+def _logreg_calibration_sql(rows_cte: str) -> str:
+    """Reliability-diagram table over the trained IRLS model: reuse the
+    full unrolled-training CTE chain, score every row with the final
+    coefficients, decile-bin the predicted probability, and compare
+    mean prediction (micro fixed-point sum — order-invariant) against
+    the observed positive rate per bin."""
+    base = _logreg_sql(rows_cte)
+    head = base[: base.rindex("SELECT (SELECT COUNT(*) FROM rows_)")].rstrip()
+    z = _logreg_z("b")
+    p = f"(0.5 + {z}/(2.0*(1.0+abs({z}))))"
+    return (
+        head
+        + f""",
+scored AS (
+  SELECT y, {p} AS p FROM rows_ CROSS JOIN bt{LOGREG_ITERS} b
+),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(p * {CALIB_BINS}), {CALIB_BINS - 1}) AS BIGINT) AS bin, y, p
+  FROM scored
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(FLOOR(p * {_CALIB_MICRO}.0) AS BIGINT)) AS DOUBLE)
+             / ({_CALIB_MICRO}.0 * COUNT(*)), 6) AS mean_pred,
+       ROUND(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+FROM binned GROUP BY bin ORDER BY bin"""
+    )
+
+
+@register(
+    "ml_calibration_reliability_bins",
+    tags=("ml", "glm", "eval"),
+    oracle=_logreg_calibration_sql(_LOGREG_ROWS_DUCK),
+)
+def ml_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the IRLS-trained binary GLM
+    (ml_logreg_irls_newton): train (same three unrolled Newton steps),
+    score every row, decile-bin the predicted probability, and emit
+    per-bin (count, mean prediction, observed positive rate) — a
+    calibrated model tracks the diagonal, and this table is the
+    standard evidence a scoring pipeline publishes next to AUC. Spark
+    and DuckDB execute the SAME generated SQL, so train+score+bin are
+    all hash-pinned as one trajectory.
+
+    Determinism: bin ids and mean predictions ride FLOOR fixed-point
+    (micro units) so the per-bin sums are exact bigints — a float mean
+    over millions of rows would be accumulation-order-dependent.
+
+    Scale: training is the logreg plan (one 9-stat scan per step);
+    scoring is per-row arithmetic against the broadcast 1-row
+    coefficient state; the output is CALIB_BINS summary rows. This is
+    the composed train→score→evaluate DAG in one declarative plan —
+    the GLM sibling of ml_centroid_train_eval_pipeline.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    e.createOrReplaceTempView("embeddings")
+    return spark.sql(_logreg_calibration_sql(_LOGREG_ROWS_SPARK))

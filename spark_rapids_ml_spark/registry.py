@@ -92,6 +92,7 @@ SWEEP_PRIORITY: list[str] = [
     "sql_group_by_all",
     "events_peak_concurrency",
     "agg_market_basket_rules",
+    "ml_calibration_reliability_bins",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

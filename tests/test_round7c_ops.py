@@ -687,3 +687,44 @@ def test_market_basket_rule_math(spark):
         if prev_lift is not None:
             assert r.lift <= prev_lift + 1e-9
         prev_lift = r.lift
+
+
+def test_calibration_bins_consistent_with_irls_model(spark):
+    rows = mlq.ml_calibration_reliability_bins(spark, SF).collect()
+    assert rows
+    n_total = sum(r.n for r in rows)
+    assert n_total == load(spark, SF, "embeddings").count()
+    for r in rows:
+        # mean prediction must sit inside its own decile bin
+        assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
+        assert 0 <= r.frac_pos <= 1
+    # numpy replay: train the same rational-link IRLS, score, bin
+    e = load(spark, SF, "embeddings").select("embedding", "label").collect()
+    E = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e])
+    x1, x2 = E[:, mlq.LOGREG_DIM_A - 1], E[:, mlq.LOGREG_DIM_B - 1]
+    y = np.array([1.0 if r.label >= 5 else 0.0 for r in e])
+    NANO = mlq._LOGREG_NANO
+    A = np.stack([np.ones_like(x1), x1, x2], 1)
+    b = np.zeros(3)
+    for _ in range(mlq.LOGREG_ITERS):
+        z = A @ b
+        p = 0.5 + z / (2 * (1 + np.abs(z)))
+        w = p * (1 - p)
+        g = np.array([np.floor((y - p) * NANO).sum(),
+                      np.floor((y - p) * x1 * NANO).sum(),
+                      np.floor((y - p) * x2 * NANO).sum()]) / NANO
+        hs = [np.floor(w * NANO).sum(), np.floor(w * x1 * NANO).sum(),
+              np.floor(w * x2 * NANO).sum(), np.floor(w * x1 * x1 * NANO).sum(),
+              np.floor(w * x1 * x2 * NANO).sum(), np.floor(w * x2 * x2 * NANO).sum()]
+        h00, h01, h02, h11, h12, h22 = [v / NANO for v in hs]
+        b = b + np.linalg.solve(
+            np.array([[h00, h01, h02], [h01, h11, h12], [h02, h12, h22]]), g
+        )
+    z = A @ b
+    p = 0.5 + z / (2 * (1 + np.abs(z)))
+    bins = np.minimum(np.floor(p * mlq.CALIB_BINS), mlq.CALIB_BINS - 1).astype(int)
+    got = {r.bin: (r.n, r.frac_pos) for r in rows}
+    for bn in sorted(set(bins)):
+        m = bins == bn
+        assert got[bn][0] == int(m.sum())
+        assert abs(got[bn][1] - y[m].mean()) < 1e-5
