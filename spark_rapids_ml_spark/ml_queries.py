@@ -922,16 +922,26 @@ def _logreg_newton_cte(s: str, b: str) -> str:
     )
 
 
-def _logreg_sql(rows_cte: str) -> str:
+def _logreg_sql(rows_cte: str, materialize: bool = False) -> str:
     """The full unrolled-IRLS WITH-query; `rows_cte` is the only
-    engine-specific fragment (array indexing syntax differs)."""
+    engine-specific fragment (array indexing syntax differs).
+
+    materialize=True (the DuckDB oracle) marks rows_ and each bt{i}
+    AS MATERIALIZED: every bt{i} is referenced twice per level, so an
+    inlining engine re-expands the chain ~2^ITERS times (7 rows_ scans
+    for bt3 instead of 3). Spark can't parse the keyword; its inlined
+    re-expansion is bounded (ITERS fixed at 3, the input is the
+    feature-table-sized embeddings, and exchange/subquery reuse
+    dedupes the repeated scans) — measured 1.7 s at sf1, flat at sf10.
+    """
+    kw = " MATERIALIZED" if materialize else ""
     ctes = [
-        f"rows_ AS ({rows_cte})",
+        f"rows_ AS{kw} ({rows_cte})",
         "bt0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
     ]
     for i in range(1, LOGREG_ITERS + 1):
         ctes.append(f"st{i} AS ({_logreg_stats_cte('rows_', f'bt{i-1}')})")
-        ctes.append(f"bt{i} AS ({_logreg_newton_cte(f'st{i}', f'bt{i-1}')})")
+        ctes.append(f"bt{i} AS{kw} ({_logreg_newton_cte(f'st{i}', f'bt{i-1}')})")
     joined = ",\n".join(ctes)
     # ROUND(...)+0 normalizes IEEE -0.0 to +0.0: a coefficient that
     # rounds to zero carries a summation-order-noise sign (first seen
@@ -960,7 +970,7 @@ _LOGREG_ROWS_SPARK = (
 @register(
     "ml_logreg_irls_newton",
     tags=("ml", "glm", "scale"),
-    oracle=_logreg_sql(_LOGREG_ROWS_DUCK),
+    oracle=_logreg_sql(_LOGREG_ROWS_DUCK, materialize=True),
 )
 def ml_logreg_irls_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary GLM trained by three unrolled IRLS/Newton steps over
@@ -993,13 +1003,13 @@ CALIB_BINS = 10
 _CALIB_MICRO = 1_000_000
 
 
-def _logreg_calibration_sql(rows_cte: str) -> str:
+def _logreg_calibration_sql(rows_cte: str, materialize: bool = False) -> str:
     """Reliability-diagram table over the trained IRLS model: reuse the
     full unrolled-training CTE chain, score every row with the final
     coefficients, decile-bin the predicted probability, and compare
     mean prediction (micro fixed-point sum — order-invariant) against
     the observed positive rate per bin."""
-    base = _logreg_sql(rows_cte)
+    base = _logreg_sql(rows_cte, materialize=materialize)
     head = base[: base.rindex("SELECT (SELECT COUNT(*) FROM rows_)")].rstrip()
     z = _logreg_z("b")
     p = f"(0.5 + {z}/(2.0*(1.0+abs({z}))))"
@@ -1024,7 +1034,7 @@ FROM binned GROUP BY bin ORDER BY bin"""
 @register(
     "ml_calibration_reliability_bins",
     tags=("ml", "glm", "eval"),
-    oracle=_logreg_calibration_sql(_LOGREG_ROWS_DUCK),
+    oracle=_logreg_calibration_sql(_LOGREG_ROWS_DUCK, materialize=True),
 )
 def ml_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the IRLS-trained binary GLM

@@ -1578,7 +1578,7 @@ CHI2_MICRO = 1_000_000  # fixed-point scale for summable contributions
     "agg_chisq_independence",
     tags=("aggregate", "stats"),
     oracle=f"""
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT event_type, dayofweek(ts) AS dow0, COUNT(*) AS obs
   FROM events GROUP BY 1, 2
 ),
@@ -1596,7 +1596,7 @@ contrib AS (
                     * {CHI2_MICRO}.0) AS BIGINT) AS cmicro
   FROM cells
 ),
-parts AS (
+parts AS MATERIALIZED (
   SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n_events,
          CAST(SUM(cmicro) AS BIGINT) AS chi2_part_micro
   FROM contrib GROUP BY 1

@@ -339,7 +339,7 @@ MB_TOP_K = 20
     "agg_market_basket_rules",
     tags=("agg", "analytics"),
     oracle=f"""
-WITH basket AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH basket AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM basket),
 ic AS (SELECT p, COUNT(*) AS n_p FROM basket GROUP BY p),
 pc AS MATERIALIZED (
@@ -357,7 +357,10 @@ rules AS (
 SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
-FROM rules ORDER BY lift DESC, pa, pb LIMIT {MB_TOP_K}
+-- rules.lift (UNROUNDED): a bare ORDER BY lift resolves to the rounded
+-- output alias in DuckDB while Spark ranks unrounded — two rules whose
+-- exact lifts straddle a 1e-6 rounding tie would order differently
+FROM rules ORDER BY rules.lift DESC, pa, pb LIMIT {MB_TOP_K}
 """,
 )
 def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,9 +115,12 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CO_SUPPORT_THRESH = 10_000_000  # lineitem rows above which edges need 2 co-purchases
 # De-noised co-purchase graph shared by label propagation and link
-# prediction: support >= GRAPH_MIN_SUP at every scale, +1 above
-# CO_SUPPORT_THRESH (triangle count keeps its own support-1 history
-# below the threshold — its oriented join tolerates the dense graph).
+# prediction: support >= GRAPH_MIN_SUP at every scale. LPA additionally
+# bumps to GRAPH_MIN_SUP + 1 above CO_SUPPORT_THRESH; link prediction
+# deliberately does NOT (see its block comment — the support-3 graph
+# leaves zero wedge-connected non-edges). Triangle count keeps its own
+# support-1 history below the threshold — its oriented join tolerates
+# the dense graph.
 GRAPH_MIN_SUP = 2
 
 
@@ -544,8 +547,9 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     reported pair is a wedge-connected non-edge.
 
     Scale: identical shapes to graph_triangle_count — edge build is an
-    equi-join on l_orderkey with the same adaptive min-support guard
-    (keeps the graph sparse at corpus scale), the candidate generator
+    equi-join on l_orderkey on the FIXED support-2 de-noised graph
+    (sparse at every measured scale: 217k wedge pairs at sf10; the
+    LPA-style +1 bump would empty the candidate set), the candidate generator
     is the wedge join on the shared-neighbor key, and the existing-edge
     exclusion is a left-anti hash join. Jaccard is one exact-integer
     IEEE division, so the ranking is bit-stable cross-engine.

@@ -991,13 +991,17 @@ def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = scored.select("doc_id", "n_tok", "score", F.sum("n_tok").over(w).alias("cum"))
     sel = ranked.crossJoin(F.broadcast(budget)).where(F.col("cum") <= F.col("b"))
+    # budget comes from the budget AGGREGATE, never from the selection:
+    # max('b') over an empty selection (one doc exceeding the whole
+    # budget) would be NULL where the oracle emits the computed budget
     summary = sel.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected"),
         F.max("cum").cast("bigint").alias("tokens_selected"),
         F.min("score").cast("bigint").alias("cut_score"),
-        F.max("b").cast("bigint").alias("budget_tokens"),
     )
     n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    return n_docs.crossJoin(summary).select(
-        "n_docs", "n_selected", "budget_tokens", "tokens_selected", "cut_score"
+    return (
+        n_docs.crossJoin(summary)
+        .crossJoin(F.broadcast(budget.select(F.col("b").cast("bigint").alias("budget_tokens"))))
+        .select("n_docs", "n_selected", "budget_tokens", "tokens_selected", "cut_score")
     )

@@ -895,7 +895,8 @@ def mm_image_augment_flip_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TILE_ROWS, TILE_COLS = 2, 2  # 2x2 grid over the 16x8 raster
-TILE_BUCKETS = 8  # brightness (r+g+b in 0..765) // 96 -> 8 bins
+TILE_BUCKETS = 8  # brightness (r+g+b in 0..767 inclusive-range 768) bins
+_TILE_DIV = 768 // TILE_BUCKETS  # 96: bucket = brightness // _TILE_DIV
 _TILE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -912,7 +913,7 @@ _TILE_SCHEMA = StructType(
     oracle=f"""
 -- per-tile Gini impurity of brightness buckets over the decoded
 -- 16x8 raster: pixel k sits in tile (row//4)*2 + (col//8); brightness
--- bucket = (r+g+b)//96; impurity_micro = 1e6*(n^2 - SUM(c^2))//n^2 —
+-- bucket = (r+g+b)//{_TILE_DIV}; impurity_micro = 1e6*(n^2 - SUM(c^2))//n^2 —
 -- pure integer arithmetic, bit-exact cross-engine.
 WITH d AS (
   SELECT doc_id, text, n_chars AS L FROM documents WHERE doc_id <= 100
@@ -922,7 +923,7 @@ px AS (
          ((g.k // 16) // 4) * {TILE_COLS} + ((g.k % 16) // 8) AS tile,
          (ascii(substr(d.text, CAST((3 * g.k) % d.L AS INTEGER) + 1, 1))
         + ascii(substr(d.text, CAST((3 * g.k + 1) % d.L AS INTEGER) + 1, 1))
-        + ascii(substr(d.text, CAST((3 * g.k + 2) % d.L AS INTEGER) + 1, 1))) // 96 AS bucket
+        + ascii(substr(d.text, CAST((3 * g.k + 2) % d.L AS INTEGER) + 1, 1))) // {_TILE_DIV} AS bucket
   FROM d, LATERAL (SELECT unnest(generate_series(0, 127)) AS k) g
 ),
 cnt AS (SELECT doc_id, tile, bucket, COUNT(*) AS c FROM px GROUP BY 1, 2, 3),
@@ -965,7 +966,7 @@ def mm_image_tile_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(pdf)):
                 img = decode_ppm(bytes(pdf["payload"].iloc[i]))
                 s = img.astype(np.int64).sum(axis=2)  # (h, w) brightness
-                buckets = s // 96
+                buckets = s // _TILE_DIV
                 for tr in range(TILE_ROWS):
                     for tc in range(TILE_COLS):
                         tb = buckets[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]

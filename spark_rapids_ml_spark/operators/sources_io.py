@@ -1220,19 +1220,19 @@ WITH base AS (
   SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
   FROM orders WHERE o_orderkey % {WAP_DELTA_MOD} <> 0
 ),
-delta0 AS (
+delta0 AS MATERIALIZED (
   SELECT o_orderkey AS k,
          CASE WHEN o_orderkey % {WAP_NULL_MOD} = 0 THEN NULL ELSE o_orderpriority END AS prio,
          CASE WHEN o_orderkey % {WAP_NEG_MOD} = 0 THEN -o_totalprice ELSE o_totalprice END AS price
   FROM orders WHERE o_orderkey % {WAP_DELTA_MOD} = 0
 ),
-staged AS (
+staged AS MATERIALIZED (
   SELECT * FROM delta0
   UNION ALL
   SELECT * FROM delta0 WHERE k % {WAP_DUP_MOD} = 0
 ),
 keyc AS (SELECT k, COUNT(*) AS kc FROM staged GROUP BY k),
-audited AS (
+audited AS MATERIALIZED (
   SELECT s.*, (s.price < 0) AS v_range, (s.prio IS NULL) AS v_null, (c.kc > 1) AS v_dup
   FROM staged s JOIN keyc c USING (k)
 ),

@@ -1124,7 +1124,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_abtest_welch_ttest",
     tags=("timeseries", "analytics", "stats"),
     oracle="""
-WITH g AS (
+WITH g AS MATERIALIZED (
   SELECT event_type, user_id % 2 AS variant,
          COUNT(*) AS n,
          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
@@ -1309,7 +1309,7 @@ _KM_ONE = 1_000_000  # S = 1.0 in micro units
     "events_survival_kaplan_meier",
     tags=("timeseries", "analytics", "stats"),
     oracle=f"""
-WITH life AS (
+WITH life AS MATERIALIZED (
   SELECT user_id,
          (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // {KM_HOUR_US} AS dur,
          (epoch_us((SELECT MAX(ts) FROM events)) - epoch_us(MAX(ts))
@@ -1512,7 +1512,7 @@ def timeseries_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_peak_concurrency",
     tags=("timeseries", "analytics"),
     oracle="""
-WITH iv AS (
+WITH iv AS MATERIALIZED (
   SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
   FROM events GROUP BY 1, 2
 ),

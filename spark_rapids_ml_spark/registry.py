@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 7 rotation (continued session): (a) the 16 operators
+    # -- round 7 rotation (continued session): (a) the 25 operators
     # added in the second round-7 session — newest code, never
     # driver-sampled — then (b) the first session's 20 additions, then
     # (c) the queries that had never had a driver correctness row
