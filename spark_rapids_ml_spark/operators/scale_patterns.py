@@ -912,3 +912,114 @@ def scale_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------ footer-statistics profile
+
+
+@register(
+    "scale_footer_stats_profile",
+    tags=("scale", "source"),
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+)
+def scale_footer_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile (row count, column min/max) served ENTIRELY from
+    parquet footer statistics — the metadata-only fast path every
+    lakehouse format (Iceberg/Delta data skipping, DuckDB's own
+    parquet_metadata) uses for "how big is this table": each task
+    opens only its files' FOOTERS (KB per file), never a data page, so
+    profiling a 100 TB table costs O(files), not O(bytes).
+
+    Mechanics: the orders table is committed as an 8-file parquet
+    dataset (the write is the setup, as in the manifest-pruning op);
+    the file list becomes a DataFrame and a mapInPandas stage reads
+    each file's pyarrow footer metadata — rows and per-row-group
+    min/max statistics — emitting one summary row per file; a final
+    tiny aggregate folds the per-file stats. Min/max from footer stats
+    are EXACT for these physical types (int64/double, no truncated
+    binary stats), which is what makes the result hash-equal to the
+    full-scan oracle. (Spark's own spark.sql.parquet.aggregatePushDown
+    was probed for this query shape and never engaged in this build —
+    PushedAggregation stays empty even for plain COUNT(*) with the V2
+    reader — so the capability is implemented directly.)
+
+    Scale: footer reads parallelize over files; the shuffle carries
+    one 6-number row per file. The same stage generalizes to NULL
+    counts and distinct-estimate sketches stored in footers.
+    """
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = f"/root/repo/.tmp/sinks/{tag}/footer_stats_orders8"
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(src)
+
+    files = [
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    ]
+    fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
+
+    stat_schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("min_price", DoubleType()),
+            StructField("max_price", DoubleType()),
+            StructField("min_key", LongType()),
+            StructField("max_key", LongType()),
+        ]
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md = pq.read_metadata(path)  # footer only — no data pages
+                names = md.schema.names
+                ik, ip = names.index("o_orderkey"), names.index("o_totalprice")
+                mn_k = mx_k = mn_p = mx_p = None
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    sk, sp = rg.column(ik).statistics, rg.column(ip).statistics
+                    mn_k = sk.min if mn_k is None else min(mn_k, sk.min)
+                    mx_k = sk.max if mx_k is None else max(mx_k, sk.max)
+                    mn_p = sp.min if mn_p is None else min(mn_p, sp.min)
+                    mx_p = sp.max if mx_p is None else max(mx_p, sp.max)
+                rows.append(
+                    {
+                        "n_rows": md.num_rows,
+                        "min_price": mn_p,
+                        "max_price": mx_p,
+                        "min_key": mn_k,
+                        "max_key": mx_k,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in stat_schema.fields])
+
+    per_file = fdf.mapInPandas(read_footers, stat_schema)
+    return per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.min("min_key").cast("bigint").alias("min_key"),
+        F.max("max_key").cast("bigint").alias("max_key"),
+    )

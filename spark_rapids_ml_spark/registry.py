@@ -93,6 +93,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_peak_concurrency",
     "agg_market_basket_rules",
     "ml_calibration_reliability_bins",
+    "scale_footer_stats_profile",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -728,3 +728,21 @@ def test_calibration_bins_consistent_with_irls_model(spark):
         m = bins == bn
         assert got[bn][0] == int(m.sum())
         assert abs(got[bn][1] - y[m].mean()) < 1e-5
+
+
+def test_footer_stats_profile_matches_full_scan(spark):
+    from spark_rapids_ml_spark.operators import scale_patterns as sp
+
+    row = sp.scale_footer_stats_profile(spark, SF).collect()[0]
+    o = load(spark, SF, "orders")
+    full = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.min("o_orderkey").alias("mk"),
+        F.max("o_orderkey").alias("xk"),
+    ).collect()[0]
+    assert row.n_files == 8
+    assert row.n_rows == full.n
+    assert row.min_price == full.mn and row.max_price == full.mx
+    assert row.min_key == full.mk and row.max_key == full.xk
