@@ -1593,3 +1593,90 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------- engagement (DAU/WAU/MAU)
+
+
+@register(
+    "events_dau_wau_mau",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH ud AS MATERIALIZED (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cal AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT c.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM cal c JOIN ud u ON u.day BETWEEN c.day - INTERVAL 6 DAY AND c.day
+  GROUP BY c.day
+),
+mau AS (
+  SELECT c.day, COUNT(DISTINCT u.user_id) AS mau
+  FROM cal c JOIN ud u ON u.day BETWEEN c.day - INTERVAL 29 DAY AND c.day
+  GROUP BY c.day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST(m.mau AS BIGINT) AS mau,
+       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
+ORDER BY day
+""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement dashboard: daily / trailing-7-day / trailing-30-
+    day EXACT distinct actives plus stickiness = DAU/MAU, per day.
+    Spark lacks a windowed COUNT(DISTINCT); the scale formulation is
+    the bounded FAN-OUT (window_trailing_distinct_users' trick): each
+    distinct (user, day) row contributes itself to the 7 (resp. 30)
+    target days it stays inside the window, then a plain per-target
+    distinct count — a 30× bounded explode of the DEDUPLICATED
+    activity table, never a range self-join against the event log.
+
+    Determinism: all integers; stickiness is one IEEE division.
+
+    Scale: the event log collapses to distinct (user, day) first (the
+    only corpus-sized aggregation); the fan-out multiplies that
+    already-small table by a constant; per-target distinct counts
+    partial-aggregate. The DuckDB oracle uses the interval join
+    directly — same semantics, different (single-node) plan shape.
+    """
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    ud = _cache(ud)
+    cal = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n_days: int, alias: str) -> DataFrame:
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, day + interval {n_days - 1} day)")
+            ).alias("target"),
+        )
+        return (
+            fan.join(F.broadcast(cal), fan["target"] == cal["day"])
+            .groupBy("target")
+            .agg(F.count_distinct("user_id").alias(alias))
+            .select(F.col("target").alias("day"), alias)
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

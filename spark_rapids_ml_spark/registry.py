@@ -94,6 +94,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_market_basket_rules",
     "ml_calibration_reliability_bins",
     "scale_footer_stats_profile",
+    "events_dau_wau_mau",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -746,3 +746,26 @@ def test_footer_stats_profile_matches_full_scan(spark):
     assert row.n_rows == full.n
     assert row.min_price == full.mn and row.max_price == full.mx
     assert row.min_key == full.mk and row.max_key == full.xk
+
+
+def test_dau_wau_mau_matches_python(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+
+    rows = ts.events_dau_wau_mau(spark, SF).collect()
+    ev = load(spark, SF, "events").select("user_id", "ts").collect()
+    from collections import defaultdict
+    import datetime as dt
+
+    byday = defaultdict(set)
+    for r in ev:
+        byday[r.ts.date()].add(r.user_id)
+    days = sorted(byday)
+    assert len(rows) == len(days)
+    for r in rows:
+        d = dt.date.fromisoformat(r.day)
+        assert r.dau == len(byday[d])
+        wau = set().union(*(byday.get(d - dt.timedelta(k), set()) for k in range(7)))
+        mau = set().union(*(byday.get(d - dt.timedelta(k), set()) for k in range(30)))
+        assert r.wau == len(wau) and r.mau == len(mau)
+        assert r.dau <= r.wau <= r.mau  # monotone by construction
+        assert abs(r.stickiness - r.dau / r.mau) < 1e-6
