@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.text import SQL_TOKENS
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -674,4 +675,76 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(COLLOC_TOP_K)
+    )
+
+
+# --------------------------------------------- vocabulary coverage
+
+VOCAB_CURVE_SIZES = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT SUM(c) AS total FROM tf),
+ranked AS (
+  SELECT term, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tf
+),
+sizes AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_CURVE_SIZES)}]) AS k)
+SELECT s.k AS vocab_size,
+       CAST(MAX(r.cum) AS BIGINT) AS tokens_covered,
+       CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens,
+       ROUND(CAST(MAX(r.cum) AS DOUBLE)
+             / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS coverage
+FROM sizes s JOIN ranked r ON r.rk <= s.k
+GROUP BY s.k ORDER BY s.k
+""",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes k (powers
+    of two), the fraction of ALL corpus token occurrences covered by
+    the k most frequent terms — the out-of-vocabulary-rate curve
+    tokenizer design runs before committing a vocab budget (BPE's
+    merge count, a word-piece cap). Tie order (freq DESC, term) makes
+    the ranking total, so every point is exact.
+
+    Scale: the corpus-sized work is ONE token-frequency groupBy whose
+    exchange carries the vocabulary, not the token stream (the
+    textstats module discipline); the ranking window and the size join
+    run on the VOCABULARY table — bounded by distinct terms, not
+    corpus rows. The curve output is |sizes| rows.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("total"))
+    wr = Window.orderBy(F.col("c").desc(), "term")
+    ranked = tf.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    sizes = spark.createDataFrame([(k,) for k in VOCAB_CURVE_SIZES], "k int")
+    return (
+        sizes.join(ranked, ranked["rk"] <= sizes["k"])
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("vocab_size"),
+            F.col("covered").cast("bigint").alias("tokens_covered"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.round(F.col("covered").cast("double") / F.col("total").cast("double"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
     )

@@ -95,6 +95,7 @@ SWEEP_PRIORITY: list[str] = [
     "ml_calibration_reliability_bins",
     "scale_footer_stats_profile",
     "events_dau_wau_mau",
+    "text_vocab_coverage_curve",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

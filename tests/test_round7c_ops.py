@@ -769,3 +769,25 @@ def test_dau_wau_mau_matches_python(spark):
         assert r.wau == len(wau) and r.mau == len(mau)
         assert r.dau <= r.wau <= r.mau  # monotone by construction
         assert abs(r.stickiness - r.dau / r.mau) < 1e-6
+
+
+def test_vocab_coverage_curve_properties(spark):
+    from spark_rapids_ml_spark.operators import textstats as tx
+    from collections import Counter
+
+    rows = tx.text_vocab_coverage_curve(spark, SF).collect()
+    assert [r.vocab_size for r in rows] == list(tx.VOCAB_CURVE_SIZES)
+    docs = load(spark, SF, "documents").select("text").collect()
+    tf = Counter()
+    for r in docs:
+        tf.update(r.text.split(" "))
+    total = sum(tf.values())
+    ordered = sorted(tf.items(), key=lambda t: (-t[1], t[0]))
+    prev = 0
+    for r in rows:
+        expect = sum(c for _, c in ordered[: r.vocab_size])
+        assert r.tokens_covered == expect
+        assert r.total_tokens == total
+        assert abs(r.coverage - expect / total) < 1e-6
+        assert r.tokens_covered >= prev  # monotone non-decreasing
+        prev = r.tokens_covered
