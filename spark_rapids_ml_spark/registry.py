@@ -96,6 +96,7 @@ SWEEP_PRIORITY: list[str] = [
     "scale_footer_stats_profile",
     "events_dau_wau_mau",
     "text_vocab_coverage_curve",
+    "stream_scd2_enrichment",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -1697,3 +1697,78 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(HH_TOP_K)
     )
+
+
+# --------------------------------------------- SCD2 stream enrichment
+
+
+@register(
+    "stream_scd2_enrichment",
+    tags=("streaming", "join"),
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND user_id <= 30
+)
+SELECT e.event_id, e.user_id,
+       CAST(d.version AS BIGINT) AS version, d.state,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS probe_ts
+FROM events e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'click' AND e.user_id <= 30
+ORDER BY e.event_id
+""",
+)
+def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature SERVING on the stream: each arriving click is enriched
+    with the SCD2 dimension version valid AT ITS OWN event time — a
+    stream-static join whose condition is the half-open validity
+    interval, not an equi-key (stream-static inner joins are
+    stateless, so arbitrary conditions are allowed; this is the
+    online dual of scd2_point_in_time_join, whose oracle it shares —
+    stream ≡ batch on the no-future-leakage enrichment).
+
+    Scale: the dimension is the STATIC side — at 100 TB it is the
+    broadcast (or storage-partitioned) feature table republished by
+    the batch SCD2 build, while the stream side never buffers state
+    (no watermark needed; stateless per-row probe). Per-key version
+    counts bound the join fan-out exactly as in the batch op.
+    """
+    from pyspark.sql import Window
+
+    e_static = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e_static.where(
+            F.col("event_type").isin("signup", "purchase") & (F.col("user_id") <= 30)
+        )
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    clicks = _read_stream(spark, sf_dir).where(
+        (F.col("event_type") == "click") & (F.col("user_id") <= 30)
+    )
+    joined = clicks.join(
+        dim,
+        (clicks["user_id"] == dim["d_user"])
+        & (clicks["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (clicks["ts"] < dim["valid_to"])),
+    ).select(
+        "event_id",
+        "user_id",
+        "version",
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+    )
+    return _run_to_memory(joined, "append").orderBy("event_id")

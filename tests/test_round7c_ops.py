@@ -791,3 +791,13 @@ def test_vocab_coverage_curve_properties(spark):
         assert abs(r.coverage - expect / total) < 1e-6
         assert r.tokens_covered >= prev  # monotone non-decreasing
         prev = r.tokens_covered
+
+
+def test_stream_scd2_enrichment_equals_batch(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    got = [tuple(r) for r in sq.stream_scd2_enrichment(spark, SF).collect()]
+    batch = [tuple(r) for r in ts.scd2_point_in_time_join(spark, SF).collect()]
+    assert got == batch  # stream == batch on the point-in-time semantics
+    assert got, "enrichment must produce rows"
