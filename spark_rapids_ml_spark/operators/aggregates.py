@@ -1668,3 +1668,112 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_part_micro",
         (F.col("chi2_part_micro").cast("double") / CHI2_MICRO).alias("chi2_part"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------- robust means
+
+TRIM_FRAC_DEN = 10  # trim/winsorize n//10 rows from each tail
+
+
+@register(
+    "agg_trimmed_winsorized_mean",
+    tags=("agg", "stats"),
+    oracle=f"""
+WITH v AS MATERIALIZED (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS MATERIALIZED (SELECT event_type, cents, i, n, n // {TRIM_FRAC_DEN} AS lo FROM rk),
+tr AS MATERIALIZED (
+  SELECT event_type, MAX(n) AS n,
+         SUM(CASE WHEN i > lo AND i <= n - lo THEN cents ELSE 0 END) AS tsum,
+         SUM(CASE WHEN i > lo AND i <= n - lo THEN 1 ELSE 0 END) AS tcnt,
+         MIN(CASE WHEN i = lo + 1 THEN cents END) AS lo_cap,
+         MIN(CASE WHEN i = n - lo THEN cents END) AS hi_cap
+  FROM b GROUP BY event_type
+),
+wz AS (
+  SELECT b.event_type,
+         SUM(CASE WHEN b.i <= b.lo THEN t.lo_cap
+                  WHEN b.i > b.n - b.lo THEN t.hi_cap
+                  ELSE b.cents END) AS wsum,
+         COUNT(*) AS wcnt
+  FROM b JOIN tr t ON b.event_type = t.event_type
+  GROUP BY b.event_type
+)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+       ROUND(CAST(t.tsum AS DOUBLE) / (100.0 * t.tcnt), 6) AS trimmed_mean,
+       ROUND(CAST(w.wsum AS DOUBLE) / (100.0 * w.wcnt), 6) AS winsorized_mean
+FROM tr t JOIN wz w ON t.event_type = w.event_type
+ORDER BY t.event_type
+""",
+)
+def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates per event_type: the 10%-trimmed mean
+    (drop n//10 rows from each tail) and the winsorized mean (CLAMP
+    each tail to the cut values instead of dropping) — the outlier-
+    resistant aggregates a metrics pipeline reports next to the raw
+    mean when heavy tails would let a few whale payments move it.
+    Rank-based cuts in exact integer cents (no interpolation, no FP),
+    so both statistics are single exact-integer IEEE divisions —
+    completing the robust tier started by window_median_mad_robust.
+
+    Scale: one rank window per event_type (per-key sort, the same
+    shuffle as the median), then two partial-aggregable group-bys over
+    the ranked rows; the caps join is on the |event_types|-row summary.
+    """
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    v = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents.alias("cents")
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    b = _cache(
+        v.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("i"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).withColumn("lo", F.expr(f"n div {TRIM_FRAC_DEN}"))
+    )
+    inner = (F.col("i") > F.col("lo")) & (F.col("i") <= F.col("n") - F.col("lo"))
+    tr = b.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(inner, F.col("cents")).otherwise(F.lit(0))).alias("tsum"),
+        F.sum(F.when(inner, F.lit(1)).otherwise(F.lit(0))).alias("tcnt"),
+        F.min(F.when(F.col("i") == F.col("lo") + 1, F.col("cents"))).alias("lo_cap"),
+        F.min(F.when(F.col("i") == F.col("n") - F.col("lo"), F.col("cents"))).alias("hi_cap"),
+    )
+    wz = (
+        b.join(F.broadcast(tr.select("event_type", "lo_cap", "hi_cap")), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("i") <= F.col("lo"), F.col("lo_cap"))
+            .when(F.col("i") > F.col("n") - F.col("lo"), F.col("hi_cap"))
+            .otherwise(F.col("cents"))
+            .alias("wcents"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("wcents").alias("wsum"), F.count(F.lit(1)).alias("wcnt"))
+    )
+    return (
+        tr.join(wz, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("tsum").cast("double") / (F.lit(100.0) * F.col("tcnt")), 6).alias("trimmed_mean"),
+            F.round(F.col("wsum").cast("double") / (F.lit(100.0) * F.col("wcnt")), 6).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -97,6 +97,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_dau_wau_mau",
     "text_vocab_coverage_curve",
     "stream_scd2_enrichment",
+    "agg_trimmed_winsorized_mean",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -801,3 +801,32 @@ def test_stream_scd2_enrichment_equals_batch(spark):
     batch = [tuple(r) for r in ts.scd2_point_in_time_join(spark, SF).collect()]
     assert got == batch  # stream == batch on the point-in-time semantics
     assert got, "enrichment must produce rows"
+
+
+def test_trimmed_winsorized_mean_matches_python(spark):
+    from spark_rapids_ml_spark.operators import aggregates as agg
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rows = {r.event_type: r for r in agg.agg_trimmed_winsorized_mean(spark, SF).collect()}
+    ev = load(spark, SF, "events").select("event_type", "event_id", "value").collect()
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in ev:
+        c = int(Decimal(repr(r.value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        by_type[r.event_type].append((c, r.event_id))
+    for et, vals in by_type.items():
+        vals.sort()
+        cents = [c for c, _ in vals]
+        n = len(cents)
+        lo = n // agg.TRIM_FRAC_DEN
+        trimmed = cents[lo : n - lo]
+        win = [max(min(c, cents[n - lo - 1]), cents[lo]) for c in cents]
+        r = rows[et]
+        assert r.n == n
+        assert abs(r.trimmed_mean - sum(trimmed) / (100 * len(trimmed))) < 1e-6
+        assert abs(r.winsorized_mean - sum(win) / (100 * n)) < 1e-6
+        # robustness ordering: trimmed <= winsorized <= raw mean for
+        # right-skewed data is NOT guaranteed in general; just check
+        # both sit inside the clamped range
+        assert cents[lo] / 100 <= r.trimmed_mean <= cents[n - lo - 1] / 100
