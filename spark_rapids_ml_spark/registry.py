@@ -98,6 +98,7 @@ SWEEP_PRIORITY: list[str] = [
     "text_vocab_coverage_curve",
     "stream_scd2_enrichment",
     "agg_trimmed_winsorized_mean",
+    "mm_video_shot_boundary",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -830,3 +830,34 @@ def test_trimmed_winsorized_mean_matches_python(spark):
         # right-skewed data is NOT guaranteed in general; just check
         # both sit inside the clamped range
         assert cents[lo] / 100 <= r.trimmed_mean <= cents[n - lo - 1] / 100
+
+
+def test_video_shot_boundary_matches_numpy(spark):
+    from spark_rapids_ml_spark.operators import multimodal as mm
+    from spark_rapids_ml_spark.functions.codecs import decode_ppm
+    import struct
+
+    got = {
+        r.doc_id: (r.n_frames, r.max_sad_frame, r.max_sad, r.min_sad, r.total_sad)
+        for r in mm.mm_video_shot_boundary(spark, SF).collect()
+    }
+    docs = (
+        load(spark, SF, "documents")
+        .where(F.col("doc_id") <= 100)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        buf = mm.video_from_text(r.text)
+        assert buf[:4] == mm.VIDEO_MAGIC
+        (nf,) = struct.unpack_from("<I", buf, 4)
+        off = 8
+        frames = []
+        for _ in range(nf):
+            (fl,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            frames.append(decode_ppm(buf[off : off + fl]).astype(np.int64))
+            off += fl
+        sads = [int(np.abs(frames[f] - frames[f - 1]).sum()) for f in range(1, nf)]
+        best = max(range(len(sads)), key=lambda i: (sads[i], -i)) + 1
+        assert got[r.doc_id] == (nf, best, max(sads), min(sads), sum(sads))
