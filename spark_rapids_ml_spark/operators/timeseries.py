@@ -1680,3 +1680,107 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------- Markov stationary state
+
+MARKOV_ITERS = 6
+_MK_NANO = 1_000_000_000
+
+
+def _markov_stationary_oracle() -> str:
+    ctes = [
+        """pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)""",
+        "c AS MATERIALIZED (SELECT cur, nxt, COUNT(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt)",
+        f"""p AS MATERIALIZED (
+  SELECT cur, nxt, (n * {_MK_NANO}) // SUM(n) OVER (PARTITION BY cur) AS p_nano FROM c
+)""",
+        "states AS (SELECT DISTINCT cur AS st FROM c)",
+        f"pi0 AS (SELECT st, CAST({_MK_NANO} // (SELECT COUNT(*) FROM states) AS BIGINT) AS v FROM states)",
+    ]
+    for k in range(1, MARKOV_ITERS + 1):
+        ctes.append(
+            f"""pi{k} AS MATERIALIZED (
+  SELECT p.nxt AS st, CAST(SUM(pi{k - 1}.v * p.p_nano) // {_MK_NANO} AS BIGINT) AS v
+  FROM pi{k - 1} JOIN p ON pi{k - 1}.st = p.cur
+  GROUP BY p.nxt
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.st AS state, CAST(pi.v AS BIGINT) AS pi_nano,
+       CAST((SELECT SUM(n) FROM c WHERE c.nxt = s.st) AS BIGINT) AS n_incoming
+FROM states s JOIN pi{MARKOV_ITERS} pi ON s.st = pi.st
+ORDER BY state"""
+    )
+
+
+@register(
+    "events_markov_stationary",
+    tags=("timeseries", "analytics", "graph"),
+    oracle=_markov_stationary_oracle(),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain
+    (events_transition_matrix's long-run answer): {MARKOV_ITERS}
+    fixed-point power-iteration steps π ← πP in NANO integers — where
+    a user's session spends its time in the limit, the steady-state
+    complement of the one-step matrix. Integer row-normalized
+    transition probabilities and floor arithmetic make every step
+    bit-exact under any partitioning and in the unrolled DuckDB
+    oracle (the pagerank discipline on a |types|×|types| chain).
+
+    Scale: the event log is touched ONCE (the lead() shuffle that
+    builds pair counts); every iteration then multiplies a |types|-row
+    vector against the bounded matrix — constant-size state, so the
+    iteration cost is job-scheduling latency, not data (k-core's
+    lesson). n_incoming ties the fixture to the raw counts.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    pairs = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    c = _cache(
+        pairs.where(F.col("nxt").isNotNull()).groupBy("cur", "nxt").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    p = _cache(
+        c.select(
+            "cur",
+            "nxt",
+            F.expr(f"(n * {_MK_NANO}) div SUM(n) OVER (PARTITION BY cur)").alias(
+                "p_nano"
+            ),
+        )
+    )
+    states = c.select(F.col("cur").alias("st")).distinct()
+    n_states = states.count()  # bounded: |event types|
+    pi = states.select("st", F.lit(_MK_NANO // n_states).cast("bigint").alias("v"))
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(p, pi["st"] == p["cur"])
+            .groupBy(F.col("nxt").alias("st2"))
+            .agg(F.expr(f"CAST(SUM(v * p_nano) div {_MK_NANO} AS BIGINT)").alias("v"))
+            .select(F.col("st2").alias("st"), "v")
+        )
+    incoming = c.groupBy(F.col("nxt").alias("st")).agg(F.sum("n").alias("n_incoming"))
+    return (
+        pi.join(incoming, "st")
+        .select(
+            F.col("st").alias("state"),
+            F.col("v").cast("bigint").alias("pi_nano"),
+            F.col("n_incoming").cast("bigint").alias("n_incoming"),
+        )
+        .orderBy("state")
+    )

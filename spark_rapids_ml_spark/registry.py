@@ -99,6 +99,7 @@ SWEEP_PRIORITY: list[str] = [
     "stream_scd2_enrichment",
     "agg_trimmed_winsorized_mean",
     "mm_video_shot_boundary",
+    "events_markov_stationary",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

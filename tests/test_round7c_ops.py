@@ -861,3 +861,39 @@ def test_video_shot_boundary_matches_numpy(spark):
         sads = [int(np.abs(frames[f] - frames[f - 1]).sum()) for f in range(1, nf)]
         best = max(range(len(sads)), key=lambda i: (sads[i], -i)) + 1
         assert got[r.doc_id] == (nf, best, max(sads), min(sads), sum(sads))
+
+
+def test_markov_stationary_matches_python_power_iteration(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+    from collections import Counter, defaultdict
+
+    rows = {r.state: r for r in ts.events_markov_stationary(spark, SF).collect()}
+    ev = load(spark, SF, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    cnt = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    NANO = ts._MK_NANO
+    row_tot = Counter()
+    for (a, _b), n in cnt.items():
+        row_tot[a] += n
+    p = {(a, b): n * NANO // row_tot[a] for (a, b), n in cnt.items()}
+    states = sorted(row_tot)
+    pi = {s: NANO // len(states) for s in states}
+    for _ in range(ts.MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for (a, b), pn in p.items():
+            nxt[b] += pi[a] * pn
+        pi = {s: v // NANO for s, v in nxt.items()}
+    incoming = Counter()
+    for (_a, b), n in cnt.items():
+        incoming[b] += n
+    for s in states:
+        assert rows[s].pi_nano == pi[s]
+        assert rows[s].n_incoming == incoming[s]
+    total = sum(r.pi_nano for r in rows.values())
+    assert abs(total - NANO) <= ts.MARKOV_ITERS * len(states)  # floor drift only
