@@ -1059,3 +1059,116 @@ def ml_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFra
     e = load(spark, sf_dir, "embeddings")
     e.createOrReplaceTempView("embeddings")
     return spark.sql(_logreg_calibration_sql(_LOGREG_ROWS_SPARK))
+
+
+# --------------------------------------------- k-fold cross-validation
+
+CV_FOLDS = 5
+_CV_L = "0.5"  # same L2 as ml_ridge_closed_form
+
+
+def _cv_det(d: dict, num: str) -> str:
+    L = _CV_L
+    if num == "det":
+        return (f"(n_*((s11+{L})*(s22+{L})-s12*s12)"
+                f" - sx1*(sx1*(s22+{L})-s12*sx2)"
+                f" + sx2*(sx1*s12-(s11+{L})*sx2))")
+    if num == "b0":
+        return (f"(sy*((s11+{L})*(s22+{L})-s12*s12)"
+                f" - sx1*(s1y*(s22+{L})-s12*s2y)"
+                f" + sx2*(s1y*s12-(s11+{L})*s2y))")
+    if num == "b1":
+        return (f"(n_*(s1y*(s22+{L})-s12*s2y)"
+                f" - sy*(sx1*(s22+{L})-s12*sx2)"
+                f" + sx2*(sx1*s2y-s1y*sx2))")
+    return (f"(n_*((s11+{L})*s2y-s1y*s12)"
+            f" - sx1*(sx1*s2y-s1y*sx2)"
+            f" + sy*(sx1*s12-(s11+{L})*sx2))")
+
+
+def _ridge_cv_sql(materialize: bool = False) -> str:
+    """Generated k-fold CV query both engines execute. Training stats
+    per fold come from SUBTRACTING the fold's exact-decimal sufficient
+    statistics from the all-data totals (window sums over DECIMALS —
+    exact, order-free), so the k models cost ONE scan, not k. The
+    decimal→double casts route through STRING (correctly rounded in
+    both engines at any magnitude, the sql_dsum rationale); held-fold
+    SSE rides floor-to-unit bigint sums (order-invariant)."""
+    kw = " MATERIALIZED" if materialize else ""
+    stats = ["n_", "sx1", "sx2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    sub = ", ".join(
+        f"CAST(CAST(SUM({c}) OVER () - {c} AS STRING) AS DOUBLE) AS {c}"
+        for c in stats
+    )
+    d = {c: c for c in stats}
+    pred = "(b.b0 + b.b1*CAST(f.x1 AS DOUBLE) + b.b2*CAST(f.x2 AS DOUBLE))"
+    return f"""WITH f AS{kw} (
+  SELECT l_orderkey % {CV_FOLDS} AS fold,
+         CAST(l_quantity AS DECIMAL(15,4)) AS x1,
+         CAST(l_discount AS DECIMAL(15,4)) AS x2,
+         CAST(l_extendedprice AS DECIMAL(15,4)) AS y
+  FROM lineitem
+),
+fs AS{kw} (
+  SELECT fold,
+         CAST(COUNT(*) AS DECIMAL(20,0)) AS n_,
+         SUM(x1) AS sx1, SUM(x2) AS sx2,
+         SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+         SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+  FROM f GROUP BY fold
+),
+tr AS{kw} (
+  SELECT fold, {sub}
+  FROM fs
+),
+beta AS{kw} (
+  SELECT fold,
+         {_cv_det(d, "b0")} / {_cv_det(d, "det")} AS b0,
+         {_cv_det(d, "b1")} / {_cv_det(d, "det")} AS b1,
+         {_cv_det(d, "b2")} / {_cv_det(d, "det")} AS b2
+  FROM tr
+),
+err AS (
+  SELECT f.fold, COUNT(*) AS n_test,
+         SUM(CAST(FLOOR((CAST(f.y AS DOUBLE) - {pred})
+                      * (CAST(f.y AS DOUBLE) - {pred})) AS BIGINT)) AS sse_floor
+  FROM f JOIN beta b ON f.fold = b.fold
+  GROUP BY f.fold
+)
+SELECT CAST(e.fold AS BIGINT) AS fold, CAST(e.n_test AS BIGINT) AS n_test,
+       ROUND(b.b0, 6) AS b0, ROUND(b.b1, 6) AS b1, ROUND(b.b2, 6) AS b2,
+       ROUND(SQRT(CAST(e.sse_floor AS DOUBLE) / e.n_test), 6) AS rmse
+FROM err e JOIN beta b ON e.fold = b.fold
+ORDER BY fold"""
+
+
+@register(
+    "ml_ridge_kfold_cv",
+    tags=("ml", "regression", "eval", "scale"),
+    oracle=_ridge_cv_sql(materialize=True),
+)
+def ml_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validation of the closed-form ridge model
+    in ONE scan: per-fold sufficient statistics (the 9 Gram/moment
+    sums) aggregate once, each fold's TRAINING stats are the all-data
+    totals MINUS its own (exact decimal window subtraction — the
+    leave-fold-out identity that makes k-fold CV O(1) scans instead of
+    O(k) for any sufficient-statistic model), the Cramer solve runs
+    per fold on 5-row state, and held-fold RMSE comes from a second
+    pass with the fold's own coefficients. The per-fold coefficient
+    SPREAD is the variance estimate a modeling pipeline reports next
+    to the point fit (ml_ridge_closed_form).
+
+    Determinism: all sufficient statistics stay exact DECIMAL through
+    the subtraction; one STRING-routed cast each to double (correctly
+    rounded in both engines at any magnitude); held-fold SSE rides
+    floor-to-unit bigint sums. Spark and DuckDB execute the SAME
+    generated SQL (the logreg/ridge discipline).
+
+    Scale: two scans total (stats, residuals) regardless of k; the
+    exchange carries k×9 numbers. The residual pass broadcasts the
+    k-row coefficient table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_ridge_cv_sql(materialize=False))

@@ -100,6 +100,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_trimmed_winsorized_mean",
     "mm_video_shot_boundary",
     "events_markov_stationary",
+    "ml_ridge_kfold_cv",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -897,3 +897,34 @@ def test_markov_stationary_matches_python_power_iteration(spark):
         assert rows[s].n_incoming == incoming[s]
     total = sum(r.pi_nano for r in rows.values())
     assert abs(total - NANO) <= ts.MARKOV_ITERS * len(states)  # floor drift only
+
+
+def test_ridge_kfold_cv_matches_numpy(spark):
+    rows = {r.fold: r for r in mlq.ml_ridge_kfold_cv(spark, SF).collect()}
+    assert set(rows) == set(range(mlq.CV_FOLDS))
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    import numpy as np
+
+    data = np.array(
+        [[r.l_orderkey % mlq.CV_FOLDS, r.l_quantity, r.l_discount, r.l_extendedprice] for r in li]
+    )
+    L = float(mlq._CV_L)
+    n_total = 0
+    for k in range(mlq.CV_FOLDS):
+        tr = data[data[:, 0] != k]
+        te = data[data[:, 0] == k]
+        A = np.stack([np.ones(len(tr)), tr[:, 1], tr[:, 2]], 1)
+        G = A.T @ A + np.diag([0.0, L, L])
+        beta = np.linalg.solve(G, A.T @ tr[:, 3])
+        r = rows[k]
+        assert r.n_test == len(te)
+        n_total += len(te)
+        assert abs(r.b0 - beta[0]) < max(1e-3, abs(beta[0]) * 1e-5)
+        assert abs(r.b1 - beta[1]) < max(1e-3, abs(beta[1]) * 1e-4)
+        assert abs(r.b2 - beta[2]) < max(1e-2, abs(beta[2]) * 1e-4)
+        pred = beta[0] + beta[1] * te[:, 1] + beta[2] * te[:, 2]
+        rmse = float(np.sqrt(np.floor((te[:, 3] - pred) ** 2).sum() / len(te)))
+        assert abs(r.rmse - rmse) < max(1e-2, rmse * 1e-5)
+    assert n_total == len(data)  # folds partition the table
