@@ -1777,3 +1777,81 @@ def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- Benford first-digit audit
+
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS digit, {_BENFORD[d]!r} AS expected" for d in range(1, 10)
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    tags=("dq", "stats"),
+    oracle=f"""
+WITH cents AS MATERIALIZED (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders
+),
+dig AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents WHERE c > 0
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM dig GROUP BY digit),
+tot AS (SELECT SUM(n) AS total FROM obs),
+e AS ({_BENFORD_SQL})
+SELECT e.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+       ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / (SELECT total FROM tot), 6) AS observed_freq,
+       ROUND(e.expected, 6) AS benford_freq,
+       CAST(FLOOR(ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / (SELECT total FROM tot)
+                      - e.expected) * 1000000.0) AS BIGINT) AS abs_dev_micro
+FROM e LEFT JOIN obs o ON e.digit = o.digit
+ORDER BY e.digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / synthetic-distribution screen (Nigrini's fraud
+    test): observed leading-digit frequencies against log10(1 + 1/d),
+    with per-digit absolute deviation in micro fixed-point. The
+    Benford constants are Python-float literals embedded identically
+    in both engines (never a runtime log10 — libm isn't correctly
+    rounded); the digit comes from the INTEGER cents' decimal string,
+    which both engines render identically (no float formatting).
+
+    On this corpus the test FLAGS the data (deviations up to ~0.12):
+    TPC-H prices are drawn uniform-ish, not multiplicatively — exactly
+    what a Benford audit is supposed to catch in a synthetic feed.
+
+    Scale: one partial-aggregable groupBy to 9 digit counts; the
+    Benford table is a 9-row literal join.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    dig = (
+        load(spark, sf_dir, "orders")
+        .select(cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit"))
+    )
+    obs = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    e = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "digit bigint, expected double"
+    )
+    freq = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+    return (
+        e.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(F.col("expected"), 6).alias("benford_freq"),
+            F.floor(F.abs(freq - F.col("expected")) * 1000000.0)
+            .cast("bigint")
+            .alias("abs_dev_micro"),
+        )
+        .orderBy("digit")
+    )

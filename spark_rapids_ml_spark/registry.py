@@ -101,6 +101,7 @@ SWEEP_PRIORITY: list[str] = [
     "mm_video_shot_boundary",
     "events_markov_stationary",
     "ml_ridge_kfold_cv",
+    "dq_benford_first_digit",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

@@ -928,3 +928,27 @@ def test_ridge_kfold_cv_matches_numpy(spark):
         rmse = float(np.sqrt(np.floor((te[:, 3] - pred) ** 2).sum() / len(te)))
         assert abs(r.rmse - rmse) < max(1e-2, rmse * 1e-5)
     assert n_total == len(data)  # folds partition the table
+
+
+def test_benford_audit_matches_python(spark):
+    from spark_rapids_ml_spark.operators import aggregates as agg
+    from decimal import Decimal, ROUND_HALF_UP
+    from collections import Counter
+    import math
+
+    rows = {r.digit: r for r in agg.dq_benford_first_digit(spark, SF).collect()}
+    assert set(rows) == set(range(1, 10))
+    o = load(spark, SF, "orders").select("o_totalprice").collect()
+    cnt = Counter()
+    for r in o:
+        c = int(Decimal(repr(r.o_totalprice)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        if c > 0:
+            cnt[int(str(c)[0])] += 1
+    total = sum(cnt.values())
+    for d in range(1, 10):
+        r = rows[d]
+        assert r.n == cnt.get(d, 0)
+        assert abs(r.observed_freq - cnt.get(d, 0) / total) < 1e-6
+        assert abs(r.benford_freq - math.log10(1 + 1 / d)) < 1e-6
+        assert r.abs_dev_micro == math.floor(abs(cnt.get(d, 0) / total - math.log10(1 + 1 / d)) * 1e6)
+    assert sum(r.n for r in rows.values()) == total
