@@ -1067,7 +1067,7 @@ CV_FOLDS = 5
 _CV_L = "0.5"  # same L2 as ml_ridge_closed_form
 
 
-def _cv_det(d: dict, num: str) -> str:
+def _cv_det(num: str) -> str:
     L = _CV_L
     if num == "det":
         return (f"(n_*((s11+{L})*(s22+{L})-s12*s12)"
@@ -1100,7 +1100,6 @@ def _ridge_cv_sql(materialize: bool = False) -> str:
         f"CAST(CAST(SUM({c}) OVER () - {c} AS STRING) AS DOUBLE) AS {c}"
         for c in stats
     )
-    d = {c: c for c in stats}
     pred = "(b.b0 + b.b1*CAST(f.x1 AS DOUBLE) + b.b2*CAST(f.x2 AS DOUBLE))"
     return f"""WITH f AS{kw} (
   SELECT l_orderkey % {CV_FOLDS} AS fold,
@@ -1123,9 +1122,9 @@ tr AS{kw} (
 ),
 beta AS{kw} (
   SELECT fold,
-         {_cv_det(d, "b0")} / {_cv_det(d, "det")} AS b0,
-         {_cv_det(d, "b1")} / {_cv_det(d, "det")} AS b1,
-         {_cv_det(d, "b2")} / {_cv_det(d, "det")} AS b2
+         {_cv_det("b0")} / {_cv_det("det")} AS b0,
+         {_cv_det("b1")} / {_cv_det("det")} AS b1,
+         {_cv_det("b2")} / {_cv_det("det")} AS b2
   FROM tr
 ),
 err AS (
@@ -1148,7 +1147,7 @@ ORDER BY fold"""
     oracle=_ridge_cv_sql(materialize=True),
 )
 def ml_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{CV_FOLDS}-fold cross-validation of the closed-form ridge model
+    """CV_FOLDS (5)-fold cross-validation of the closed-form ridge model
     in ONE scan: per-fold sufficient statistics (the 9 Gram/moment
     sums) aggregate once, each fold's TRAINING stats are the all-data
     totals MINUS its own (exact decimal window subtraction — the

@@ -366,7 +366,7 @@ FROM rules ORDER BY rules.lift DESC, pa, pb LIMIT {MB_TOP_K}
 def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over order baskets (Agrawal & Srikant's
     Apriori at the pairs level): for every co-purchased part pair with
-    support ≥ {MB_MIN_SUPPORT}, the rule statistics — confidence
+    support ≥ MB_MIN_SUPPORT (2), the rule statistics — confidence
     P(b|a) = n_ab/n_a and lift n_ab·N/(n_a·n_b) — ranked by lift.
     Complements graph_link_prediction_jaccard exactly: rules score
     pairs that DO co-occur; link prediction scores pairs that don't

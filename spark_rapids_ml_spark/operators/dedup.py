@@ -1731,7 +1731,7 @@ ORDER BY t.doc_id
 )
 def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span report: which docs contain verbatim
-    {SUBSTR_WINDOW}-token substrings that also occur in another doc,
+    SUBSTR_WINDOW (8)-token substrings that also occur in another doc,
     how many window positions are duplicated, and the EXACT fraction of
     tokens covered by the union of duplicated spans (interval union
     computed by exploding each window to its token positions and

@@ -654,7 +654,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own label; each superstep adopts the most frequent label among
     neighbors, ties broken by SMALLEST label — the deterministic
     variant (vanilla LPA's random tie-break isn't reproducible, let
-    alone cross-engine). A fixed {LPA_ROUNDS}-round horizon makes the
+    alone cross-engine). A fixed LPA_ROUNDS (4)-round horizon makes the
     whole trajectory unrollable as oracle CTEs, like pagerank's.
     Output: the 25 largest communities.
 

@@ -233,7 +233,7 @@ ORDER BY doc_id, chunk_idx
 """,
 )
 def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-window chunking ({CHUNK_LEN} tokens, stride
+    """Overlapping fixed-window chunking (CHUNK_LEN=64 tokens, stride
     {CHUNK_STRIDE}): the standard retrieval/embedding preprocessing —
     every token is covered, consecutive chunks share
     {CHUNK_LEN - CHUNK_STRIDE} tokens of context, and the chunk count

@@ -1046,7 +1046,7 @@ FROM tote t ORDER BY t.doc_id
 )
 def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity-style segmentation over REAL decoded audio: the
-    RIFF/PCM payload is parsed, framed at {SEG_FRAME} samples, and a
+    RIFF/PCM payload is parsed, framed at SEG_FRAME (64) samples, and a
     frame is VOICED iff its exact integer energy Σv² exceeds the doc's
     mean frame energy (compared by integer cross-multiplication — no
     division, no FP). Voiced runs collapse to per-doc segment stats

@@ -755,10 +755,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_point_in_time_join",
-    tags=("timeseries", "join", "warehouse"),
-    oracle="""
+# Shared by the batch point-in-time join AND the streaming SCD2
+# enrichment (stream_queries.stream_scd2_enrichment): one oracle text,
+# so the two hash contracts cannot drift apart.
+SCD2_PIT_ORACLE = """
 WITH dim AS (
   SELECT user_id, ts AS valid_from, event_type AS state,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
@@ -776,7 +776,13 @@ JOIN dim d
  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
 WHERE e.event_type = 'click' AND e.user_id <= 30
 ORDER BY e.event_id
-""",
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    tags=("timeseries", "join", "warehouse"),
+    oracle=SCD2_PIT_ORACLE,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) join against the SCD2 dimension — the
@@ -1651,26 +1657,26 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = _cache(ud)
     cal = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-
-    def trailing(n_days: int, alias: str) -> DataFrame:
-        fan = ud.select(
-            "user_id",
-            F.explode(
-                F.expr(f"sequence(day, day + interval {n_days - 1} day)")
-            ).alias("target"),
+    # ONE 30-day fan-out computes BOTH trailing windows: the offset k
+    # rides along and the 7-day count is the k<7 conditional distinct —
+    # half the corpus-derived shuffle volume of two separate fans
+    fan = ud.select(
+        "user_id",
+        F.posexplode(F.expr("sequence(day, day + interval 29 day)")).alias(
+            "k", "target"
+        ),
+    )
+    wm = (
+        fan.join(F.broadcast(cal), fan["target"] == cal["day"])
+        .groupBy("target")
+        .agg(
+            F.count_distinct(F.when(F.col("k") < 7, F.col("user_id"))).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
         )
-        return (
-            fan.join(F.broadcast(cal), fan["target"] == cal["day"])
-            .groupBy("target")
-            .agg(F.count_distinct("user_id").alias(alias))
-            .select(F.col("target").alias("day"), alias)
-        )
-
-    wau = trailing(7, "wau")
-    mau = trailing(30, "mau")
+        .select(F.col("target").alias("day"), "wau", "mau")
+    )
     return (
-        dau.join(wau, "day")
-        .join(mau, "day")
+        dau.join(wm, "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("dau").cast("bigint").alias("dau"),
@@ -1710,13 +1716,17 @@ def _markov_stationary_oracle() -> str:
   GROUP BY p.nxt
 )"""
         )
+    # final join keys on the INCOMING (nxt) state set — identical to the
+    # Spark side; joining DISTINCT cur would drop an absorbing state
+    # that only ever appears as a transition target
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT s.st AS state, CAST(pi.v AS BIGINT) AS pi_nano,
-       CAST((SELECT SUM(n) FROM c WHERE c.nxt = s.st) AS BIGINT) AS n_incoming
-FROM states s JOIN pi{MARKOV_ITERS} pi ON s.st = pi.st
+, inc AS (SELECT nxt AS st, SUM(n) AS n_incoming FROM c GROUP BY nxt)
+SELECT pi.st AS state, CAST(pi.v AS BIGINT) AS pi_nano,
+       CAST(inc.n_incoming AS BIGINT) AS n_incoming
+FROM pi{MARKOV_ITERS} pi JOIN inc ON pi.st = inc.st
 ORDER BY state"""
     )
 
@@ -1728,7 +1738,7 @@ ORDER BY state"""
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user-journey Markov chain
-    (events_transition_matrix's long-run answer): {MARKOV_ITERS}
+    (events_transition_matrix's long-run answer): MARKOV_ITERS (6)
     fixed-point power-iteration steps π ← πP in NANO integers — where
     a user's session spends its time in the limit, the steady-state
     complement of the one-step matrix. Integer row-normalized
@@ -1767,13 +1777,20 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = c.select(F.col("cur").alias("st")).distinct()
     n_states = states.count()  # bounded: |event types|
     pi = states.select("st", F.lit(_MK_NANO // n_states).cast("bigint").alias("v"))
-    for _ in range(MARKOV_ITERS):
-        pi = (
-            pi.join(p, pi["st"] == p["cur"])
-            .groupBy(F.col("nxt").alias("st2"))
-            .agg(F.expr(f"CAST(SUM(v * p_nano) div {_MK_NANO} AS BIGINT)").alias("v"))
-            .select(F.col("st2").alias("st"), "v")
-        )
+    # the per-iteration shuffles move a |types|-row vector: scope the
+    # width down (cached plans bypass AQE coalescing — the k-core
+    # convention, scale_patterns._scoped_conf)
+    from spark_rapids_ml_spark.operators.scale_patterns import _scoped_conf
+
+    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+        for _ in range(MARKOV_ITERS):
+            pi = (
+                pi.join(p, pi["st"] == p["cur"])
+                .groupBy(F.col("nxt").alias("st2"))
+                .agg(F.expr(f"CAST(SUM(v * p_nano) div {_MK_NANO} AS BIGINT)").alias("v"))
+                .select(F.col("st2").alias("st"), "v")
+            )
+        pi = spark.createDataFrame(pi.collect(), "st string, v bigint")
     incoming = c.groupBy(F.col("nxt").alias("st")).agg(F.sum("n").alias("n_incoming"))
     return (
         pi.join(incoming, "st")

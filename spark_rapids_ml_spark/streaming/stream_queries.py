@@ -1625,12 +1625,12 @@ LIMIT {HH_TOP_K}
 )
 def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-k maintenance: the event stream replays as
-    {HH_STAGE_FILES} genuine micro-batches (distributed ranged staging,
+    HH_STAGE_FILES (4) genuine micro-batches (distributed ranged staging,
     maxFilesPerTrigger=1); foreachBatch folds each batch's per-user
     partial counts into a VERSIONED state table (state_v{{i}} =
     state_v{{i-1}} + batch aggregate — the snapshot-commit discipline,
     so a retried batch rewrites its own version instead of
-    double-counting). The final answer is the top-{HH_TOP_K} heavy
+    double-counting). The final answer is the top-HH_TOP_K (10) heavy
     hitters from the last committed state, hash-equal to the batch
     GROUP BY because counts are exactly mergeable.
 
@@ -1702,28 +1702,13 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- SCD2 stream enrichment
 
 
+from spark_rapids_ml_spark.operators.timeseries import SCD2_PIT_ORACLE
+
+
 @register(
     "stream_scd2_enrichment",
     tags=("streaming", "join"),
-    oracle="""
-WITH dim AS (
-  SELECT user_id, ts AS valid_from, event_type AS state,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
-         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-  FROM events
-  WHERE event_type IN ('signup', 'purchase') AND user_id <= 30
-)
-SELECT e.event_id, e.user_id,
-       CAST(d.version AS BIGINT) AS version, d.state,
-       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS probe_ts
-FROM events e
-JOIN dim d
-  ON e.user_id = d.user_id
- AND e.ts >= d.valid_from
- AND (d.valid_to IS NULL OR e.ts < d.valid_to)
-WHERE e.event_type = 'click' AND e.user_id <= 30
-ORDER BY e.event_id
-""",
+    oracle=SCD2_PIT_ORACLE,
 )
 def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature SERVING on the stream: each arriving click is enriched

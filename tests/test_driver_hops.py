@@ -33,6 +33,9 @@ ALLOWED = {
     "operators/aggregates.py": {
         ".distinct().collect()",  # dynamic pivot: O(distinct priorities) = 5
     },
+    "operators/timeseries.py": {
+        "pi = spark.createDataFrame(pi.collect()",  # Markov state vector: |event types| rows, materialized inside the scoped shuffle width
+    },
     "operators/scale_patterns.py": {
         ".limit(N_HOT_KEYS)",  # skew isolation: top-N hot keys only
         "rows = res.collect()",  # conf-scoped agg result: O(priorities) = 5
