@@ -1801,3 +1801,103 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------- cohort lifetime value
+
+
+@register(
+    "events_cohort_ltv",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH first_seen AS MATERIALIZED (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT e.user_id,
+         CAST(date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS age_weeks,
+         CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+coh AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', f.first_day) // 7 AS BIGINT) AS cohort_week,
+         f.user_id
+  FROM first_seen f
+),
+cell AS (
+  SELECT c.cohort_week, r.age_weeks, SUM(r.cents) AS cents
+  FROM rev r JOIN coh c ON r.user_id = c.user_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM coh GROUP BY cohort_week)
+SELECT ce.cohort_week, ce.age_weeks, CAST(s.n_users AS BIGINT) AS n_users,
+       CAST(SUM(ce.cents) OVER (PARTITION BY ce.cohort_week ORDER BY ce.age_weeks
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
+       ROUND(CAST(SUM(ce.cents) OVER (PARTITION BY ce.cohort_week ORDER BY ce.age_weeks
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / (100.0 * s.n_users), 6) AS ltv_per_user
+FROM cell ce JOIN sizes s ON ce.cohort_week = s.cohort_week
+ORDER BY ce.cohort_week, ce.age_weeks
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort: users grouped
+    by first-seen week, purchase revenue bucketed by week-of-life
+    (age), and the running per-user LTV curve per cohort — the revenue
+    companion to events_cohort_retention, and the curve growth teams
+    read payback periods off. Revenue rides exact integer cents; the
+    epoch-week cohort key is pure date arithmetic (no timezone-
+    dependent formatting); LTV is one division per cell.
+
+    Scale: one groupBy(user) for first-seen, one broadcastable join
+    back to purchases, then the cumulative window runs on the
+    (cohorts × ages) CELL table — bounded by the calendar, not the
+    corpus. The same single-shuffle shape as the retention matrix.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    first_seen = _cache(first_seen)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            F.expr("CAST(datediff(CAST(ts AS DATE), first_day) div 7 AS BIGINT)").alias(
+                "age_weeks"
+            ),
+            F.expr(
+                "CAST(datediff(first_day, DATE '1970-01-01') div 7 AS BIGINT)"
+            ).alias("cohort_week"),
+            cents.alias("cents"),
+        )
+    )
+    cell = rev.groupBy("cohort_week", "age_weeks").agg(F.sum("cents").alias("cents"))
+    sizes = first_seen.select(
+        F.expr("CAST(datediff(first_day, DATE '1970-01-01') div 7 AS BIGINT)").alias(
+            "cohort_week"
+        )
+    ).groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("cents").over(wcum)
+    return (
+        cell.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            cum.cast("bigint").alias("cum_revenue_cents"),
+            F.round(cum.cast("double") / (F.lit(100.0) * F.col("n_users")), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

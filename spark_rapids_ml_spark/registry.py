@@ -102,6 +102,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_markov_stationary",
     "ml_ridge_kfold_cv",
     "dq_benford_first_digit",
+    "events_cohort_ltv",
     "ml_eval_auc_rank",
     "ml_eval_confusion_prf",
     "ml_regr_diagnostics",

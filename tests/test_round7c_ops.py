@@ -952,3 +952,52 @@ def test_benford_audit_matches_python(spark):
         assert abs(r.benford_freq - math.log10(1 + 1 / d)) < 1e-6
         assert r.abs_dev_micro == math.floor(abs(cnt.get(d, 0) / total - math.log10(1 + 1 / d)) * 1e6)
     assert sum(r.n for r in rows.values()) == total
+
+
+def test_cohort_ltv_matches_python(spark):
+    from spark_rapids_ml_spark.operators import timeseries as ts
+    from decimal import Decimal, ROUND_HALF_UP
+    from collections import defaultdict
+
+    rows = ts.events_cohort_ltv(spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select("user_id", "ts", "event_type", "value").collect()
+    import datetime as dt
+
+    first = {}
+    for r in ev:
+        d = r.ts.date()
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+    epoch = dt.date(1970, 1, 1)
+    cells = defaultdict(int)
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        age = (r.ts.date() - first[r.user_id]).days // 7
+        cw = (first[r.user_id] - epoch).days // 7
+        c = int(Decimal(repr(r.value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        cells[(cw, age)] += c
+    sizes = defaultdict(int)
+    for u, d in first.items():
+        sizes[(d - epoch).days // 7] += 1
+    # cumulative per cohort
+    by_cohort = defaultdict(list)
+    for (cw, age), cents in cells.items():
+        by_cohort[cw].append((age, cents))
+    expect = {}
+    for cw, lst in by_cohort.items():
+        cum = 0
+        for age, cents in sorted(lst):
+            cum += cents
+            expect[(cw, age)] = (sizes[cw], cum)
+    for r in rows:
+        n_users, cum = expect[(r.cohort_week, r.age_weeks)]
+        assert r.n_users == n_users
+        assert r.cum_revenue_cents == cum
+        assert abs(r.ltv_per_user - cum / (100 * n_users)) < 1e-6
+    # monotone LTV within cohort
+    prev = {}
+    for r in rows:
+        if r.cohort_week in prev:
+            assert r.cum_revenue_cents >= prev[r.cohort_week]
+        prev[r.cohort_week] = r.cum_revenue_cents
