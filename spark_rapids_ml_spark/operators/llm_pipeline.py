@@ -161,40 +161,17 @@ def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_token_counts(tokens: DataFrame) -> DataFrame:
     """The distributed-scan packer over any (doc_id, n_tokens) frame
     (see pipe_sequence_packing for the algorithm and scale notes;
-    pipe_bpe_tokenize_pack feeds it learned-tokenizer counts)."""
-    t = (
-        tokens.repartitionByRange(PACK_PARTITIONS, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    t = t.localCheckpoint(eager=False)  # pin pid: both consumers must see ONE layout
-    # register the checkpoint's RDD handle for release after the caller
-    # materializes (harness/bench call release_caches() post-
-    # materialization; Dataset.unpersist alone would NOT free
-    # checkpoint blocks — same one-shot semantics as the clustering
-    # checkpoint, see dedup.register_checkpoint)
-    from spark_rapids_ml_spark.operators.dedup import register_checkpoint
+    pipe_bpe_tokenize_pack feeds it learned-tokenizer counts). The
+    scan itself lives in functions/scan.py (factored out in round 8 so
+    RFM scoring and token-budget admission share the audited
+    implementation); exclusive prefix = inclusive running sum minus
+    the row's own count."""
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
 
-    register_checkpoint(t)
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local_excl = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    # per-partition totals -> exclusive running offsets (driver-side:
-    # n_partitions rows, the classic scan's tiny middle step)
-    totals = {
-        r["pid"]: r["s"]
-        for r in t.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("pid")
-    )
-    c = t.withColumn("cum_excl", local_excl + offset_expr)
+    c = ranged_cumsum(
+        tokens, "n_tokens", ["doc_id"], cum_col="cum_incl",
+        num_partitions=PACK_PARTITIONS,
+    ).withColumn("cum_excl", F.col("cum_incl") - F.col("n_tokens"))
     return (
         c.select(
             F.floor(F.col("cum_excl") / PACK_BUDGET).cast("bigint").alias("seq_id"),
@@ -966,13 +943,18 @@ def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission order (score DESC, doc_id) is total, so the cumulative
     sum and the cut point are exact.
 
-    Scale: scoring is per-row; the admission is ONE global-sort window
-    cumsum — the same documented pinch as RFM/NTILE (at 100 TB:
-    range-partition by score, compute per-range token totals, then a
-    two-pass prefix-sum assigns each range an offset; only the
-    boundary range needs the within-range scan). Output is a 1-row
-    summary, so nothing corpus-sized leaves the executors.
+    Scale: scoring is per-row; the admission cumsum is the DISTRIBUTED
+    SCAN (functions/scan.ranged_cumsum): range-partition by
+    (score DESC, doc_id), per-range local cumsums in parallel,
+    broadcast per-range exclusive offsets — no single-task global
+    window anywhere in the plan (plan-asserted in tests/test_plans.py;
+    partition-invariance pinned). Every range computes its local scan
+    concurrently, so admission cost is corpus-size / parallelism.
+    Output is a 1-row summary, so nothing corpus-sized leaves the
+    executors.
     """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
     t = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
@@ -986,10 +968,12 @@ def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = scored.agg(
         F.expr(f"(SUM(n_tok) * {TB_BUDGET_NUM}) div {TB_BUDGET_DEN}").alias("b")
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = ranged_cumsum(
+        scored.select("doc_id", "n_tok", "score"),
+        "n_tok",
+        [F.col("score").desc(), F.col("doc_id")],
+        cum_col="cum",
     )
-    ranked = scored.select("doc_id", "n_tok", "score", F.sum("n_tok").over(w).alias("cum"))
     sel = ranked.crossJoin(F.broadcast(budget)).where(F.col("cum") <= F.col("b"))
     # budget comes from the budget AGGREGATE, never from the selection:
     # max('b') over an empty selection (one doc exceeding the whole

@@ -719,21 +719,35 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-sized work is ONE token-frequency groupBy whose
     exchange carries the vocabulary, not the token stream (the
-    textstats module discipline); the ranking window and the size join
-    run on the VOCABULARY table — bounded by distinct terms, not
-    corpus rows. The curve output is |sizes| rows.
+    textstats module discipline). The global ranking window never sees
+    the vocabulary either: a PARTIAL TOP-K first keeps each shuffle
+    partition's local top max(sizes) terms — any partition-local
+    superset of the global top-k preserves both the top-k membership
+    and every cum <= rank-k prefix sum — so the window input is
+    bounded at max(sizes) x shuffle partitions regardless of how far
+    Heap's law grows the vocabulary (web scale: billions of distinct
+    tokens, single-task before round 8). The curve output is |sizes|
+    rows.
     """
+    k_max = max(VOCAB_CURVE_SIZES)
     tok = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = tf.agg(F.sum("c").alias("total"))
+    w_local = Window.partitionBy("_p").orderBy(F.col("c").desc(), "term")
+    pruned = (
+        tf.withColumn("_p", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .where(F.col("_lrk") <= k_max)
+        .drop("_lrk", "_p")
+    )
     wr = Window.orderBy(F.col("c").desc(), "term")
-    ranked = tf.select(
+    ranked = pruned.select(
         "c",
         F.row_number().over(wr).alias("rk"),
         F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-    )
+    ).where(F.col("rk") <= k_max)
     sizes = spark.createDataFrame([(k,) for k in VOCAB_CURVE_SIZES], "k int")
     return (
         sizes.join(ranked, ranked["rk"] <= sizes["k"])

@@ -1086,29 +1086,49 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer revenue per (R,F,M) cell.
 
     Scale: one partial-aggregable pass over orders builds the per-
-    customer base; the three ntile windows are GLOBAL sorts — the
-    documented single-task pinch at extreme customer counts, where the
-    100 TB form is the distributed-scan rank (range-partition on the
-    metric, local ntile from broadcast per-partition offsets, the
-    pipe_sequence_packing pattern); the final rollup is bounded at
+    customer base; each quintile score is the DISTRIBUTED-SCAN NTILE
+    (functions/scan.ranged_ntile — range-partition on the metric,
+    local row_number in parallel, broadcast per-partition count
+    offsets, tile = pure function of global position and N), so no
+    single-task global sort appears anywhere in the plan
+    (plan-asserted in tests/test_plans.py; partition-invariance
+    pinned). The three scored frames re-join on custkey — three
+    ordinary hash-partitioned shuffles; the final rollup is bounded at
     {RFM_TILES}^3 cells.
     """
+    from spark_rapids_ml_spark.functions.scan import ranged_ntile
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
     o = load(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents"),
+    # cached: the per-customer base feeds three independent ntile scans
+    base = _cache(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
     )
-    wr = Window.orderBy("last_order", "custkey")
-    wf = Window.orderBy("freq", "custkey")
-    wm = Window.orderBy("cents", "custkey")
-    scored = base.select(
-        "custkey",
-        F.ntile(RFM_TILES).over(wr).alias("r_score"),
-        F.ntile(RFM_TILES).over(wf).alias("f_score"),
-        F.ntile(RFM_TILES).over(wm).alias("m_score"),
-        "cents",
-    )
+    r = ranged_ntile(
+        base.select("custkey", "last_order"),
+        RFM_TILES,
+        [F.col("last_order"), F.col("custkey")],
+        "r_score",
+    ).select("custkey", "r_score")
+    f = ranged_ntile(
+        base.select("custkey", "freq"),
+        RFM_TILES,
+        [F.col("freq"), F.col("custkey")],
+        "f_score",
+    ).select("custkey", "f_score")
+    m = ranged_ntile(
+        base.select("custkey", "cents"),
+        RFM_TILES,
+        [F.col("cents"), F.col("custkey")],
+        "m_score",
+    ).select("custkey", "m_score", "cents")
+    scored = r.join(f, "custkey").join(m, "custkey")
     return (
         scored.groupBy(
             F.col("r_score").cast("bigint").alias("r_score"),

@@ -69,6 +69,13 @@ SAMPLED = [
     "agg_gini_revenue_concentration",
     "ml_tree_split_histogram",
     "graph_label_propagation",
+    # round 8: the three de-single-tasked order statistics (distributed
+    # scan NTILE/cumsum, functions/scan.py) and the pre-pruned vocab
+    # ranking — exactly the refactors whose correctness depends on
+    # layout-independence of the range-partition + offset composition
+    "events_rfm_segmentation",
+    "pipe_token_budget_selection",
+    "text_vocab_coverage_curve",
 ]
 
 

@@ -740,3 +740,64 @@ def test_peak_concurrency_single_sweep_window(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "Window" in txt
+
+
+def _windows_feed_off_single_partition(plan: str) -> list[str]:
+    """Window nodes whose input chain reaches an Exchange
+    SinglePartition — the single-task global-sort shape the
+    distributed scan (functions/scan.py) exists to eliminate. For each
+    `Window` line, the first `Exchange` printed below it in the linear
+    chain is its feeding exchange."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Window" not in ln or "WindowGroupLimit" in ln:
+            continue
+        for nxt in lines[i + 1 :]:
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    bad.append(ln.strip())
+                break
+    return bad
+
+
+def test_distributed_scan_no_single_task_windows(spark):
+    """Round-8 scale fix pins: the RFM quintile scoring, the
+    token-budget admission cumsum, the sequence-packing prefix sum and
+    the vocab-coverage ranking must contain NO window fed by an
+    `Exchange SinglePartition` — each global order statistic now rides
+    the distributed scan (range partition + local window + broadcast
+    offsets) or a bounded pre-pruned input."""
+    from spark_rapids_ml_spark.operators.llm_pipeline import (
+        pipe_sequence_packing,
+        pipe_token_budget_selection,
+    )
+    from spark_rapids_ml_spark.operators.timeseries import events_rfm_segmentation
+
+    for fn in (events_rfm_segmentation, pipe_token_budget_selection, pipe_sequence_packing):
+        plan = plan_of(fn(spark, SF))
+        bad = _windows_feed_off_single_partition(plan)
+        assert not bad, f"{fn.__name__}: single-task window(s): {bad}\n{plan}"
+        assert "Exchange SinglePartition" not in plan or fn is pipe_token_budget_selection, (
+            # token-budget keeps two legitimate 1-row scalar aggregates
+            # (budget, n_docs); the others must have none at all
+            f"{fn.__name__} has a SinglePartition exchange:\n{plan}"
+        )
+
+
+def test_vocab_coverage_window_input_is_bounded(spark):
+    """The vocabulary ranking window's global sort must consume the
+    partial top-k pruned frame (bounded at max(sizes) x partitions),
+    never the raw vocabulary: the plan must show a per-partition
+    row_number filter BELOW the final single-order window."""
+    from spark_rapids_ml_spark.operators.textstats import (
+        VOCAB_CURVE_SIZES,
+        text_vocab_coverage_curve,
+    )
+
+    plan = plan_of(text_vocab_coverage_curve(spark, SF))
+    k_max = max(VOCAB_CURVE_SIZES)
+    # the pruning filter (local rank <= k_max) appears before the
+    # global window in the plan tree
+    assert f"_lrk#" in plan and f"<= {k_max})" in plan, plan
+    assert plan.count("Window") >= 2  # local top-k window + global rank window
