@@ -27,6 +27,7 @@ executor sees one slice of the index — same plan shape, 1000x data.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,7 +41,45 @@ TOP_K = 5
 # test_quality.py); the full recall/candidate-count curve is in
 # SCALING.md — tables scale recall toward 1.0 at linear cost.
 N_TABLES = 8
-PLANES_PER_TABLE = 4  # 16 buckets/table — recall/cost knob
+PLANES_PER_TABLE = 4  # SMALL-CORPUS FLOOR: 16 buckets/table
+# Adaptive resolution (round 8): a FIXED plane count means bucket
+# occupancy — and so candidate-set size — grows linearly with the
+# corpus; the round-7 probe measured the 16-bucket tier degenerating
+# to corpus-scan cost at sf10 (43.0 s vs 36.3 s brute force). The
+# plane count now scales with the corpus: the smallest k in
+# [PLANES_PER_TABLE, LSH_MAX_PLANES] with 2^k * TARGET_OCCUPANCY >=
+# n, so candidates stay O(tables * k * occupancy) = O(log n) per
+# query. Pure-integer rule, mirrored as a DuckDB scalar subquery so
+# the oracle adapts with the data. When the floor binds (n <= 2048:
+# sf0.001/0.01/0.1) buckets are BIT-IDENTICAL to the fixed tier that
+# every prior round pinned. Above the floor, query signatures also
+# probe the k Hamming-distance-1 buckets per table (multi-probe LSH,
+# Lv et al., VLDB'07) — the recall the narrower buckets give up is
+# bought back with k extra query-side probes, never a wider scan.
+LSH_MAX_PLANES = 16
+LSH_TARGET_OCCUPANCY = 128
+
+
+def lsh_n_planes(n_corpus: int) -> int:
+    """Smallest k in [floor, max] with 2^k * target_occupancy >=
+    corpus size (exact-integer twin of the oracle's lshk subquery)."""
+    return next(
+        (
+            i
+            for i in range(PLANES_PER_TABLE, LSH_MAX_PLANES + 1)
+            if (1 << i) * LSH_TARGET_OCCUPANCY >= n_corpus
+        ),
+        LSH_MAX_PLANES,
+    )
+
+
+# the same rule in DuckDB: generate_series is inclusive like range's
+# half-open bound + 1; COALESCE binds the cap when nothing matches
+SQL_LSH_K = (
+    f"COALESCE((SELECT MIN(g.i) FROM generate_series({PLANES_PER_TABLE},"
+    f" {LSH_MAX_PLANES}) g(i) WHERE (CAST(1 AS BIGINT) << g.i)"
+    f" * {LSH_TARGET_OCCUPANCY} >= (SELECT n FROM nsz)), {LSH_MAX_PLANES})"
+)
 LSH_SEED = 123
 DIM = 64
 # IVF cells probed per query, of K_CELLS LEARNED cells: Lloyd's
@@ -153,13 +192,23 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hyperplanes() -> np.ndarray:
     """Fixed Rademacher (+1/-1) hyperplanes — integer-valued, so dot
     products are exact in float64 in both engines. Shape:
-    (N_TABLES, PLANES_PER_TABLE, DIM)."""
+    (N_TABLES, LSH_MAX_PLANES, DIM). The first PLANES_PER_TABLE planes
+    per table draw from LSH_SEED exactly as every prior round (plane p
+    contributes bit p, so a k-plane bucket is the max-plane bucket's
+    low k bits); the adaptive extension draws from a SEPARATE seed so
+    widening the ladder never reshuffles the pinned base draws (the
+    dedup._emb_extra_hyperplanes bit-stability discipline)."""
     rng = np.random.default_rng(LSH_SEED)
-    return rng.choice([-1.0, 1.0], size=(N_TABLES, PLANES_PER_TABLE, DIM))
+    base = rng.choice([-1.0, 1.0], size=(N_TABLES, PLANES_PER_TABLE, DIM))
+    rng2 = np.random.default_rng(LSH_SEED + 31)
+    extra = rng2.choice(
+        [-1.0, 1.0], size=(N_TABLES, LSH_MAX_PLANES - PLANES_PER_TABLE, DIM)
+    )
+    return np.concatenate([base, extra], axis=1)
 
 
-def _bucket_expr(emb: Column | str, table: int) -> Column:
-    planes = _hyperplanes()[table]
+def _bucket_expr(emb: Column | str, table: int, k: int = PLANES_PER_TABLE) -> Column:
+    planes = _hyperplanes()[table][:k]
     acc = F.lit(0)
     for p, plane in enumerate(planes):
         lit = F.array(*[F.lit(float(v)) for v in plane])
@@ -168,8 +217,8 @@ def _bucket_expr(emb: Column | str, table: int) -> Column:
     return acc.cast("bigint")
 
 
-def _sql_bucket(emb: str, table: int) -> str:
-    planes = _hyperplanes()[table]
+def _sql_bucket(emb: str, table: int, k: int = PLANES_PER_TABLE) -> str:
+    planes = _hyperplanes()[table][:k]
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(str(float(v)) for v in plane) + "]"
@@ -180,9 +229,14 @@ def _sql_bucket(emb: str, table: int) -> str:
 
 
 def _sql_sig_union(src: str, id_col: str) -> str:
-    """UNION ALL of (id, tbl, bucket) projections, one per LSH table."""
+    """UNION ALL of (id, tbl, bucket) projections, one per LSH table.
+    Each bucket is the full LSH_MAX_PLANES-bit id masked down to the
+    corpus-adaptive k low bits (= the k-plane bucket, since plane p is
+    bit p); k comes from the lshk scalar CTE the caller defines."""
     return " UNION ALL ".join(
-        f"SELECT {id_col}, {t} AS tbl, {_sql_bucket('emb', t)} AS bucket FROM {src}"
+        f"SELECT {id_col}, {t} AS tbl,"
+        f" {_sql_bucket('emb', t, LSH_MAX_PLANES)}"
+        f" % (CAST(1 AS BIGINT) << (SELECT k FROM lshk)) AS bucket FROM {src}"
         for t in range(N_TABLES)
     )
 
@@ -192,8 +246,18 @@ def _sql_sig_union(src: str, id_col: str) -> str:
 # the result set, so both queries verify against the same batch oracle.
 _LSH_TOPK_ORACLE = f"""
 WITH e AS ({_SQL_E}),
-sig AS ({_sql_sig_union('e', 'vec_id')}),
-qsig AS (SELECT vec_id AS qid, tbl, bucket FROM sig WHERE vec_id < {N_QUERIES}),
+nsz AS (SELECT COUNT(*) AS n FROM e),
+lshk AS (SELECT {SQL_LSH_K} AS k),
+sig AS MATERIALIZED ({_sql_sig_union('e', 'vec_id')}),
+qsig0 AS (SELECT vec_id AS qid, tbl, bucket FROM sig WHERE vec_id < {N_QUERIES}),
+qsig AS (
+  SELECT qid, tbl, bucket FROM qsig0
+  UNION ALL
+  SELECT qid, tbl, xor(bucket, CAST(1 AS BIGINT) << j.i) AS bucket
+  FROM qsig0 CROSS JOIN generate_series(0, {LSH_MAX_PLANES - 1}) j(i)
+  WHERE (SELECT k FROM lshk) > {PLANES_PER_TABLE}
+    AND j.i < (SELECT k FROM lshk)
+),
 cand AS (
   SELECT DISTINCT q.qid, s.vec_id
   FROM qsig q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.qid
@@ -213,6 +277,50 @@ ranked AS (
 SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY qid, rk
 """
+
+
+def _signatures_df(e: DataFrame, k: int) -> DataFrame:
+    """(vec_id, tbl, bucket) LSH signatures for every vector, computed
+    as ONE Arrow-batched matmul per partition instead of N_TABLES*k
+    interpreted zip_with/aggregate expressions per row: at k=11
+    (sf10's adaptive resolution) the expression form evaluates 88
+    higher-order dot products per row and dominated the query wall
+    (measured 3x brute force); the batched (rows, DIM) @ (DIM,
+    N_TABLES*k) product is the same float64 arithmetic the oracle's
+    list_dot_product performs, two orders of magnitude fewer
+    interpreter dispatches (the ml/pca.py batched-transform
+    discipline). Bit semantics unchanged: plane p of table t -> bit p
+    of bucket t."""
+    planes = _hyperplanes()[:, :k, :]  # (tables, k, dim)
+    w = planes.reshape(N_TABLES * k, DIM).T.copy()  # (dim, tables*k)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)  # (rows, dim)
+        bits = (x @ w) > 0  # (rows, tables*k)
+        b = bits.reshape(len(x), N_TABLES, k)
+        weights = (1 << np.arange(k, dtype=np.int64))
+        buckets = (b * weights).sum(axis=2)  # (rows, tables)
+        return pd.Series(list(buckets))
+
+    return e.select(
+        "vec_id", F.posexplode(_buckets("embedding")).alias("tbl", "bucket")
+    )
+
+
+def _query_probes(qsig: DataFrame, k: int) -> DataFrame:
+    """Multi-probe expansion of (qid, tbl, bucket) query signatures:
+    the home bucket plus — only when the adaptive resolution is active
+    (k above the small-corpus floor) — the k Hamming-distance-1
+    buckets per table. Query-side only: N_QUERIES * N_TABLES * (k+1)
+    probe rows, never a corpus-side blow-up."""
+    if k <= PLANES_PER_TABLE:
+        return qsig
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(k)],
+    )
+    return qsig.select("qid", "tbl", F.explode(probes).alias("bucket"))
 
 
 def _rerank_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
@@ -246,31 +354,33 @@ def _rerank_topk(cand: DataFrame, e: DataFrame) -> DataFrame:
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
-    N_TABLES tables × PLANES_PER_TABLE planes; candidates = union of
-    the query's buckets across tables; exact cosine re-rank on the
-    deduped candidates.
+    N_TABLES tables × lsh_n_planes(corpus) planes; candidates = union
+    of the query's (multi-probed) buckets across tables; exact cosine
+    re-rank on the deduped candidates.
 
-    Scale: the candidate join is an equi-join on (table, bucket) — the
-    sub-linear ANN path; tables/planes trade recall vs candidate count
-    (recall asserted vs brute force in tests/test_quality.py).
+    Scale: the candidate join is an equi-join on (table, bucket), and
+    the plane count grows with the corpus so per-bucket occupancy —
+    and with it candidate-set size — stays near LSH_TARGET_OCCUPANCY
+    instead of n/16 (the round-7 probe measured the fixed-bucket tier
+    costing MORE than brute force at sf10; the adaptive tier's
+    recall/wall curve is re-measured in RECALL_r8.json). Recall
+    asserted vs brute force in tests/test_quality.py.
     """
     from spark_rapids_ml_spark.operators.dedup import _cache
 
     e = load(spark, sf_dir, "embeddings")
-    # cached: the signature projection (32 hyperplane dots/row) feeds
-    # BOTH candidate-join sides; without the cache each side recomputes
-    # it (measured ~10% of query wall at sf0.1). The persisted-index
-    # tier (sim_lsh_persisted_probe) removes the recompute entirely.
-    sig = _cache(
-        e.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
-            ).alias("tbl", "bucket"),
-        )
-    )
-    qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    k = lsh_n_planes(e.count())
+    # cached: the signature projection (one Arrow-batched matmul)
+    # feeds BOTH candidate-join sides; without the cache each side
+    # recomputes it (measured ~10% of query wall at sf0.1). The
+    # persisted-index tier (sim_lsh_persisted_probe) removes the
+    # recompute entirely.
+    sig = _cache(_signatures_df(e, k))
+    qsig = _query_probes(
+        sig.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "tbl", "bucket"
+        ),
+        k,
     )
     cand = (
         qsig.join(sig, ["tbl", "bucket"])
@@ -321,12 +431,8 @@ def lsh_signature_table(spark: SparkSession, sf_dir: str) -> str:
     )
     shutil.rmtree(os.path.join(warehouse, f"{db}.db", "lsh_sig_b"), ignore_errors=True)
     e = load(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[_bucket_expr("embedding", t) for t in range(N_TABLES)])
-        ).alias("tbl", "bucket"),
-    )
+    k = lsh_n_planes(e.count())
+    sig = _signatures_df(e, k)
     (
         sig.write.mode("overwrite")
         .bucketBy(8, "tbl", "bucket")
@@ -359,8 +465,12 @@ def sim_lsh_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tbl = lsh_signature_table(spark, sf_dir)
     sig = spark.table(tbl)
-    qsig = sig.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    k = lsh_n_planes(load(spark, sf_dir, "embeddings").count())
+    qsig = _query_probes(
+        sig.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "tbl", "bucket"
+        ),
+        k,
     )
     cand = (
         qsig.join(sig, ["tbl", "bucket"])
