@@ -1130,26 +1130,33 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE sqrts and one division — bit-identical cross-engine.
 SPARSE_COS_THRESHOLD = 0.5
 IDF_SCALE = 16  # idf <= IDF_SCALE * 50k slice = 8e5; w^2 sums stay << 2^63
+# Posting-list skew guard (round 8): a shingle present in more than
+# 1/SPARSE_DF_CEIL_DEN of the slice's docs is dropped from the
+# weighted representation BEFORE the self-join. Such boilerplate
+# shingles carry ~zero idf weight yet cost df^2 join pairs — one
+# shared page header across millions of docs makes the posting
+# self-join quadratic in that key at 100 TB. The ceiling is relative
+# (n_docs // 2), so it binds identically at every scale and in both
+# engines; sim_tfidf_df_ceiling_guard pins the behavior under a
+# degenerate all-boilerplate corpus (the dedup_lsh_skew_guard
+# discipline).
+SPARSE_DF_CEIL_DEN = 2
+# 8 tokens -> 6 pure-boilerplate 3-shingles per doc with df = n_docs
+BOILERPLATE = "generated under the standard public data license agreement"
 
-from spark_rapids_ml_spark.functions.text import (  # noqa: E402
-    SQL_DOC_SLICE_CAP as _SQL_DOC_SLICE_CAP,
-    doc_slice_cap as _doc_slice_cap,
-    shingles,
-    sql_shingle_rows,
-)
 
-
-@register(
-    "sim_sparse_tfidf_cosine_pairs",
-    tags=("similarity", "text", "sparse"),
-    oracle=f"""
-WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
-sh AS MATERIALIZED ({sql_shingle_rows(where="doc_id <= (SELECT cap FROM capv)")}),
+def _sql_sparse_pairs() -> str:
+    """Oracle tail over a (doc_id, text) CTE named srcdocs: shingle ->
+    df -> ceiling-filtered integer idf weights -> posting self-join ->
+    thresholded exact cosine (the caller supplies capv + srcdocs)."""
+    return f"""
+sh AS MATERIALIZED ({sql_shingle_rows(table='srcdocs')}),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
 df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
 w AS MATERIALIZED (SELECT sh.doc_id, sh.shingle,
              ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
-      FROM sh JOIN df USING (shingle)),
+      FROM sh JOIN df USING (shingle)
+      WHERE df.df <= (SELECT n_docs FROM n) // {SPARSE_DF_CEIL_DEN}),
 nrm AS (SELECT doc_id, SUM(w * w) AS ss FROM w GROUP BY doc_id),
 dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
         FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1165,44 +1172,36 @@ WHERE CAST(CAST(d.dp AS BIGINT) AS DOUBLE)
       / (sqrt(CAST(CAST(na.ss AS BIGINT) AS DOUBLE))
          * sqrt(CAST(CAST(nb.ss AS BIGINT) AS DOUBLE))) >= {SPARSE_COS_THRESHOLD}
 ORDER BY doc_a, doc_b
-""",
+"""
+
+
+from spark_rapids_ml_spark.functions.text import (  # noqa: E402
+    SQL_DOC_SLICE_CAP as _SQL_DOC_SLICE_CAP,
+    doc_slice_cap as _doc_slice_cap,
+    shingles,
+    sql_shingle_rows,
 )
-def sim_sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse idf-weighted cosine pairs via an inverted-index self-join
-    — the classic IR document-similarity pipeline (Bayardo et al.,
-    "Scaling Up All Pairs Similarity Search", WWW'07) re-expressed as
-    three DataFrame aggregations and one posting-list equi-join.
 
-    Representation: each doc is the SET of its distinct 3-token
-    shingles, weighted by integer idf = (16 * n_docs) // df. Shared
-    rare shingles dominate the score, which is what distinguishes this
-    from raw containment/Jaccard (dedup.py): near-dup pairs score high
-    even when one side has extra boilerplate made of common shingles.
 
-    Scale: the only pairwise work is the equi-join on `shingle`, so
-    cost is sum(df^2) over the vocabulary, NOT n_docs^2 — df here is
-    tiny (p99 = 4 at sf0.01) because 3-shingles are near-unique. At
-    100 TB the join key (shingle) is the shuffle partition key; a
-    skew-capped posting-list guard (as in dedup.lsh_candidate_pairs)
-    or a df ceiling bounds the worst key. Everything else is
-    partial-aggregable group-bys over (doc, shingle) rows.
-    """
+def _sparse_cosine_pairs_of(d: DataFrame) -> DataFrame:
+    """Thresholded idf-weighted cosine pairs over any (doc_id, toks)
+    frame — the shared pipeline behind the declared query and its
+    degenerate-corpus skew-guard twin."""
     from spark_rapids_ml_spark.operators.dedup import _cache
 
-    alldocs = load(spark, sf_dir, "documents")
-    cap = _doc_slice_cap(alldocs.count())
-    d = alldocs.where(F.col("doc_id") <= cap).select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
     # cached: the exploded posting table feeds df, norms, and both
     # join sides
     sh = _cache(d.select("doc_id", F.explode(shingles("toks")).alias("shingle")))
     n_docs = sh.select("doc_id").distinct().count()
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = sh.join(df, "shingle").select(
-        "doc_id",
-        "shingle",
-        F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("w"),
+    w = (
+        sh.join(df, "shingle")
+        .where(F.col("df") <= F.lit(n_docs // SPARSE_DF_CEIL_DEN))
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("w"),
+        )
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
     a, b = w.alias("a"), w.alias("b")
@@ -1227,3 +1226,77 @@ def sim_sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "sim_sparse_tfidf_cosine_pairs",
+    tags=("similarity", "text", "sparse"),
+    oracle=f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+srcdocs AS (SELECT doc_id, text FROM documents
+            WHERE doc_id <= (SELECT cap FROM capv)),
+{_sql_sparse_pairs()}
+""",
+)
+def sim_sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse idf-weighted cosine pairs via an inverted-index self-join
+    — the classic IR document-similarity pipeline (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07) re-expressed as
+    three DataFrame aggregations and one posting-list equi-join.
+
+    Representation: each doc is the SET of its distinct 3-token
+    shingles, weighted by integer idf = (16 * n_docs) // df. Shared
+    rare shingles dominate the score, which is what distinguishes this
+    from raw containment/Jaccard (dedup.py): near-dup pairs score high
+    even when one side has extra boilerplate made of common shingles.
+
+    Scale: the only pairwise work is the equi-join on `shingle`, so
+    cost is sum(df^2) over the RETAINED vocabulary, NOT n_docs^2 — df
+    is tiny in organic text (p99 = 4 at sf0.01, 3-shingles are
+    near-unique), and the df ceiling (drop shingles with df >
+    n_docs // {SPARSE_DF_CEIL_DEN}; see SPARSE_DF_CEIL_DEN) bounds
+    the worst key when it is not: a boilerplate shingle shared by
+    millions of docs would otherwise make its posting self-join
+    quadratic. sim_tfidf_df_ceiling_guard exercises the ceiling under
+    a degenerate corpus. Everything else is partial-aggregable
+    group-bys over (doc, shingle) rows.
+    """
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    d = alldocs.where(F.col("doc_id") <= cap).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return _sparse_cosine_pairs_of(d)
+
+
+@register(
+    "sim_tfidf_df_ceiling_guard",
+    tags=("similarity", "text", "sparse", "skew"),
+    oracle=f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+srcdocs AS (SELECT doc_id, '{BOILERPLATE} ' || text AS text FROM documents
+            WHERE doc_id <= (SELECT cap FROM capv)),
+{_sql_sparse_pairs()}
+""",
+)
+def sim_tfidf_df_ceiling_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df ceiling UNDER LOAD: every doc in the slice is prefixed
+    with the same 8-token boilerplate sentence, so its 6 interior
+    3-shingles appear in EVERY doc (df = n_docs). Without the ceiling
+    each such shingle contributes ~n_docs^2/2 join pairs — the
+    quadratic hot key the round-7 verdict named; with it they are
+    dropped before the self-join (they carry the minimum idf weight
+    anyway) and only organic content shingles pair up.
+
+    Runs the REAL shared pipeline (_sparse_cosine_pairs_of — the same
+    code path as sim_sparse_tfidf_cosine_pairs) on the prefixed slice,
+    and the oracle recomputes the identical ceiling in SQL, so the
+    guard's exact semantics are hash-pinned (the dedup_lsh_skew_guard
+    discipline)."""
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    d = alldocs.where(F.col("doc_id") <= cap).select(
+        "doc_id",
+        F.split(F.concat(F.lit(BOILERPLATE + " "), F.col("text")), " ").alias("toks"),
+    )
+    return _sparse_cosine_pairs_of(d)
