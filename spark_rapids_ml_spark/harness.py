@@ -27,8 +27,16 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # Bound the oracle's memory so a heavy compare at large SF spills to
     # disk instead of tripping the machine OOM killer next to the Spark
     # JVM (observed at sf10: two concurrent sweeps OOM-killed the box).
-    # Overridable for small boxes; no effect on results, only on spill.
-    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
+    # The default is RAM-aware — min(40GB, 50% of physical memory) — so
+    # on a small box it LOWERS DuckDB's own 80%-of-RAM default instead
+    # of raising it. Overridable; no effect on results, only on spill.
+    try:
+        half_ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (2 * 1024**3)
+        )
+    except (ValueError, OSError, AttributeError):
+        half_ram_gb = 40
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", f"{max(1, min(40, half_ram_gb))}GB")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     # Cap spill too: an unbounded spill at sf10 filled the root fs and

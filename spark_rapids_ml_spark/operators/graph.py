@@ -348,9 +348,12 @@ def _kcore_oracle() -> str:
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_orderkey <= {_KCORE_KEY_CAP} AND b.l_orderkey <= {_KCORE_KEY_CAP}
 )""",
+        # NULLIF/COALESCE: an empty edge slice has a zero node count;
+        # the impl's vr==0 branch emits k=1, so the oracle must degrade
+        # identically instead of erroring on division by zero
         """kv AS MATERIALIZED (
-  SELECT (2 * (SELECT COUNT(*) FROM e0))
-         // (SELECT COUNT(*) FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)) + 1 AS k
+  SELECT COALESCE((2 * (SELECT COUNT(*) FROM e0))
+         // NULLIF((SELECT COUNT(*) FROM (SELECT a AS node FROM e0 UNION SELECT b FROM e0)), 0), 0) + 1 AS k
 )""",
     ]
     rows = [

@@ -210,10 +210,10 @@ ORDER BY doc_id, chunk_idx
 """,
 )
 def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-window chunking (CHUNK_LEN=64 tokens, stride
-    {CHUNK_STRIDE}): the standard retrieval/embedding preprocessing —
-    every token is covered, consecutive chunks share
-    {CHUNK_LEN - CHUNK_STRIDE} tokens of context, and the chunk count
+    """Overlapping fixed-window chunking (CHUNK_LEN=50 tokens, stride
+    CHUNK_STRIDE=40): the standard retrieval/embedding preprocessing —
+    every token is covered, consecutive chunks share CHUNK_LEN -
+    CHUNK_STRIDE = 10 tokens of context, and the chunk count
     is a pure function of the token count. Bounded to doc_id <= 100
     for the declared query (the operator itself is unbounded).
 

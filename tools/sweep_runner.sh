@@ -35,15 +35,35 @@ while [ -s "$TODO" ]; do
     fi
   done
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 1 ]; then
-    # hard crash/timeout: the first name still in TODO from this chunk
-    # is the one that brought the process down — mark it and move on
-    for n in $names; do
-      if grep -qx "$n" "$TODO"; then
-        echo "CRASH $n: process rc=$rc" >> "$LOG"
-        grep -vx "$n" "$TODO" > "$TODO.tmp" || true; mv "$TODO.tmp" "$TODO"
-        break
-      fi
-    done
+    # hard crash/timeout. Only blame a query when it crashed ALONE:
+    # with CHUNK>1 the per-chunk timeout is cumulative, so a chunk of
+    # individually-fine slow queries can time out and the first
+    # unfinished name would be blamed (and silently dropped from the
+    # sweep). Re-run the survivors one at a time instead; a name whose
+    # 1-query run also dies gets the CRASH verdict for real.
+    if [ "$CHUNK" -eq 1 ]; then
+      for n in $names; do
+        if grep -qx "$n" "$TODO"; then
+          echo "CRASH $n: process rc=$rc" >> "$LOG"
+          grep -vx "$n" "$TODO" > "$TODO.tmp" || true; mv "$TODO.tmp" "$TODO"
+          break
+        fi
+      done
+    else
+      for n in $names; do
+        if grep -qx "$n" "$TODO"; then
+          timeout "${SWEEP_TIMEOUT:-5400}" python tools/check_queries.py "$n" \
+            >> "$LOG" 2>> "$LOG.err"
+          rc1=$?
+          if grep -qE "^(OK|FAIL|ERR)  ?${n}:" "$LOG"; then
+            grep -vx "$n" "$TODO" > "$TODO.tmp" || true; mv "$TODO.tmp" "$TODO"
+          elif [ "$rc1" -ne 0 ] && [ "$rc1" -ne 1 ]; then
+            echo "CRASH $n: process rc=$rc1 (solo re-run)" >> "$LOG"
+            grep -vx "$n" "$TODO" > "$TODO.tmp" || true; mv "$TODO.tmp" "$TODO"
+          fi
+        fi
+      done
+    fi
   fi
 done
 echo "SWEEP DONE $(wc -l < "$LOG") log lines" >> "$LOG"
