@@ -1700,7 +1700,7 @@ SUBSTR_WINDOW = 8  # tokens per window (the paper's 50-token unit scaled
 
 
 @register(
-    "dedup_exact_substring_spans",
+    "dedup_exact_substring_spans", bench=True,
     tags=("dedup", "substring"),
     oracle=f"""
 WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),

@@ -392,7 +392,7 @@ FROM ({union}) ORDER BY round
 """
 
 
-@register("graph_kcore_peeling", tags=("graph", "scale"), oracle=_kcore_oracle())
+@register("graph_kcore_peeling", bench=True, tags=("graph", "scale"), oracle=_kcore_oracle())
 def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive k-core peeling profile: starting from the part
     co-purchase graph, repeatedly drop every node with degree < k
@@ -417,13 +417,15 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spark_rapids_ml_spark.operators.scale_patterns import _scoped_conf
 
+    from spark_rapids_ml_spark.operators.dedup import register_checkpoint
+
     li = (
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") <= _KCORE_KEY_CAP)
         .select("l_orderkey", "l_partkey")
     )
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    e = register_checkpoint(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -431,7 +433,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     # One degree aggregation per round serves BOTH the trajectory stats
@@ -447,10 +449,16 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    # deg is computed from the CACHED edge set, consumed twice per
-    # round (stats job now, peel predicate inside next round's job) —
-    # recomputing it from cache costs one cheap aggregation and avoids
-    # a cache slot whose blocks would drop before reuse anyway.
+    # Each round's edge set is LINEAGE-CUT with localCheckpoint (the
+    # register_checkpoint one-shot release convention): with plain
+    # cache() every round's plan embeds BOTH semi-join branches of the
+    # previous round's plan, so the logical tree — and Spark's
+    # explain-string generation for it — doubles per round (2^rounds;
+    # materializing the round-8 headline run OOM'd the driver building
+    # the plan text once deg was also cached). A checkpointed round is
+    # a LogicalRDD leaf: constant plan size, shallow per-round DAGs,
+    # and deg caching becomes safe. deg is consumed three times per
+    # round (stats job + both peel branches).
     # The key-capped edge set is tiny (~100k rows) regardless of SF, so
     # the per-round shuffles are pure scheduler overhead at the session
     # default width; 8 partitions is plenty and cuts the round latency
@@ -458,31 +466,30 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scoped + restored, the _scoped_conf convention.
     k = None
     traj = []
-    prev = None
+    prev_deg = None
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
         for r in range(_KCORE_ROUNDS + 1):
-            deg = _deg(e)
+            deg = _deg(e).cache()
             row = deg.agg(
                 F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")
             ).collect()[0]
             vr, er = row.v, (row.dsum or 0) // 2
-            if prev is not None:
-                prev.unpersist()
+            if prev_deg is not None:
+                prev_deg.unpersist()
             if k is None:
                 k = (2 * er) // vr + 1 if vr else 1
             traj.append((r, k, vr, er))
             if r == _KCORE_ROUNDS:
+                deg.unpersist()
                 break
             keep = deg.where(F.col("d") >= k).select("node")
-            prev_e = e
-            e = (
-                prev_e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            e = register_checkpoint(
+                e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
                 .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
                 .select("a", "b")
-                .cache()
+                .localCheckpoint(eager=False)
             )
-            prev = prev_e
-    e.unpersist()
+            prev_deg = deg
     return spark.createDataFrame(
         traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")

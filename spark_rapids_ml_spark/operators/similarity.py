@@ -1229,7 +1229,7 @@ def _sparse_cosine_pairs_of(d: DataFrame) -> DataFrame:
 
 
 @register(
-    "sim_sparse_tfidf_cosine_pairs",
+    "sim_sparse_tfidf_cosine_pairs", bench=True,
     tags=("similarity", "text", "sparse"),
     oracle=f"""
 WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),

@@ -892,6 +892,7 @@ LC_PRICE_BUMP = 1.10
 
 @register(
     "sink_lakehouse_lifecycle",
+    bench=True,
     tags=("sink", "scale", "cdc", "composed"),
     oracle=f"""
 WITH v1 AS (

@@ -64,62 +64,26 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 7 rotation (continued session): (a) the 25 operators
-    # added in the second round-7 session — newest code, never
-    # driver-sampled — then (b) the first session's 20 additions, then
-    # (c) the queries that had never had a driver correctness row
-    # through r06, (d) stalest surviving driver rows. Names absent are
-    # skipped.
+    # -- round 8 rotation: (a) the queries round 8 changed or added —
+    # the distributed-scan refactors, the adaptive LSH tier, the df
+    # ceiling + its new guard query — each needs a fresh driver row on
+    # the new code; then (b) the 29 queries never driver-sampled
+    # through r07 (union of CORRECTNESS_r01..r07 vs the registry),
+    # closing the evidence gap VERDICT r7 named; then (c) stalest
+    # surviving driver rows. Names absent from the registry are
+    # skipped, so the list is safe across partial loads.
+    "sim_tfidf_df_ceiling_guard",
     "sim_sparse_tfidf_cosine_pairs",
-    "dedup_exact_substring_spans",
-    "ml_tree_split_histogram",
-    "graph_link_prediction_jaccard",
-    "events_abtest_welch_ttest",
-    "agg_chisq_independence",
-    "join_spatial_grid_knn",
-    "ml_logreg_irls_newton",
-    "graph_label_propagation",
-    "scale_write_audit_publish",
-    "agg_gini_revenue_concentration",
-    "events_attribution_last_touch",
-    "pipe_token_budget_selection",
-    "window_median_mad_robust",
-    "mm_image_tile_impurity",
-    "stream_topk_heavy_hitters",
-    "events_survival_kaplan_meier",
-    "timeseries_lag_features",
-    "mm_audio_energy_segments",
-    "sql_group_by_all",
-    "events_peak_concurrency",
-    "agg_market_basket_rules",
-    "ml_calibration_reliability_bins",
-    "scale_footer_stats_profile",
-    "events_dau_wau_mau",
-    "text_vocab_coverage_curve",
-    "stream_scd2_enrichment",
-    "agg_trimmed_winsorized_mean",
-    "mm_video_shot_boundary",
-    "events_markov_stationary",
-    "ml_ridge_kfold_cv",
-    "dq_benford_first_digit",
-    "events_cohort_ltv",
-    "ml_eval_auc_rank",
-    "ml_eval_confusion_prf",
-    "ml_regr_diagnostics",
-    "ml_knn_classifier",
-    "ml_centroid_train_eval_pipeline",
-    "timeseries_ewma_halflife",
-    "timeseries_autocorr_lag1",
-    "text_collocation_lift",
-    "dedup_containment_pairs",
-    "dedup_lsh_quality_eval",
-    "graph_kcore_peeling",
-    "pipe_length_bucket_batches",
-    "agg_bloom_filter_membership",
-    "agg_mode_deterministic",
-    "sql_session_variables",
-    "sql_create_sql_udf",
+    "sim_lsh_bucketed_topk",
+    "sim_lsh_persisted_probe",
     "events_rfm_segmentation",
+    "pipe_token_budget_selection",
+    "text_vocab_coverage_curve",
+    "pipe_sequence_packing",
+    "pipe_bpe_tokenize_pack",
+    "graph_kcore_peeling",
+    "pipe_chunk_documents",
+    # (b) never driver-sampled through r07
     "stream_stateful_ewma",
     "sink_snapshot_expire_vacuum",
     "scalar_interval_arithmetic",
@@ -136,7 +100,6 @@ SWEEP_PRIORITY: list[str] = [
     "mm_image_perceptual_hash",
     "mm_video_frame_sample",
     "pipe_bpe_apply_tokens",
-    "pipe_bpe_tokenize_pack",
     "pipe_bpe_train_merges",
     "pipe_mixture_sampling",
     "scale_runtime_bloom_filter_join",
@@ -148,20 +111,7 @@ SWEEP_PRIORITY: list[str] = [
     "stream_incremental_dedup_lsh",
     "timeseries_resample_ohlc",
     "udf_arrow_scalar_tokenstats",
-    # -- operators whose implementation or oracle changed in the late
-    # round-7 sf10 hardening (third LSH rung, exact-tier subsample,
-    # materialized iteration CTEs): give each a fresh driver row
-    "dedup_embedding_lsh_pairs",
-    "kmeans_embedding_clusters",
-    "ml_kmeans_silhouette",
-    "graph_triangle_count",
-    "sim_ivf_topk",
-    "sim_ivf_persisted_probe",
-    "dq_dp_noisy_counts",
-    "agg_count_min_sketch",
-    "scale_dynamic_partition_pruning",
-    "graph_bfs_shortest_path",
-    "udf_udtf_polymorphic_split",
+    # (c) stalest surviving driver rows (r01/r02 prefix)
     "agg_bitwise",
     "array_basic_ops",
     "array_explode_tokens",
