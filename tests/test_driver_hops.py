@@ -56,6 +56,9 @@ ALLOWED = {
         'groupBy("pid")',  # packing: one row per partition id
         "vocab.collect()",  # BPE training vocabulary (declared driver-iterative)
     },
+    "functions/scan.py": {
+        "t.groupBy(_PID)",  # distributed scan's middle step: ONE row per range partition (the classic scan's broadcast offsets)
+    },
     "operators/similarity.py": {
         ".orderBy(\"pos\")",  # quantizer stats: d=64 rows
         '.select("pcell").distinct().collect()',  # probed cells <= nprobe
