@@ -1855,3 +1855,57 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ------------------------------------------ exact distributed quantiles
+
+EXACT_QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "agg_exact_quantiles_scan",
+    tags=("agg", "scale", "scan"),
+    oracle=f"""
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v),
+t AS (SELECT p, GREATEST(1, ((SELECT n FROM n) * p + 99) // 100) AS rn
+      FROM (SELECT unnest([{", ".join(str(p) for p in EXACT_QUANTILE_PCTS)}]) AS p))
+SELECT CAST(t.p AS BIGINT) AS pct, r.cents AS value_cents
+FROM t JOIN r ON r.rn = t.rn
+ORDER BY pct
+""",
+)
+def agg_exact_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles (p25/p50/p75/p90/p99 of order
+    value in cents) — the complement of agg_approx_percentile: when an
+    SLA or billing cut needs the true value, not a GK-sketch estimate,
+    the quantile is the element at 1-based rank ceil(p*N/100), computed
+    with pure integer arithmetic ((N*p + 99) // 100) so both engines
+    pick the identical rank.
+
+    Scale: the textbook single-task trap is ROW_NUMBER() OVER (ORDER BY
+    value) — the oracle's formulation, fine for DuckDB, fatal on a
+    cluster. The impl instead rides the distributed scan
+    (functions/scan.ranged_row_number: range-partition on the value,
+    local row_number in parallel, broadcast per-partition count
+    offsets) and probes the 5 target ranks with a broadcast join — no
+    single-partition exchange anywhere (plan-asserted), identical
+    result at any partition count (invariance-pinned). Ties across the
+    rank order are value-ties, so the value at a rank is deterministic
+    regardless of tiebreak. Output: |pcts| rows.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_row_number
+
+    v = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    n = v.count()
+    targets = [(p, max(1, (n * p + 99) // 100)) for p in EXACT_QUANTILE_PCTS]
+    rn = ranged_row_number(v, [F.col("cents")], rn_col="rn")
+    tgt = spark.createDataFrame(targets, "pct int, rn bigint")
+    return (
+        rn.join(F.broadcast(tgt), "rn")
+        .select(F.col("pct").cast("bigint").alias("pct"), F.col("cents").alias("value_cents"))
+        .orderBy("pct")
+    )

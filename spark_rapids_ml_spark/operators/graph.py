@@ -735,3 +735,90 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "community bigint, n_members bigint").orderBy(
         F.col("n_members").desc(), "community"
     )
+
+
+# ---------------------------------------- degree distribution (CCDF)
+
+
+@register(
+    "graph_degree_distribution_ccdf",
+    tags=("graph", "scale", "scan"),
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {GRAPH_MIN_SUP}
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+tot AS (SELECT SUM(n_nodes) AS total FROM hist),
+c AS (SELECT degree, n_nodes,
+             SUM(n_nodes) OVER (ORDER BY degree DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge
+      FROM hist)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_ge AS BIGINT) AS n_nodes_ge,
+       ROUND(CAST(n_ge AS DOUBLE) / (SELECT total FROM tot), 6) AS ccdf
+FROM c ORDER BY degree
+""",
+)
+def graph_degree_distribution_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution with complementary CDF over the de-noised
+    co-purchase graph — the heavy-tail / power-law diagnostic read
+    before sizing anything degree-dependent (wedge joins, LSH caps,
+    skew salting): n_nodes_ge(d) = how many nodes have degree >= d,
+    and a straight CCDF on log-log axes is the scale-free signature.
+    Everything is exact integers plus ONE final division, so the curve
+    is bit-stable cross-engine (no ln()-sum FP drift).
+
+    Scale: degrees are one partial-aggregable count over the edge
+    list; the histogram groupBy exchanges at most |distinct degrees|
+    rows. The CCDF's running sum is the usual single-task window trap
+    at web-scale degree ranges, so it rides the distributed scan
+    (functions/scan.ranged_cumsum, descending degree order) like every
+    other round-8 order statistic — no single-partition exchange in
+    the plan.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = _cache(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= GRAPH_MIN_SUP)
+        .select("a", "b")
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").alias("total"))
+    c = ranged_cumsum(
+        hist, "n_nodes", [F.col("degree").desc()], cum_col="n_ge"
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_ge").cast("bigint").alias("n_nodes_ge"),
+            F.round(
+                F.col("n_ge").cast("double") / F.col("total").cast("double"), 6
+            ).alias("ccdf"),
+        )
+        .orderBy("degree")
+    )

@@ -76,6 +76,8 @@ SAMPLED = [
     "events_rfm_segmentation",
     "pipe_token_budget_selection",
     "text_vocab_coverage_curve",
+    "agg_exact_quantiles_scan",
+    "graph_degree_distribution_ccdf",
 ]
 
 
