@@ -1909,3 +1909,66 @@ def agg_exact_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pct").cast("bigint").alias("pct"), F.col("cents").alias("value_cents"))
         .orderBy("pct")
     )
+
+
+@register(
+    "agg_weighted_quantiles_scan",
+    tags=("agg", "scale", "scan"),
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1
+),
+tw AS (SELECT SUM(w) AS tot FROM h),
+c AS (SELECT cents, SUM(w) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM h),
+t AS (SELECT p, ((SELECT tot FROM tw) * p + 99) // 100 AS tgt
+      FROM (SELECT unnest([{", ".join(str(p) for p in EXACT_QUANTILE_PCTS)}]) AS p))
+SELECT CAST(t.p AS BIGINT) AS pct,
+       (SELECT MIN(cents) FROM c WHERE cw >= t.tgt) AS value_cents,
+       CAST((SELECT tot FROM tw) AS BIGINT) AS total_weight
+FROM t ORDER BY pct
+""",
+)
+def agg_weighted_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED exact quantiles: unit price percentiles weighted by
+    quantity sold — "half the units moved at or below this price" is a
+    different (and usually more useful) statistic than the unweighted
+    line-item median. The weighted p-quantile is the smallest value
+    whose running weight reaches ceil(p*W/100), with the target rank
+    in pure integer arithmetic so both engines agree exactly.
+
+    Scale: the corpus reduces FIRST to the value histogram (one
+    partial-aggregable groupBy on the price — the exchange carries
+    distinct values, ~583k at the largest test scale, not the ~60M
+    line items); the running weight rides the distributed scan
+    (functions/scan.ranged_cumsum) over that histogram, and the five
+    target ranks probe it through a 5-row broadcast — no
+    single-partition exchange, no corpus-sized window. Output |pcts|
+    rows.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
+    h = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    tot = h.agg(F.sum("w").alias("tot")).collect()[0]["tot"]
+    c = ranged_cumsum(h, "w", [F.col("cents")], cum_col="cw")
+    tgt = spark.createDataFrame(
+        [(p, (tot * p + 99) // 100) for p in EXACT_QUANTILE_PCTS], "pct int, tgt bigint"
+    )
+    return (
+        c.join(F.broadcast(tgt), F.col("cw") >= F.col("tgt"))
+        .groupBy(F.col("pct").cast("bigint").alias("pct"))
+        .agg(F.min("cents").alias("value_cents"))
+        .withColumn("total_weight", F.lit(tot).cast("bigint"))
+        .orderBy("pct")
+    )

@@ -74,6 +74,7 @@ SWEEP_PRIORITY: list[str] = [
     # skipped, so the list is safe across partial loads.
     "sim_tfidf_df_ceiling_guard",
     "agg_exact_quantiles_scan",
+    "agg_weighted_quantiles_scan",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

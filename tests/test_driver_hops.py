@@ -32,6 +32,7 @@ ALLOWED = {
     },
     "operators/aggregates.py": {
         ".distinct().collect()",  # dynamic pivot: O(distinct priorities) = 5
+        'h.agg(F.sum("w").alias("tot")).collect()',  # weighted-quantile total: ONE row (scalar grand weight)
     },
     "operators/timeseries.py": {
         "pi = spark.createDataFrame(pi.collect()",  # Markov state vector: |event types| rows, materialized inside the scoped shuffle width

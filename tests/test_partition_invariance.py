@@ -77,6 +77,7 @@ SAMPLED = [
     "pipe_token_budget_selection",
     "text_vocab_coverage_curve",
     "agg_exact_quantiles_scan",
+    "agg_weighted_quantiles_scan",
     "graph_degree_distribution_ccdf",
 ]
 
