@@ -768,13 +768,23 @@ def test_distributed_scan_no_single_task_windows(spark):
     `Exchange SinglePartition` — each global order statistic now rides
     the distributed scan (range partition + local window + broadcast
     offsets) or a bounded pre-pruned input."""
+    from spark_rapids_ml_spark.operators.aggregates import (
+        agg_exact_quantiles_scan,
+        agg_weighted_quantiles_scan,
+    )
     from spark_rapids_ml_spark.operators.llm_pipeline import (
         pipe_sequence_packing,
         pipe_token_budget_selection,
     )
     from spark_rapids_ml_spark.operators.timeseries import events_rfm_segmentation
 
-    for fn in (events_rfm_segmentation, pipe_token_budget_selection, pipe_sequence_packing):
+    for fn in (
+        events_rfm_segmentation,
+        pipe_token_budget_selection,
+        pipe_sequence_packing,
+        agg_exact_quantiles_scan,
+        agg_weighted_quantiles_scan,
+    ):
         plan = plan_of(fn(spark, SF))
         bad = _windows_feed_off_single_partition(plan)
         assert not bad, f"{fn.__name__}: single-task window(s): {bad}\n{plan}"
