@@ -272,3 +272,54 @@ def sql_create_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+_PS_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "ps_pandas_api_pivot_table",
+    tags=("api", "agg", "pivot"),
+    oracle=f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       {", ".join(f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS {s.lower()}_cents" for s in _PS_SEGMENTS)}
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def ps_pandas_api_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API-on-Spark pivot_table: account balance (exact integer
+    cents) summed per nation × market segment, written as the pandas
+    `pivot_table(index, columns, values, aggfunc)` idiom and lowered
+    by the ps layer onto Catalyst's groupBy+pivot plan — the second
+    entry point pandas codebases migrate through (the first,
+    filter→groupby→agg, is ps_pandas_api_groupby). Cents are computed
+    BEFORE the pivot so every cell is an exact bigint sum — no
+    float-accumulation order dependence for the hash check to trip on.
+
+    Scale: pivot_table lowers to one hash aggregation whose output is
+    |nations| × |segments| cells (bounded dimensions, not corpus);
+    fill_value=0 makes empty cells exact zeros in both engines.
+    """
+    import pyspark.pandas as pps
+
+    prev = pps.get_option("compute.default_index_type")
+    pps.set_option("compute.default_index_type", "distributed")
+    try:
+        psdf = pps.read_parquet(table_path(sf_dir, "customer"))
+        psdf["cents"] = (psdf["c_acctbal"] * 100).round(0).astype("int64")
+        out = psdf.pivot_table(
+            index=["c_nationkey"], columns="c_mktsegment", values="cents",
+            aggfunc="sum", fill_value=0,
+        ).reset_index()
+        sdf = out.to_spark()
+    finally:
+        pps.set_option("compute.default_index_type", prev)
+    return sdf.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).cast("bigint").alias(f"{s.lower()}_cents")
+            for s in _PS_SEGMENTS
+        ],
+    ).orderBy("nationkey")

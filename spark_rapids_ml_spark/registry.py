@@ -75,6 +75,7 @@ SWEEP_PRIORITY: list[str] = [
     "sim_tfidf_df_ceiling_guard",
     "agg_exact_quantiles_scan",
     "agg_weighted_quantiles_scan",
+    "ps_pandas_api_pivot_table",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",
