@@ -37,12 +37,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-SCAN_PARTITIONS = 16  # range-partition width of the distributed scan
+SCAN_PARTITIONS = 16  # floor for the range-partition width of the scan
+
+
+def _scan_width(df: DataFrame, num_partitions: int | None) -> int:
+    """Resolve the scan's range-partition width: an explicit caller
+    value wins; otherwise follow the session's shuffle parallelism
+    (floored at SCAN_PARTITIONS) — a fixed constant would itself
+    become the bottleneck the scan exists to remove once rows/width
+    outgrows one task's comfort. The offsets map the driver holds is
+    one entry per partition either way."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf = SCAN_PARTITIONS
+    return max(SCAN_PARTITIONS, conf)
 
 _PID = "_scan_pid"
 
 
-def _pin_ranged(df: DataFrame, order_by: list, num_partitions: int) -> DataFrame:
+def _pin_ranged(df: DataFrame, order_by: list, num_partitions: int | None) -> DataFrame:
     """Range-partition ``df`` on the total order and PIN the layout.
 
     ``repartitionByRange`` samples the key distribution, so two
@@ -52,7 +68,7 @@ def _pin_ranged(df: DataFrame, order_by: list, num_partitions: int) -> DataFrame
     function of the key), and partition ids ascend in the order of the
     given sort expressions, so ``sorted(pids)`` IS the global order.
     """
-    t = df.repartitionByRange(num_partitions, *order_by).withColumn(
+    t = df.repartitionByRange(_scan_width(df, num_partitions), *order_by).withColumn(
         _PID, F.spark_partition_id()
     )
     t = t.localCheckpoint(eager=False)
@@ -87,7 +103,7 @@ def ranged_cumsum(
     value_col: str,
     order_by: list,
     cum_col: str = "cum",
-    num_partitions: int = SCAN_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` + inclusive running sum of ``value_col`` over the total
     order ``order_by`` — the distributed equivalent of
@@ -110,7 +126,7 @@ def ranged_row_number(
     df: DataFrame,
     order_by: list,
     rn_col: str = "rn",
-    num_partitions: int = SCAN_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` + 1-based global ``ROW_NUMBER() OVER (ORDER BY ...)``
     via the same scan (local row_number + broadcast count offsets)."""
@@ -131,7 +147,7 @@ def ranged_ntile(
     n_tiles: int,
     order_by: list,
     out_col: str,
-    num_partitions: int = SCAN_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` + ``NTILE(n_tiles) OVER (ORDER BY ...)`` without the
     global sort: standard-SQL NTILE is a pure function of the 0-based

@@ -1866,7 +1866,7 @@ EXACT_QUANTILE_PCTS = (25, 50, 75, 90, 99)
     "agg_exact_quantiles_scan",
     tags=("agg", "scale", "scan"),
     oracle=f"""
-WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+WITH v AS MATERIALIZED (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
 n AS (SELECT COUNT(*) AS n FROM v),
 r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v),
 t AS (SELECT p, GREATEST(1, ((SELECT n FROM n) * p + 99) // 100) AS rn
@@ -1896,9 +1896,14 @@ def agg_exact_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of tiebreak. Output: |pcts| rows.
     """
     from spark_rapids_ml_spark.functions.scan import ranged_row_number
+    from spark_rapids_ml_spark.operators.dedup import _cache
 
-    v = load(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    # cached: the projected value column feeds BOTH the count and the
+    # scan — uncached, the orders scan would run twice
+    v = _cache(
+        load(spark, sf_dir, "orders").select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+        )
     )
     n = v.count()
     targets = [(p, max(1, (n * p + 99) // 100)) for p in EXACT_QUANTILE_PCTS]
@@ -1915,13 +1920,13 @@ def agg_exact_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_quantiles_scan",
     tags=("agg", "scale", "scan"),
     oracle=f"""
-WITH h AS (
+WITH h AS MATERIALIZED (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
          SUM(CAST(l_quantity AS BIGINT)) AS w
   FROM lineitem GROUP BY 1
 ),
 tw AS (SELECT SUM(w) AS tot FROM h),
-c AS (SELECT cents, SUM(w) OVER (ORDER BY cents
+c AS MATERIALIZED (SELECT cents, SUM(w) OVER (ORDER BY cents
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
       FROM h),
 t AS (SELECT p, ((SELECT tot FROM tw) * p + 99) // 100 AS tgt
@@ -1950,8 +1955,11 @@ def agg_weighted_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.
     """
     from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+    from spark_rapids_ml_spark.operators.dedup import _cache
 
-    h = (
+    # cached: the histogram feeds BOTH the grand-weight reduction and
+    # the scan — uncached, the lineitem aggregation would run twice
+    h = _cache(
         load(spark, sf_dir, "lineitem")
         .select(
             F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),

@@ -408,12 +408,14 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one partial-aggregable degree count (the
     exchange carries nodes, not edges) + two semi-joins of the edge
     list against the surviving-node set — the Pregel superstep shape;
-    the edge set shrinks monotonically, each round's edge cache is
-    unpersisted as soon as the next round materializes, and the
-    returned trajectory is five driver-local rows — no cached blocks
-    survive the query. k and the per-round stats come from one scalar
-    aggregate per round (bounded driver state, same convention as the
-    kmeans centroid collect).
+    the edge set shrinks monotonically, each round's checkpoint blocks
+    are freed directly (rdd.unpersist — Dataset.unpersist is a no-op
+    on checkpoints) as soon as the NEXT round's checkpoint
+    materializes, so at most two rounds' edge sets are resident; the
+    final round's blocks go through the register_checkpoint one-shot
+    release after the caller materializes. k and the per-round stats
+    come from one scalar aggregate per round (bounded driver state,
+    same convention as the kmeans centroid collect).
     """
     from spark_rapids_ml_spark.operators.scale_patterns import _scoped_conf
 
@@ -464,18 +466,26 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default width; 8 partitions is plenty and cuts the round latency
     # (cached plans don't get AQE partition coalescing by default).
     # Scoped + restored, the _scoped_conf convention.
+    from spark_rapids_ml_spark.operators.dedup import _checkpoint_rdd
+
     k = None
     traj = []
     prev_deg = None
+    prev_ck = None
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
         for r in range(_KCORE_ROUNDS + 1):
             deg = _deg(e).cache()
+            # the stats collect materializes THIS round's checkpoint,
+            # after which the previous round's blocks are dead weight
             row = deg.agg(
                 F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")
             ).collect()[0]
             vr, er = row.v, (row.dsum or 0) // 2
             if prev_deg is not None:
                 prev_deg.unpersist()
+            if prev_ck is not None:
+                prev_ck.unpersist(False)
+            prev_ck = _checkpoint_rdd(e)
             if k is None:
                 k = (2 * er) // vr + 1 if vr else 1
             traj.append((r, k, vr, er))
@@ -753,7 +763,7 @@ WITH e AS MATERIALIZED (
 ),
 sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
 deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
-hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+hist AS MATERIALIZED (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
 tot AS (SELECT SUM(n_nodes) AS total FROM hist),
 c AS (SELECT degree, n_nodes,
              SUM(n_nodes) OVER (ORDER BY degree DESC
@@ -803,8 +813,11 @@ def graph_degree_distribution_ccdf(spark: SparkSession, sf_dir: str) -> DataFram
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    hist = deg.groupBy(F.col("d").alias("degree")).agg(
-        F.count(F.lit(1)).alias("n_nodes")
+    # cached: the histogram feeds BOTH the total reduction and the scan
+    hist = _cache(
+        deg.groupBy(F.col("d").alias("degree")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
     )
     tot = hist.agg(F.sum("n_nodes").alias("total"))
     c = ranged_cumsum(

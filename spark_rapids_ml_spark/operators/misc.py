@@ -316,6 +316,13 @@ def ps_pandas_api_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf = out.to_spark()
     finally:
         pps.set_option("compute.default_index_type", prev)
+    # pivot only emits columns for segment values PRESENT in the data;
+    # backfill absent segments as zero columns so a filtered slice
+    # degrades like the oracle's SUM(CASE ... ELSE 0) instead of
+    # raising UNRESOLVED_COLUMN
+    for s in _PS_SEGMENTS:
+        if s not in sdf.columns:
+            sdf = sdf.withColumn(s, F.lit(0))
     return sdf.select(
         F.col("c_nationkey").cast("bigint").alias("nationkey"),
         *[

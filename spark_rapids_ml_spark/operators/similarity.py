@@ -190,8 +190,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplanes() -> np.ndarray:
-    """Fixed Rademacher (+1/-1) hyperplanes — integer-valued, so dot
-    products are exact in float64 in both engines. Shape:
+    """Fixed Rademacher (+1/-1) hyperplanes. A plane dot product is a
+    sum of +-x_i over the float32-exact-in-float64 embedding values —
+    not exactly representable after 64 additions, so cross-engine (and
+    matmul-vs-fold) agreement rests on |dot| staying far above the
+    ~1e-13 accumulation-order drift; a sign flip needs a dot within
+    rounding of zero (probability ~1e-12 per evaluation for O(1)
+    components — the same tolerance every prior round's fold-vs-
+    list_dot_product pairing relied on). Shape:
     (N_TABLES, LSH_MAX_PLANES, DIM). The first PLANES_PER_TABLE planes
     per table draw from LSH_SEED exactly as every prior round (plane p
     contributes bit p, so a k-plane bucket is the max-plane bucket's

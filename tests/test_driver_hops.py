@@ -54,7 +54,6 @@ ALLOWED = {
         'groupBy("pid", "segment")',  # AUC scan offsets: n_partitions x n_segments rows
     },
     "operators/llm_pipeline.py": {
-        'groupBy("pid")',  # packing: one row per partition id
         "vocab.collect()",  # BPE training vocabulary (declared driver-iterative)
     },
     "functions/scan.py": {

@@ -742,18 +742,32 @@ def test_peak_concurrency_single_sweep_window(spark):
     assert "Window" in txt
 
 
+def _tree_depth(line: str) -> int:
+    """Print-tree depth of a plan line: offset of the node text past
+    the ` :+-` drawing characters (codegen `*(n)` prefixes count as
+    node text, so they don't skew the depth)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
 def _windows_feed_off_single_partition(plan: str) -> list[str]:
-    """Window nodes whose input chain reaches an Exchange
+    """Window nodes whose own SUBTREE's first exchange is an Exchange
     SinglePartition — the single-task global-sort shape the
-    distributed scan (functions/scan.py) exists to eliminate. For each
-    `Window` line, the first `Exchange` printed below it in the linear
-    chain is its feeding exchange."""
+    distributed scan (functions/scan.py) exists to eliminate. The walk
+    is bounded to each Window's subtree (strictly deeper print-tree
+    lines), so a sibling branch's exchange is never (mis)attributed to
+    the window."""
     lines = plan.splitlines()
     bad = []
     for i, ln in enumerate(lines):
         if "Window" not in ln or "WindowGroupLimit" in ln:
             continue
+        d = _tree_depth(ln)
         for nxt in lines[i + 1 :]:
+            if nxt.strip() and _tree_depth(nxt) <= d:
+                break  # left the window's subtree
             if "Exchange" in nxt:
                 if "SinglePartition" in nxt:
                     bad.append(ln.strip())
