@@ -1980,3 +1980,85 @@ def agg_weighted_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_weight", F.lit(tot).cast("bigint"))
         .orderBy("pct")
     )
+
+
+PARETO_PCTS = (1, 5, 10, 20, 50)
+
+
+@register(
+    "agg_pareto_share_scan",
+    tags=("agg", "scale", "scan"),
+    oracle=f"""
+WITH pc AS MATERIALIZED (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+nt AS (SELECT COUNT(*) AS n, SUM(cents) AS tot FROM pc),
+r AS (SELECT custkey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, custkey) AS rn,
+             SUM(cents) OVER (ORDER BY cents DESC, custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pc),
+t AS (SELECT p, GREATEST(1, ((SELECT n FROM nt) * p + 99) // 100) AS rn
+      FROM (SELECT unnest([{", ".join(str(p) for p in PARETO_PCTS)}]) AS p))
+SELECT CAST(t.p AS BIGINT) AS pct,
+       CAST(t.rn AS BIGINT) AS n_top_customers,
+       CAST(r.cum AS BIGINT) AS cum_cents,
+       ROUND(CAST(r.cum AS DOUBLE) / (SELECT tot FROM nt), 6) AS revenue_share
+FROM t JOIN r ON r.rn = t.rn
+ORDER BY pct
+""",
+)
+def agg_pareto_share_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration: the share of total revenue carried
+    by the top 1/5/10/20/50% of customers — the "is this an 80/20
+    business" diagnostic that complements the Gini coefficient (a
+    single index) with the actual concentration curve points. Target
+    ranks are integer ceil-divisions of the customer count, cumulative
+    revenue is exact bigint cents, and the share is one final IEEE
+    division — bit-stable cross-engine.
+
+    Scale: the per-customer reduction is one partial-aggregable
+    groupBy; rank AND running revenue both ride the distributed scan
+    over the per-customer table (two ranged scans joined on custkey —
+    each is range-partitioned parallel work, no single-task window;
+    the oracle's ROW_NUMBER/SUM OVER global window is the single-node
+    formulation). The five target ranks probe via a broadcast join.
+    """
+    from spark_rapids_ml_spark.functions.scan import (
+        ranged_cumsum,
+        ranged_row_number,
+    )
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    pc = _cache(
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    row = pc.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")).collect()[0]
+    n, tot = row["n"], row["tot"]
+    order = [F.col("cents").desc(), F.col("custkey")]
+    rn = ranged_row_number(pc, order, rn_col="rn").select("custkey", "rn")
+    cs = ranged_cumsum(pc, "cents", order, cum_col="cum").select("custkey", "cum")
+    tgt = spark.createDataFrame(
+        [(p, max(1, (n * p + 99) // 100)) for p in PARETO_PCTS], "pct int, rn bigint"
+    )
+    return (
+        rn.join(cs, "custkey")
+        .join(F.broadcast(tgt), "rn")
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("rn").cast("bigint").alias("n_top_customers"),
+            F.col("cum").cast("bigint").alias("cum_cents"),
+            F.round(F.col("cum").cast("double") / F.lit(float(tot)), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("pct")
+    )

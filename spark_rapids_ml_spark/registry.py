@@ -76,6 +76,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_exact_quantiles_scan",
     "agg_weighted_quantiles_scan",
     "ps_pandas_api_pivot_table",
+    "agg_pareto_share_scan",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

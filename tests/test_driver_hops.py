@@ -33,6 +33,7 @@ ALLOWED = {
     "operators/aggregates.py": {
         ".distinct().collect()",  # dynamic pivot: O(distinct priorities) = 5
         'h.agg(F.sum("w").alias("tot")).collect()',  # weighted-quantile total: ONE row (scalar grand weight)
+        'pc.agg(F.count(F.lit(1)).alias("n"), F.sum("cents")',  # pareto scalar (n, total): ONE row
     },
     "operators/timeseries.py": {
         "pi = spark.createDataFrame(pi.collect()",  # Markov state vector: |event types| rows, materialized inside the scoped shuffle width

@@ -79,6 +79,7 @@ SAMPLED = [
     "agg_exact_quantiles_scan",
     "agg_weighted_quantiles_scan",
     "graph_degree_distribution_ccdf",
+    "agg_pareto_share_scan",
 ]
 
 
