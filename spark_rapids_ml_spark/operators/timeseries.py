@@ -1921,3 +1921,166 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@register(
+    "events_weekday_seasonality",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS d, dayofweek(ts) AS dow0,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bydow AS (
+  SELECT dow0, COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS all_days,
+               CAST(SUM(total_cents) AS BIGINT) AS grand_cents FROM bydow)
+SELECT CAST(dow0 AS BIGINT) AS dow0,
+       CAST(n_days AS BIGINT) AS n_days,
+       total_cents,
+       ROUND((CAST(total_cents AS DOUBLE) / n_days)
+             / (CAST((SELECT grand_cents FROM tot) AS DOUBLE)
+                / (SELECT all_days FROM tot)), 6) AS seasonal_index
+FROM bydow ORDER BY dow0
+""",
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality indices: each weekday's average daily event
+    value relative to the overall daily average — the multiplicative
+    seasonal profile (index > 1 = above-trend weekday) that capacity
+    planning and anomaly baselines divide out before comparing days.
+    Daily totals are exact DECIMAL-cents bigints; each index is a
+    fixed-order IEEE expression over exact integers, identical in both
+    engines (the Welch-t discipline).
+
+    Scale: one partial-aggregable (day, weekday) rollup — the exchange
+    carries one row per calendar day — then a 7-row reduction; the
+    index math runs on the 7-row frame against one broadcast scalar.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"),
+            (F.dayofweek("ts") - 1).alias("dow0"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    bydow = daily.groupBy("dow0").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    tot = bydow.agg(
+        F.sum("n_days").cast("bigint").alias("all_days"),
+        F.sum("total_cents").cast("bigint").alias("grand_cents"),
+    )
+    idx = (F.col("total_cents").cast("double") / F.col("n_days")) / (
+        F.col("grand_cents").cast("double") / F.col("all_days")
+    )
+    return (
+        bydow.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow0").cast("bigint").alias("dow0"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "total_cents",
+            F.round(idx, 6).alias("seasonal_index"),
+        )
+        .orderBy("dow0")
+    )
+
+
+@register(
+    "events_uplift_by_segment",
+    tags=("timeseries", "analytics", "stats"),
+    oracle="""
+WITH u AS MATERIALIZED (
+  SELECT user_id, user_id % 2 AS variant, COUNT(*) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CASE WHEN n_ev <= 60 THEN 'light'
+              WHEN n_ev <= 72 THEN 'medium' ELSE 'heavy' END AS segment,
+         variant, COUNT(*) AS n_users, SUM(conv) AS n_conv
+  FROM u GROUP BY 1, 2
+),
+w AS (
+  SELECT t.segment,
+         CAST(t.n_users AS BIGINT) AS n_treat, CAST(t.n_conv AS BIGINT) AS conv_treat,
+         CAST(c.n_users AS BIGINT) AS n_ctrl, CAST(c.n_conv AS BIGINT) AS conv_ctrl
+  FROM s t JOIN s c ON t.segment = c.segment AND t.variant = 1 AND c.variant = 0
+)
+SELECT segment, n_treat, conv_treat, n_ctrl, conv_ctrl,
+       ROUND(CAST(conv_treat AS DOUBLE) / n_treat
+             - CAST(conv_ctrl AS DOUBLE) / n_ctrl, 6) AS uplift
+FROM w ORDER BY segment
+""",
+)
+def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion uplift by engagement segment: treatment (odd users)
+    minus control (even users) purchase-conversion rate within
+    light/medium/heavy activity tiers (cut at the corpus's scale-stable
+    per-user quartiles, ~60/72 events — events-per-user is constant
+    across scale factors, so the tiers stay populated at every sf) — the heterogeneous-treatment-
+    effect readout an experimentation platform reports after the
+    global Welch test (events_abtest_welch_ttest) says "significant":
+    WHERE the effect lives. Counts are exact integers; each rate and
+    the uplift are fixed-order IEEE expressions on them.
+
+    Scale: one partial-aggregable per-user reduction (the exchange
+    carries users, not events), a bounded 3x2 rollup, and a self-join
+    on the 6-row frame. Nothing corpus-sized past the first groupBy.
+    """
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    s = (
+        u.withColumn(
+            "segment",
+            F.when(F.col("n_ev") <= 60, "light")
+            .when(F.col("n_ev") <= 72, "medium")
+            .otherwise("heavy"),
+        )
+        .groupBy("segment", "variant")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv"))
+    )
+    t = s.where(F.col("variant") == 1).select(
+        "segment",
+        F.col("n_users").cast("bigint").alias("n_treat"),
+        F.col("n_conv").cast("bigint").alias("conv_treat"),
+    )
+    c = s.where(F.col("variant") == 0).select(
+        "segment",
+        F.col("n_users").cast("bigint").alias("n_ctrl"),
+        F.col("n_conv").cast("bigint").alias("conv_ctrl"),
+    )
+    return (
+        t.join(c, "segment")
+        .select(
+            "segment",
+            "n_treat",
+            "conv_treat",
+            "n_ctrl",
+            "conv_ctrl",
+            F.round(
+                F.col("conv_treat").cast("double") / F.col("n_treat")
+                - F.col("conv_ctrl").cast("double") / F.col("n_ctrl"),
+                6,
+            ).alias("uplift"),
+        )
+        .orderBy("segment")
+    )

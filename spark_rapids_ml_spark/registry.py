@@ -77,6 +77,8 @@ SWEEP_PRIORITY: list[str] = [
     "agg_weighted_quantiles_scan",
     "ps_pandas_api_pivot_table",
     "agg_pareto_share_scan",
+    "events_weekday_seasonality",
+    "events_uplift_by_segment",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",
