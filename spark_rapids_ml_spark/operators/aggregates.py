@@ -2062,3 +2062,115 @@ def agg_pareto_share_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ------------------------------------------------ distribution drift (PSI)
+
+PSI_BUCKET_CENTS = 5_000_000  # 50k-currency-unit buckets over o_totalprice
+PSI_N_BUCKETS = 10
+
+
+@register(
+    "dq_psi_distribution_drift",
+    tags=("dq", "stats", "agg"),
+    oracle=f"""
+WITH v AS MATERIALIZED (
+  SELECT o_orderkey % 2 AS pop,
+         LEAST({PSI_N_BUCKETS - 1},
+               CAST(round(o_totalprice * 100) AS BIGINT) // {PSI_BUCKET_CENTS}) AS bucket
+  FROM orders
+),
+c AS (SELECT pop, bucket, COUNT(*) AS n FROM v GROUP BY 1, 2),
+b AS (SELECT unnest(generate_series(0, {PSI_N_BUCKETS - 1})) AS bucket),
+tot AS (SELECT pop, SUM(n) AS t FROM c GROUP BY 1),
+m AS (
+  SELECT b.bucket,
+         COALESCE(p.n, 0) AS n_base, COALESCE(q.n, 0) AS n_new,
+         (SELECT t FROM tot WHERE pop = 0) AS t_base,
+         (SELECT t FROM tot WHERE pop = 1) AS t_new
+  FROM b
+  LEFT JOIN c p ON p.bucket = b.bucket AND p.pop = 0
+  LEFT JOIN c q ON q.bucket = b.bucket AND q.pop = 1
+),
+k AS (
+  SELECT bucket, CAST(n_base AS BIGINT) AS n_base, CAST(n_new AS BIGINT) AS n_new,
+         CAST(FLOOR(
+           ((CAST(n_base + 1 AS DOUBLE) / (t_base + {PSI_N_BUCKETS}))
+            - (CAST(n_new + 1 AS DOUBLE) / (t_new + {PSI_N_BUCKETS})))
+           * ln((CAST(n_base + 1 AS DOUBLE) / (t_base + {PSI_N_BUCKETS}))
+                / (CAST(n_new + 1 AS DOUBLE) / (t_new + {PSI_N_BUCKETS})))
+           * {CHI2_MICRO}.0) AS BIGINT) AS psi_micro
+  FROM m
+)
+SELECT CAST(bucket AS VARCHAR) AS bucket, n_base, n_new, psi_micro
+FROM k
+UNION ALL
+SELECT '__ALL__', CAST(SUM(n_base) AS BIGINT), CAST(SUM(n_new) AS BIGINT),
+       CAST(SUM(psi_micro) AS BIGINT)
+FROM k
+ORDER BY bucket
+""",
+)
+def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order populations (even
+    vs odd orderkey, standing in for yesterday-vs-today snapshots) over
+    fixed 50k-unit price buckets — the standard drift monitor model
+    risk teams gate retraining on (PSI < 0.1 stable, > 0.25 drifted).
+    Buckets are pure integer division on exact cents; rates use
+    add-one smoothing so empty buckets stay finite; each bucket's
+    (p-q)*ln(p/q) contribution is floored into micro fixed-point and
+    summed as exact bigints (the chi-square discipline — the one ln()
+    per bucket is a fixed-order IEEE tree on exact integer inputs).
+
+    Scale: one partial-aggregable (population, bucket) count — the
+    exchange carries at most 2x{PSI_N_BUCKETS} rows — joined onto the
+    literal bucket spine; everything after the first groupBy is
+    constant-size.
+    """
+    v = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("pop"),
+        F.least(
+            F.lit(PSI_N_BUCKETS - 1),
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) div {PSI_BUCKET_CENTS}"
+            ),
+        ).alias("bucket"),
+    )
+    c = v.groupBy("pop", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    b = spark.createDataFrame([(i,) for i in range(PSI_N_BUCKETS)], "bucket bigint")
+    tot = c.groupBy("pop").agg(F.sum("n").alias("t"))
+    t_base = tot.where(F.col("pop") == 0).select(F.col("t").alias("t_base"))
+    t_new = tot.where(F.col("pop") == 1).select(F.col("t").alias("t_new"))
+    p = c.where(F.col("pop") == 0).select("bucket", F.col("n").alias("n_base"))
+    q = c.where(F.col("pop") == 1).select("bucket", F.col("n").alias("n_new"))
+    m = (
+        b.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .crossJoin(F.broadcast(t_base))
+        .crossJoin(F.broadcast(t_new))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            "t_base",
+            "t_new",
+        )
+    )
+    pr = (F.col("n_base") + 1).cast("double") / (F.col("t_base") + PSI_N_BUCKETS)
+    qr = (F.col("n_new") + 1).cast("double") / (F.col("t_new") + PSI_N_BUCKETS)
+    k = m.select(
+        "bucket",
+        "n_base",
+        "n_new",
+        F.floor((pr - qr) * F.log(pr / qr) * CHI2_MICRO).cast("bigint").alias("psi_micro"),
+    )
+    allrow = k.agg(
+        F.sum("n_base").cast("bigint").alias("n_base"),
+        F.sum("n_new").cast("bigint").alias("n_new"),
+        F.sum("psi_micro").cast("bigint").alias("psi_micro"),
+    ).select(F.lit("__ALL__").alias("bucket"), "n_base", "n_new", "psi_micro")
+    return (
+        k.select(F.col("bucket").cast("string").alias("bucket"), "n_base", "n_new", "psi_micro")
+        .unionByName(allrow)
+        .orderBy("bucket")
+    )

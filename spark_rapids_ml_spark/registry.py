@@ -79,6 +79,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_pareto_share_scan",
     "events_weekday_seasonality",
     "events_uplift_by_segment",
+    "dq_psi_distribution_drift",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",
