@@ -80,6 +80,9 @@ SAMPLED = [
     "agg_weighted_quantiles_scan",
     "graph_degree_distribution_ccdf",
     "agg_pareto_share_scan",
+    "events_weekday_seasonality",
+    "events_uplift_by_segment",
+    "dq_psi_distribution_drift",
 ]
 
 
