@@ -2174,3 +2174,73 @@ def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(allrow)
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    tags=("agg", "stats"),
+    oracle="""
+WITH pc AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT segment, COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(cents * cents) AS s2
+  FROM pc GROUP BY 1
+)
+SELECT segment, CAST(n_customers AS BIGINT) AS n_customers, total_cents,
+       ROUND(10000.0 * CAST(s2 AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6) AS hhi
+FROM s ORDER BY segment
+""",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of customer revenue per
+    market segment — the antitrust-style 0–10000 concentration scale
+    (10000/n for perfectly even revenue, 10000 for a one-customer
+    segment) completing the concentration family next to the Gini
+    coefficient (a single inequality index) and the Pareto curve
+    (point shares): HHI = 10000 * Σ cents_i² / (Σ cents_i)². Squared
+    cents are summed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    per-customer squares reach ~4e14, segment sums pass 2^63 at scale
+    — then ONE cast of the identical exact integer to double on each
+    side, so the index is bit-stable cross-engine.
+
+    Scale: one broadcast-joined per-(segment, customer) reduction (the
+    exchange carries customers), then a |segments|-row rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    pc = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("ocents"),
+        )
+        .join(F.broadcast(c), "custkey")
+        .groupBy("segment", "custkey")
+        .agg(F.sum("ocents").alias("cents"))
+    )
+    s = pc.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    return s.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        F.round(
+            F.lit(10000.0)
+            * F.col("s2").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("segment")

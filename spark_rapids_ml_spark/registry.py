@@ -80,6 +80,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_weekday_seasonality",
     "events_uplift_by_segment",
     "dq_psi_distribution_drift",
+    "agg_hhi_concentration",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

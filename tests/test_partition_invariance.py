@@ -83,6 +83,7 @@ SAMPLED = [
     "events_weekday_seasonality",
     "events_uplift_by_segment",
     "dq_psi_distribution_drift",
+    "agg_hhi_concentration",
 ]
 
 
