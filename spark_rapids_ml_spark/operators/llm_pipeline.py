@@ -989,3 +989,121 @@ def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(budget.select(F.col("b").cast("bigint").alias("budget_tokens"))))
         .select("n_docs", "n_selected", "budget_tokens", "tokens_selected", "cut_score")
     )
+
+
+# ------------------------------------------ composed curate->budget->pack
+
+CBP_MIN_TOK, CBP_MAX_TOK = 5, 1000  # curation length gate
+CBP_MIN_RATIO_MICRO = 300_000  # distinct-token ratio floor (0.3 in micro)
+
+
+@register(
+    "pipe_curate_budget_pack",
+    tags=("llm-pipe", "composed", "selection", "packing"),
+    oracle=f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({SQL_TOKENS})) AS BIGINT) AS n_dis
+  FROM documents
+),
+filt AS (
+  SELECT doc_id, text, n_tok, (n_dis * {TB_SCORE_SCALE}) // n_tok AS score
+  FROM t
+  WHERE n_tok BETWEEN {CBP_MIN_TOK} AND {CBP_MAX_TOK}
+    AND (n_dis * {TB_SCORE_SCALE}) // n_tok >= {CBP_MIN_RATIO_MICRO}
+),
+dedup AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id, MIN(n_tok) AS n_tok, MIN(score) AS score
+  FROM filt GROUP BY text
+),
+budget AS (SELECT (SUM(n_tok) * {TB_BUDGET_NUM}) // {TB_BUDGET_DEN} AS b FROM dedup),
+ranked AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dedup
+),
+adm AS MATERIALIZED (SELECT doc_id, n_tok FROM ranked WHERE cum <= (SELECT b FROM budget)),
+packed AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl
+  FROM adm
+)
+SELECT CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY 1
+ORDER BY seq_id
+""",
+)
+def pipe_curate_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data path: quality filter (length gate +
+    distinct-token-ratio floor) → exact dedup (keep the smallest
+    doc_id per text) → greedy token-budget admission (40% of the
+    curated corpus's tokens, by quality-per-token score) → sequence
+    packing of the admitted docs — four pipeline stages as ONE
+    declared DAG, hash-locked end to end like pipe_end_to_end_curation
+    but exercising the round-8 order-statistic machinery: BOTH the
+    admission cumsum and the packing prefix sum ride the distributed
+    scan (functions/scan.ranged_cumsum), chained in one plan.
+
+    Scale: filter and scoring are per-row; dedup is one hash shuffle
+    on the text; each scan is range-partitioned parallel work with an
+    n_partitions-row driver reduction — no single-task window anywhere
+    (the composition inherits every stage's own plan pins). Output is
+    the packed-sequence summary, ~total_tokens/{PACK_BUDGET} rows.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("n_dis"),
+    )
+    filt = d.where(
+        F.col("n_tok").between(CBP_MIN_TOK, CBP_MAX_TOK)
+        & (F.expr(f"(n_dis * {TB_SCORE_SCALE}) div n_tok") >= CBP_MIN_RATIO_MICRO)
+    ).select(
+        "doc_id",
+        "text",
+        "n_tok",
+        F.expr(f"(n_dis * {TB_SCORE_SCALE}) div n_tok").alias("score"),
+    )
+    dedup = filt.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tok").alias("n_tok"),
+        F.min("score").alias("score"),
+    ).drop("text")
+    budget = dedup.agg(
+        F.expr(f"(SUM(n_tok) * {TB_BUDGET_NUM}) div {TB_BUDGET_DEN}").alias("b")
+    )
+    ranked = ranged_cumsum(
+        dedup.select("doc_id", "n_tok", "score"),
+        "n_tok",
+        [F.col("score").desc(), F.col("doc_id")],
+        cum_col="cum",
+    )
+    adm = (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("cum") <= F.col("b"))
+        .select("doc_id", "n_tok")
+    )
+    packed = ranged_cumsum(adm, "n_tok", [F.col("doc_id")], cum_col="cum_incl")
+    return (
+        packed.select(
+            F.floor((F.col("cum_incl") - F.col("n_tok")) / PACK_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("seq_id")
+    )

@@ -81,6 +81,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_uplift_by_segment",
     "dq_psi_distribution_drift",
     "agg_hhi_concentration",
+    "pipe_curate_budget_pack",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

@@ -84,6 +84,7 @@ SAMPLED = [
     "events_uplift_by_segment",
     "dq_psi_distribution_drift",
     "agg_hhi_concentration",
+    "pipe_curate_budget_pack",
 ]
 
 
