@@ -1171,3 +1171,57 @@ def ml_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_ridge_cv_sql(materialize=False))
+
+
+@register(
+    "pca_covariance_incremental_merge",
+    tags=("ml", "pca", "scale"),
+    oracle=f"""
+WITH elem AS ({_SQL_ELEM})
+SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+       ROUND(covar_samp(a.val, b.val), 6) + 0 AS cov
+FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+ORDER BY i, j
+""",
+)
+def pca_covariance_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL covariance: the corpus is processed as two
+    independent batches (even / odd vec_id — yesterday's data and
+    today's), each reduced to its own mergeable sufficient statistics
+    (n, Σx, Σxxᵀ) by the same moments scan the PCA estimator uses;
+    the merged statistics (elementwise sums — the property the
+    reference's treeAggregate relies on, RapidsRowMatrix.scala:201,208)
+    yield the covariance of the UNION, verified against DuckDB's
+    covar_samp over all rows at once. This is the update path a
+    production PCA keeps warm: new data appends partials, nothing is
+    rescanned.
+
+    Exactness note: merging raw moments is algebraically identity-equal
+    to the single-pass computation — both evaluate
+    (Σxxᵀ − n·μμᵀ)/(n−1) on the same float64 sums, so the hash matches
+    pca_covariance_matrix's oracle bit-for-bit under ROUND(6) + the
+    −0.0 normalization.
+
+    Scale: two O(d²)-shuffle linear scans (one per batch; in
+    production the old batch's partials are a persisted d²+d+1
+    vector, not a rescan) and a driver-side d×d merge.
+    """
+    import numpy as np
+
+    from spark_rapids_ml_spark.ml.pca import _partials, _sum_partials
+
+    e = load(spark, sf_dir, "embeddings")
+    first = e.select("embedding").first()
+    d = len(first[0])
+    batches = [
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+    ]
+    n, s, g = 0, np.zeros(d), np.zeros((d, d))
+    for b in batches:
+        nb, sb, gb = _sum_partials(_partials(b, "embedding"), d)
+        n, s, g = n + nb, s + sb, g + gb
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    return _cov_df(spark, cov)

@@ -82,6 +82,7 @@ SWEEP_PRIORITY: list[str] = [
     "dq_psi_distribution_drift",
     "agg_hhi_concentration",
     "pipe_curate_budget_pack",
+    "pca_covariance_incremental_merge",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

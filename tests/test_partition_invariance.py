@@ -85,6 +85,7 @@ SAMPLED = [
     "dq_psi_distribution_drift",
     "agg_hhi_concentration",
     "pipe_curate_budget_pack",
+    "pca_covariance_incremental_merge",
 ]
 
 
