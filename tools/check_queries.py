@@ -31,7 +31,7 @@ def main() -> None:
             bad += 1
             continue
         status = "OK " if ok else "FAIL"
-        print(f"{status} {name}: {details if not ok else details}", flush=True)
+        print(f"{status} {name}: {details}", flush=True)
         bad += 0 if ok else 1
     sys.exit(1 if bad else 0)
 
