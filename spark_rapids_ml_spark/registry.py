@@ -83,6 +83,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_hhi_concentration",
     "pipe_curate_budget_pack",
     "pca_covariance_incremental_merge",
+    "stream_incremental_covariance",
     "graph_degree_distribution_ccdf",
     "sim_sparse_tfidf_cosine_pairs",
     "sim_lsh_bucketed_topk",

@@ -1757,3 +1757,122 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
     )
     return _run_to_memory(joined, "append").orderBy("event_id")
+
+
+COVSTREAM_FILES = 4  # micro-batches for the incremental covariance fold
+
+
+@register(
+    "stream_incremental_covariance",
+    tags=("streaming", "ml", "pca", "scale"),
+    oracle="""
+WITH elem AS (
+  SELECT vec_id, u.pos, u.val
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings) e
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(emb))), unnest(emb)
+  ) u(pos, val)
+)
+SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+       ROUND(covar_samp(a.val, b.val), 6) + 0 AS cov
+FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+ORDER BY i, j
+""",
+)
+def stream_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PCA statistics: the embedding corpus replays as
+    COVSTREAM_FILES genuine micro-batches (distributed ranged staging,
+    maxFilesPerTrigger=1); foreachBatch reduces each batch to the PCA
+    estimator's own mergeable sufficient statistics (n, Σx, Σxxᵀ —
+    the moments scan of ml/pca.py, batch twin
+    pca_covariance_incremental_merge) and folds them into a VERSIONED
+    flat-vector state table (d²+d+1 (idx, val) rows; state_v{i} =
+    state_v{i-1} + batch partials, so a retried batch rewrites its own
+    version instead of double-counting). The covariance derived from
+    the LAST committed state is hash-equal to DuckDB's covar_samp over
+    all rows at once — the "model statistics stay warm on the stream"
+    contract: new data folds in, nothing is rescanned.
+
+    Scale: per tick the work is one O(batch) linear scan producing an
+    O(d²) partial; state is d²-bounded regardless of stream length;
+    the final driver materialization is the same d²-sized vector the
+    batch estimator collects. Merge order cannot shift the hash:
+    ROUND(6) + the −0.0 normalization absorb float64 reassociation
+    exactly as in the batch covariance oracle pair.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from spark_rapids_ml_spark.ml.pca import _partials
+    from spark_rapids_ml_spark.ml_queries import _cov_df
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_cov/{tag}"
+    state_root = f"/root/repo/.tmp/sinks/{tag}/cov_state"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+
+    e = load(spark, sf_dir, "embeddings")
+    d = len(e.select("embedding").first()[0])
+    flat_len = 1 + d + d * d
+    e.select("vec_id", "embedding").repartitionByRange(
+        COVSTREAM_FILES, "vec_id"
+    ).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            _partials(batch_df, "embedding")
+            .select(F.posexplode("packed").alias("idx", "val"))
+            .groupBy("idx")
+            .agg(F.sum("val").alias("val"))
+        )
+        prev_dir = os.path.join(state_root, f"state_v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            part = (
+                prev.unionByName(part)
+                .groupBy("idx")
+                .agg(F.sum("val").alias("val"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"state_v{batch_id}")
+        )
+
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation", f"{_CHECKPOINT_ROOT}/cov_{uuid.uuid4().hex[:8]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    versions = sorted(
+        int(p.split("_v")[1])
+        for p in os.listdir(state_root)
+        if p.startswith("state_v")
+    )
+    rows = spark.read.parquet(
+        os.path.join(state_root, f"state_v{versions[-1]}")
+    ).collect()  # bounded: d^2 + d + 1 statistic cells, corpus-independent
+    flat = np.zeros(flat_len)
+    for r in rows:
+        flat[r["idx"]] = r["val"]
+    n = int(round(flat[0]))
+    mean = flat[1 : 1 + d] / n
+    gram = flat[1 + d :].reshape(d, d)
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    return _cov_df(spark, cov)

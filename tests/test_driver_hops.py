@@ -72,6 +72,9 @@ ALLOWED = {
     "ml/pca.py": {
         ".collect()",  # Gram/moment partials: O(d^2) per partition, row-count independent
     },
+    "streaming/stream_queries.py": {
+        "bounded: d^2 + d + 1 statistic cells",  # incremental-covariance final state: one flat moments vector
+    },
     "ml/scaler.py": {
         "mapInPandas(run, _PACKED).collect()",  # packed per-partition stats
     },
