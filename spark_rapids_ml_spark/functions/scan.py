@@ -155,8 +155,10 @@ def ranged_ntile(
     n), the first r tiles hold q+1 rows — so the distributed
     row-number scan plus one broadcast N yields bit-identical tiles.
 
-    Positions are exact in the float64 floor-division below up to
-    2^53 rows (an engine-wide bound well above any real table).
+    The tile index is computed with bigint ``DIV`` (never float64
+    division), so positions are exact for every representable row
+    count — float floor-division would start misassigning boundary
+    rows once a tile size exceeds ~2^51.
     """
     t = _pin_ranged(df, order_by, num_partitions)
     w = Window.partitionBy(_PID).orderBy(*order_by)
@@ -168,7 +170,9 @@ def ranged_ntile(
     q, rem = divmod(total, n_tiles) if n_tiles > 0 else (0, 0)
     pos0 = F.row_number().over(w).cast("bigint") - 1 + off
     big_span = rem * (q + 1)  # rows covered by the first rem (q+1)-sized tiles
-    tile = F.when(pos0 < F.lit(big_span), F.floor(pos0 / F.lit(q + 1)) + 1).otherwise(
-        F.lit(rem) + F.floor((pos0 - F.lit(big_span)) / F.lit(max(q, 1))) + 1
+    t = t.withColumn("__pos0", pos0)
+    tile = F.expr(
+        f"CASE WHEN __pos0 < {big_span}L THEN __pos0 DIV {q + 1}L + 1L "
+        f"ELSE {rem}L + (__pos0 - {big_span}L) DIV {max(q, 1)}L + 1L END"
     )
-    return t.withColumn(out_col, tile.cast("bigint")).drop(_PID)
+    return t.withColumn(out_col, tile.cast("bigint")).drop(_PID, "__pos0")

@@ -2138,16 +2138,21 @@ def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = v.groupBy("pop", "bucket").agg(F.count(F.lit(1)).alias("n"))
     b = spark.createDataFrame([(i,) for i in range(PSI_N_BUCKETS)], "bucket bigint")
-    tot = c.groupBy("pop").agg(F.sum("n").alias("t"))
-    t_base = tot.where(F.col("pop") == 0).select(F.col("t").alias("t_base"))
-    t_new = tot.where(F.col("pop") == 1).select(F.col("t").alias("t_new"))
+    # Scalar totals as ONE unconditional aggregate row (NULL for an empty
+    # population) so a degenerate empty slice degrades exactly like the
+    # oracle's scalar subqueries: 0-row filtered frames would wipe out the
+    # bucket spine under crossJoin, while the oracle still emits every
+    # bucket with NULL psi.
+    t_scalar = c.groupBy("pop").agg(F.sum("n").alias("t")).agg(
+        F.max(F.when(F.col("pop") == 0, F.col("t"))).alias("t_base"),
+        F.max(F.when(F.col("pop") == 1, F.col("t"))).alias("t_new"),
+    )
     p = c.where(F.col("pop") == 0).select("bucket", F.col("n").alias("n_base"))
     q = c.where(F.col("pop") == 1).select("bucket", F.col("n").alias("n_new"))
     m = (
         b.join(p, "bucket", "left")
         .join(q, "bucket", "left")
-        .crossJoin(F.broadcast(t_base))
-        .crossJoin(F.broadcast(t_new))
+        .crossJoin(F.broadcast(t_scalar))
         .select(
             "bucket",
             F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
