@@ -762,3 +762,254 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, re-centered on
+# this corpus' distributions so each rule actually splits documents:
+# token count p10/p90 = 21/88, mean word length p10/p90 = 5.2/5.7,
+# top-unigram fraction p90 = 0.14, dup-bigram fraction p90 = 0.065).
+GOPHER_MIN_TOKENS = 25
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MWL = 5.0
+GOPHER_MAX_MWL = 6.0
+GOPHER_MAX_TOP_UNIGRAM = 0.125
+GOPHER_MAX_DUP_BIGRAM = 0.06
+GOPHER_MIN_STOPWORD = 0.02
+
+
+@register(
+    "text_gopher_quality_filter",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks, n_chars FROM documents
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_uni FROM (
+    SELECT doc_id, u.tok, COUNT(*) AS c
+    FROM t, UNNEST(toks) AS u(tok) GROUP BY doc_id, u.tok
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, COUNT(*) AS n_bi, COUNT(DISTINCT bg) AS n_bi_d FROM (
+    SELECT doc_id, toks[CAST(u.g AS INT)] || ' ' || toks[CAST(u.g + 1 AS INT)] AS bg
+    FROM t CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(1, len(toks) - 1))
+    ) u(g)
+  ) GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_id, t.source,
+         len(t.toks) AS nt,
+         CAST(t.n_chars AS DOUBLE) / len(t.toks) AS mwl,
+         CAST(u.max_uni AS DOUBLE) / len(t.toks) AS tuf,
+         1.0 - CAST(b.n_bi_d AS DOUBLE) / b.n_bi AS dbf,
+         CAST(len(list_filter(t.toks, x -> list_contains({_SW_LIST_SQL}, x))) AS DOUBLE)
+           / len(t.toks) AS swr
+  FROM t JOIN uni u ON u.doc_id = t.doc_id JOIN bi b ON b.doc_id = t.doc_id
+),
+r AS (
+  SELECT source,
+         CASE WHEN nt BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} THEN 0 ELSE 1 END AS f_len,
+         CASE WHEN mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL} THEN 0 ELSE 1 END AS f_mwl,
+         CASE WHEN tuf <= {GOPHER_MAX_TOP_UNIGRAM} THEN 0 ELSE 1 END AS f_uni,
+         CASE WHEN dbf <= {GOPHER_MAX_DUP_BIGRAM} THEN 0 ELSE 1 END AS f_bi,
+         CASE WHEN swr >= {GOPHER_MIN_STOPWORD} THEN 0 ELSE 1 END AS f_sw
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f_len + f_mwl + f_uni + f_bi + f_sw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(f_len) AS BIGINT) AS fail_len,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_word_len,
+       CAST(SUM(f_uni) AS BIGINT) AS fail_top_unigram,
+       CAST(SUM(f_bi) AS BIGINT) AS fail_dup_bigram,
+       CAST(SUM(f_sw) AS BIGINT) AS fail_stopword,
+       ROUND(SUM(CASE WHEN f_len + f_mwl + f_uni + f_bi + f_sw = 0 THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS pass_rate
+FROM r GROUP BY source ORDER BY source
+""",
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021) as a per-source data-
+    quality report: token-count bounds, mean-word-length bounds,
+    top-unigram concentration, duplicate-bigram fraction, and a
+    minimum stopword ratio — the standard cheap filter pass a training
+    pipeline runs before model-based scoring, rolled up to pass rates
+    and per-rule failure counts by source (the view a curation team
+    actually triages).
+
+    Every rule is a comparison of a ratio of exact integers against a
+    decimal literal — identical IEEE doubles cross-engine, so each
+    boolean (and therefore every count) is deterministic.
+
+    Scale: two explode+reduce passes keyed by (doc_id, gram) then
+    doc_id — linear in corpus tokens, maximally spreadable — then a
+    per-source rollup whose exchange carries one row per document.
+    No per-doc quadratic HOF scans; the bigram distinct count rides
+    the same doc_id-keyed shuffle as text_repetition_stats.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", "n_chars", F.split("text", " ").alias("toks"))
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_uni"))
+    )
+    n = F.size("toks")
+    bi = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bi"), F.countDistinct("bg").alias("n_bi_d"))
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    m = (
+        toks.join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .select(
+            "source",
+            F.size("toks").alias("nt"),
+            (F.col("n_chars").cast("double") / F.size("toks")).alias("mwl"),
+            (F.col("max_uni").cast("double") / F.size("toks")).alias("tuf"),
+            (F.lit(1.0) - F.col("n_bi_d").cast("double") / F.col("n_bi")).alias("dbf"),
+            (
+                F.size(F.filter("toks", lambda x: F.array_contains(sw, x))).cast("double")
+                / F.size("toks")
+            ).alias("swr"),
+        )
+    )
+    f_len = F.when(F.col("nt").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS), 0).otherwise(1)
+    f_mwl = F.when(
+        (F.col("mwl") >= GOPHER_MIN_MWL) & (F.col("mwl") <= GOPHER_MAX_MWL), 0
+    ).otherwise(1)
+    f_uni = F.when(F.col("tuf") <= GOPHER_MAX_TOP_UNIGRAM, 0).otherwise(1)
+    f_bi = F.when(F.col("dbf") <= GOPHER_MAX_DUP_BIGRAM, 0).otherwise(1)
+    f_sw = F.when(F.col("swr") >= GOPHER_MIN_STOPWORD, 0).otherwise(1)
+    r = m.select(
+        "source",
+        f_len.alias("f_len"),
+        f_mwl.alias("f_mwl"),
+        f_uni.alias("f_uni"),
+        f_bi.alias("f_bi"),
+        f_sw.alias("f_sw"),
+    )
+    all_pass = F.when(
+        F.col("f_len") + F.col("f_mwl") + F.col("f_uni") + F.col("f_bi") + F.col("f_sw")
+        == 0,
+        1,
+    ).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(all_pass).cast("bigint").alias("n_pass"),
+            F.sum("f_len").cast("bigint").alias("fail_len"),
+            F.sum("f_mwl").cast("bigint").alias("fail_word_len"),
+            F.sum("f_uni").cast("bigint").alias("fail_top_unigram"),
+            F.sum("f_bi").cast("bigint").alias("fail_dup_bigram"),
+            F.sum("f_sw").cast("bigint").alias("fail_stopword"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            "fail_len",
+            "fail_word_len",
+            "fail_top_unigram",
+            "fail_dup_bigram",
+            "fail_stopword",
+            F.round(F.col("n_pass") * 1.0 / F.col("n_docs"), 6).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_TOP_RANKS = 200  # OLS fit window: the head of the rank-frequency curve
+
+
+@register(
+    "text_zipf_law_fit",
+    tags=("text", "stats"),
+    oracle=f"""
+WITH tf AS (
+  SELECT u.tok AS term, COUNT(*) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY u.tok
+),
+rk AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+  FROM tf
+),
+head AS (SELECT * FROM rk WHERE rank <= {ZIPF_TOP_RANKS})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(freq) AS BIGINT) AS head_tokens,
+       ROUND(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+       ROUND(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept,
+       ROUND(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_r2
+FROM head
+""",
+)
+def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: rank terms by
+    frequency and OLS-fit ln(freq) ~ ln(rank) over the top
+    {ZIPF_TOP_RANKS} ranks — slope ≈ -1 is the natural-language
+    signature; a flat or cliff-shaped curve marks synthetic or
+    template-heavy corpora (a standard corpus health check before
+    training).
+
+    Scale: term frequencies are one (token)-keyed partial-aggregable
+    reduce; the global rank runs on the DISTRIBUTED range-partitioned
+    scan (functions/scan.ranged_row_number — no single-task
+    Exchange even at billion-term web vocabularies), and the OLS
+    partials reduce the {ZIPF_TOP_RANKS}-row head to one row. Doubles
+    enter only at ln(); regr_* sums are order-absorbed by ROUND(4)
+    (the linreg_slope_1d discipline).
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_row_number
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = ranged_row_number(tf, [F.col("freq").desc(), F.col("term")], rn_col="rank")
+    head = rk.where(F.col("rank") <= ZIPF_TOP_RANKS).select(
+        F.log(F.col("freq").cast("double")).alias("y"),
+        F.log(F.col("rank").cast("double")).alias("x"),
+        "freq",
+    )
+    s = head.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("freq").cast("bigint").alias("head_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / nn
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / nn
+    r2 = (cov * cov) / (varx * vary)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        "head_tokens",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+        F.round(r2, 4).alias("zipf_r2"),
+    )

@@ -2084,3 +2084,202 @@ def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "timeseries_stl_decompose",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d, dayofweek(ts) AS dow0,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, d, dow0, cents,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+  FROM daily
+),
+det AS (
+  SELECT event_type, dow0, 7 * cents - t7 AS dx7
+  FROM w WHERE c7 = 7
+),
+sdow AS (
+  SELECT event_type, dow0, CAST(SUM(dx7) AS BIGINT) AS s_sum, COUNT(*) AS s_n
+  FROM det GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(SUM(dx7) AS BIGINT) AS g_sum, COUNT(*) AS g_n
+  FROM det GROUP BY 1
+)
+SELECT w.event_type, strftime(w.d, '%Y-%m-%d') AS day, w.cents,
+       CASE WHEN w.c7 = 7
+            THEN ROUND(CAST(w.t7 AS DOUBLE) / 700.0, 6) + 0 END AS trend,
+       ROUND(CAST(s.s_sum AS DOUBLE) / (700.0 * s.s_n)
+             - CAST(g.g_sum AS DOUBLE) / (700.0 * g.g_n), 6) + 0 AS seasonal,
+       CASE WHEN w.c7 = 7 THEN ROUND(
+         (CAST(w.cents AS DOUBLE) / 100.0 - CAST(w.t7 AS DOUBLE) / 700.0)
+         - (CAST(s.s_sum AS DOUBLE) / (700.0 * s.s_n)
+            - CAST(g.g_sum AS DOUBLE) / (700.0 * g.g_n)), 6) + 0 END AS residual
+FROM w
+JOIN sdow s ON s.event_type = w.event_type AND s.dow0 = w.dow0
+JOIN g ON g.event_type = w.event_type
+ORDER BY w.event_type, day
+""",
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    STL ancestor: Cleveland et al.'s decompose step without loess) of
+    each event type's daily revenue: trend = centered 7-day moving
+    average, seasonal = day-of-week mean of the detrended series
+    re-centered to sum ~0, residual = y - trend - seasonal. The
+    monitoring primitive behind "is today's dip seasonal or real".
+
+    Exactness: daily totals are DECIMAL-cents bigints; the 7-day
+    window SUM and the detrended value 7*cents - t7 stay exact
+    integers (order-independent), so trend/seasonal/residual are each
+    a fixed-order IEEE expression over exact ints — identical
+    cross-engine, with `+ 0` absorbing signed-zero rounding.
+
+    Scale: one (type, day) partial-aggregable rollup — the exchange
+    carries one row per series-day — then windows PARTITIONED BY
+    event_type (days per series grow with calendar time, not corpus
+    size; no global single-task sort), and two tiny keyed rollups.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        (F.dayofweek("ts") - 1).alias("dow0"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    w = daily.select(
+        "event_type",
+        "d",
+        "dow0",
+        "cents",
+        F.sum("cents").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = w.where(F.col("c7") == 7).select(
+        "event_type", "dow0", (7 * F.col("cents") - F.col("t7")).alias("dx7")
+    )
+    sdow = det.groupBy("event_type", "dow0").agg(
+        F.sum("dx7").cast("bigint").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    g = det.groupBy("event_type").agg(
+        F.sum("dx7").cast("bigint").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    seasonal = F.col("s_sum").cast("double") / (700.0 * F.col("s_n")) - F.col(
+        "g_sum"
+    ).cast("double") / (700.0 * F.col("g_n"))
+    trend = F.col("t7").cast("double") / 700.0
+    resid = (F.col("cents").cast("double") / 100.0 - trend) - seasonal
+    return (
+        w.join(sdow, ["event_type", "dow0"])
+        .join(g, "event_type")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.when(F.col("c7") == 7, F.round(trend, 6) + 0).alias("trend"),
+            (F.round(seasonal, 6) + 0).alias("seasonal"),
+            F.when(F.col("c7") == 7, F.round(resid, 6) + 0).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    tags=("timeseries", "analytics"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.d, t.n_days,
+         t.n_days * SUM(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.d
+                                       ROWS UNBOUNDED PRECEDING)
+         - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) * t.total
+           AS cusum_x
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+r AS (
+  SELECT event_type, d, n_days, cusum_x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum_x) DESC, d) AS rk
+  FROM c
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(cusum_x AS DOUBLE) / (100.0 * n_days), 6) + 0 AS cusum_peak
+FROM r WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily revenue from the series mean peaks
+    (Page's cumulative-sum statistic — the classic single-changepoint
+    locator; the binary-segmentation building block).
+
+    Exactness: the statistic is kept in SCALED integer space —
+    n_days * cumsum(cents) - dayn * total is an exact bigint, so the
+    argmax (tie-broken by day) is deterministic cross-engine; the one
+    division to dollar units happens after selection.
+
+    Scale: the cumulative window is PARTITIONED BY event_type — each
+    series' scan is keyed and parallel across series; series length
+    grows with calendar time, not corpus size, so no single task ever
+    sees more than one series' days.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").cast("bigint").alias("total")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy("event_type").orderBy("d")
+    c = daily.join(tot, "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        (
+            F.col("n_days") * F.sum("cents").over(wcum)
+            - F.row_number().over(wrow).cast("bigint") * F.col("total")
+        ).alias("cusum_x"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.abs(F.col("cusum_x")).desc(), "d")
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            (F.round(F.col("cusum_x").cast("double") / (100.0 * F.col("n_days")), 6) + 0).alias(
+                "cusum_peak"
+            ),
+        )
+        .orderBy("event_type")
+    )
