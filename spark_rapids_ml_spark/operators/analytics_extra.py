@@ -429,3 +429,99 @@ def agg_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("liftu", 6).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_ks_two_sample",
+    tags=("agg", "stats"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey % 2 AS pop,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+         CAST(SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+  FROM v GROUP BY cents
+),
+tot AS (SELECT CAST(SUM(n_e) AS BIGINT) AS ne, CAST(SUM(n_o) AS BIGINT) AS no FROM per),
+c AS (
+  SELECT cents,
+         SUM(n_e) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_e,
+         SUM(n_o) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_o
+  FROM per
+),
+d AS (
+  SELECT c.cents,
+         ABS(c.cum_e * t.no - c.cum_o * t.ne) AS diff
+  FROM c CROSS JOIN tot t
+),
+mx AS (SELECT MAX(diff) AS d_scaled FROM d)
+SELECT t.ne AS n_even, t.no AS n_odd,
+       CAST(m.d_scaled AS BIGINT) AS d_scaled,
+       ROUND(CAST(m.d_scaled AS DOUBLE) / (CAST(t.ne AS DOUBLE) * t.no), 6) AS ks_d,
+       (SELECT MIN(cents) FROM d WHERE diff = m.d_scaled) AS ks_location_cents
+FROM tot t CROSS JOIN mx m
+""",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between even- and
+    odd-orderkey price distributions: D = sup_x |ECDF_even(x) -
+    ECDF_odd(x)| — the distribution-free drift test completing the
+    comparison family next to PSI (binned) and Welch-t (means); the
+    supremum location tells WHERE the distributions diverge.
+
+    Exactness: the supremum is evaluated in CLEARED-DENOMINATOR
+    integer space — |cum_e * N_odd - cum_o * N_even| is an exact
+    bigint, so the max and its (smallest-value) location are
+    deterministic; the single division to D happens after selection.
+
+    Scale: per-value counts are one partial-aggregable reduce keyed by
+    price; both cumulative counts ride ONE distributed range-
+    partitioned scan (functions/scan.ranged_cumsum — the ECDF sweep
+    parallelizes across value ranges, no Exchange SinglePartition),
+    and the final supremum is a plain max-reduce.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("pop"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per = o.groupBy("cents").agg(
+        F.sum(F.when(F.col("pop") == 0, 1).otherwise(0)).cast("bigint").alias("n_e"),
+        F.sum(F.when(F.col("pop") == 1, 1).otherwise(0)).cast("bigint").alias("n_o"),
+    )
+    c = ranged_cumsum(per, "n_e", [F.col("cents")], cum_col="cum_e")
+    c = ranged_cumsum(c, "n_o", [F.col("cents")], cum_col="cum_o")
+    tot = per.agg(
+        F.sum("n_e").cast("bigint").alias("ne"), F.sum("n_o").cast("bigint").alias("no")
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "ne",
+        "no",
+        F.abs(F.col("cum_e") * F.col("no") - F.col("cum_o") * F.col("ne")).alias("diff"),
+    )
+    mx = d.agg(F.max("diff").alias("d_scaled"))
+    loc = (
+        d.join(F.broadcast(mx), F.col("diff") == F.col("d_scaled"))
+        .agg(F.min("cents").alias("ks_location_cents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(loc))
+        .select(
+            F.col("ne").alias("n_even"),
+            F.col("no").alias("n_odd"),
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("ne").cast("double") * F.col("no")),
+                6,
+            ).alias("ks_d"),
+            "ks_location_cents",
+        )
+    )

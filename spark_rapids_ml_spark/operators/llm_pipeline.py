@@ -1107,3 +1107,138 @@ def pipe_curate_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+N_SHARDS = 8  # output shards for the size-balanced packing
+
+
+@register(
+    "pipe_shard_bin_packing",
+    tags=("pipe", "curation"),
+    oracle=f"""
+WITH rk AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+  FROM documents
+),
+a AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+              THEN r0 % {N_SHARDS}
+              ELSE {N_SHARDS - 1} - (r0 % {N_SHARDS}) END AS shard
+  FROM rk
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM a GROUP BY shard ORDER BY shard
+""",
+)
+def pipe_shard_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced dataset sharding by serpentine (boustrophedon)
+    rank assignment: rank documents by size descending and deal them
+    across {N_SHARDS} shards alternating direction each pass — the
+    deterministic O(1)-state approximation of greedy bin packing
+    (largest-first serpentine keeps shard totals within one document
+    of each other, and unlike greedy it needs no running-total state,
+    so it distributes). This is how training pipelines cut a corpus
+    into equal-weight input shards for data-parallel workers.
+
+    Scale: the global size rank is the DISTRIBUTED range-partitioned
+    scan (functions/scan.ranged_row_number — no single-task sort);
+    the shard id is then a pure function of the rank, and the rollup
+    is one {N_SHARDS}-row partial-aggregable reduce.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_row_number
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rk = ranged_row_number(
+        d, [F.col("n_chars").desc(), F.col("doc_id")], rn_col="rn"
+    ).withColumn("r0", F.col("rn") - 1)
+    pass_even = (F.col("r0") / N_SHARDS).cast("bigint") % 2 == 0
+    pos = F.col("r0") % N_SHARDS
+    a = rk.select(
+        "doc_id",
+        "n_chars",
+        F.when(pass_even, pos).otherwise(F.lit(N_SHARDS - 1) - pos).alias("shard"),
+    )
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .select(F.col("shard").cast("bigint").alias("shard"), "n_docs", "total_chars", "min_doc_id")
+        .orderBy("shard")
+    )
+
+
+CURRICULUM_STAGES = 4  # easy -> hard training stages
+
+
+@register(
+    "pipe_curriculum_stages",
+    tags=("pipe", "curation"),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS nt,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS difficulty
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, n_chars, nt, difficulty,
+         NTILE({CURRICULUM_STAGES}) OVER (ORDER BY difficulty, doc_id) AS stage
+  FROM m
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(MIN(difficulty), 6) AS min_difficulty,
+       ROUND(MAX(difficulty), 6) AS max_difficulty,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM rk GROUP BY stage ORDER BY stage
+""",
+)
+def pipe_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning staging: order documents by a difficulty
+    proxy (mean word length — a ratio of exact ints, so the order is
+    deterministic cross-engine) and split them into
+    {CURRICULUM_STAGES} equal-population stages, easy first — the
+    curriculum schedule a training pipeline materializes so each epoch
+    phase reads one stage. Emits per-stage document counts, token
+    budgets and the difficulty band.
+
+    Scale: the stage assignment is NTILE over a total order — run on
+    the DISTRIBUTED range-partitioned scan (functions/scan.
+    ranged_ntile, bit-identical to the single-task window at any
+    partition count, no Exchange SinglePartition); the rollup is a
+    {CURRICULUM_STAGES}-row reduce.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_ntile
+
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("nt"),
+        (F.col("n_chars").cast("double") / F.size(F.split("text", " "))).alias(
+            "difficulty"
+        ),
+    )
+    rk = ranged_ntile(
+        m, CURRICULUM_STAGES, [F.col("difficulty"), F.col("doc_id")], out_col="stage"
+    )
+    return (
+        rk.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .orderBy("stage")
+    )
