@@ -1803,3 +1803,124 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- SemDeDup: semantic deduplication via cluster-then-pairwise ---
+SEMDEDUP_K = 4          # coarse clusters (production: ~sqrt(N), see docstring)
+SEMDEDUP_ITERS = 3      # fixed Lloyd iterations (tol=0) so the oracle unrolls
+SEMDEDUP_T = 0.85       # within-cluster cosine threshold for "semantic dup"
+SEMDEDUP_TIER_MAX = 4_000  # deterministic 1-in-m subsample above this
+
+
+def _semdedup_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import _sql_kmeans_cells
+
+    return f"""
+WITH eall AS ({_SQL_PLANTED}),
+e AS (
+  SELECT vec_id, emb FROM eall
+  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {SEMDEDUP_TIER_MAX}.0) AS BIGINT)
+                  FROM eall) = 0
+),
+{_sql_kmeans_cells(k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, seed_by_rank=True)},
+pairs AS (
+  SELECT a.cl, b.vec_id AS dropped
+  FROM cells a JOIN cells b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {SEMDEDUP_T}
+),
+drops AS (SELECT cl, COUNT(DISTINCT dropped) AS n_dropped FROM pairs GROUP BY cl),
+m AS (SELECT cl, COUNT(*) AS n_members FROM cells GROUP BY cl)
+SELECT CAST(m.cl AS BIGINT) AS cluster,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       ROUND((m.n_members - COALESCE(d.n_dropped, 0)) * 1.0 / m.n_members, 6) AS keep_ratio
+FROM m LEFT JOIN drops d ON d.cl = m.cl
+ORDER BY cluster
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    tags=("dedup", "vector", "ml"),
+    oracle=_semdedup_oracle(),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings FIRST, then scoring cosine pairs only WITHIN
+    each cluster and dropping every vector that has a lower-id
+    semantic twin (cos >= {SEMDEDUP_T}) in its cluster. Runs on the
+    planted corpus (module comment) so true semantic dups exist at
+    every sf. Emits per-cluster member/dropped counts and keep ratio —
+    the curation report SemDeDup pipelines act on.
+
+    The training is ml/kmeans.py with deterministic smallest-id init
+    and {SEMDEDUP_ITERS} fixed iterations; the DuckDB oracle re-runs
+    the IDENTICAL training unrolled as SQL (rank-seeded
+    _sql_kmeans_cells), so the learned partition itself is
+    hash-checked. Pair decisions are raw-cosine comparisons with a
+    >=0.1 margin to the planted/background separation — cross-engine
+    FP drift (~1e-15, numpy matmul vs sequential fold) cannot flip
+    them.
+
+    Scale: this is THE trick that makes semantic dedup tractable —
+    pairwise work collapses from O(N^2) to O(sum n_c^2): clusters
+    bound the quadratic blast radius, and each cluster's pair scan is
+    an independent applyInPandas group running a single unit-vector
+    matmul (the blocked-GEMM layout of dedup_embedding_cosine_pairs,
+    but gated by the learned partition). Production scales K with
+    N/target_cluster_size so n_c stays constant and total work linear;
+    K is pinned small here so the oracle's unrolled SQL training stays
+    tractable. Above {SEMDEDUP_TIER_MAX} vectors the declared query
+    scores a deterministic 1-in-m subsample (the EXACT_TIER_MAX
+    discipline) — the cap never binds at sf<=0.1.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    e_all = planted_corpus(load(spark, sf_dir, "embeddings"))
+    n_all = e_all.count()
+    m = -(-n_all // SEMDEDUP_TIER_MAX)  # ceil
+    if m > 1:
+        e_all = e_all.where(F.col("vec_id") % m == 0)
+    ed = _cache(e_all.select("vec_id", F.col("embedding").alias("emb")))
+    model = KMeans(
+        k=SEMDEDUP_K, feature_col="emb", id_col="vec_id",
+        max_iter=SEMDEDUP_ITERS, tol=0.0,
+    ).fit(ed)
+    cells = model.transform(ed, "cluster")
+
+    out_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("n_members", LongType()),
+            StructField("n_dropped", LongType()),
+        ]
+    )
+
+    def sem_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
+        x = np.vstack(pdf["emb"].map(lambda v: np.asarray(v, np.float64)))[order]
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = u @ u.T
+        # row i dropped iff any lower-id row in the cluster is a twin
+        tri = np.tril(sims >= SEMDEDUP_T, -1)
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "n_members": [len(pdf)],
+                "n_dropped": [int(tri.any(axis=1).sum())],
+            }
+        )
+
+    stats = cells.groupBy("cluster").applyInPandas(sem_stats, out_schema)
+    return stats.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.round(
+            (F.col("n_members") - F.col("n_dropped")) * 1.0 / F.col("n_members"), 6
+        ).alias("keep_ratio"),
+    ).orderBy("cluster")

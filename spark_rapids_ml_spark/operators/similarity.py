@@ -487,7 +487,9 @@ def sim_lsh_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_topk(cand, load(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:
+def _sql_kmeans_cells(
+    k: int = K_CELLS, iters: int = IVF_ITERS, seed_by_rank: bool = False
+) -> str:
     """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
     seed centroids = the k smallest vec_ids, then `iters` unrolled
     Lloyd iterations (assign by Euclidean argmin with first-cluster
@@ -506,10 +508,21 @@ def _sql_kmeans_cells(k: int = K_CELLS, iters: int = IVF_ITERS) -> str:
     — a 2^iters blowup that made the 6-iteration unroll abort DuckDB
     at 200k vectors while the 3-iteration IVF unroll survived.
     Materialization pins each iteration to one pass; values are
-    unchanged."""
-    parts = [
-        f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
-    ]
+    unchanged.
+
+    ``seed_by_rank`` seeds cent0 from the k SMALLEST vec_ids present
+    (cluster id = seed rank 0..k-1) instead of ``vec_id < k`` — the
+    general form matching ml/kmeans.py's init on corpora where the
+    smallest ids are not 0..k-1 (e.g. a mod-subsampled slice). On a
+    corpus containing ids 0..k-1 the two forms are identical."""
+    if seed_by_rank:
+        cent0 = (
+            "cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
+            f"emb AS cemb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k}))"
+        )
+    else:
+        cent0 = f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
+    parts = [cent0]
     assign = """
 {name} AS MATERIALIZED (
   SELECT vec_id, emb, cl FROM (

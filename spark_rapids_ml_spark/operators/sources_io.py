@@ -1351,3 +1351,65 @@ def scale_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("metric")
+
+
+BINFILE_MAX_DOC = 40  # docs written as standalone binary files
+
+
+@register(
+    "source_binaryfile_format",
+    tags=("source",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {BINFILE_MAX_DOC}
+ORDER BY doc_id
+""",
+)
+def source_binaryfile_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — the ingestion path for opaque
+    media blobs (images/audio/model shards) where each FILE is one
+    row: write each document's UTF-8 bytes as a standalone ``.bin``
+    file from the executors (foreachPartition — the write side of a
+    blob-lake layout), then read the directory back with
+    ``format("binaryFile")`` + pathGlobFilter and verify content
+    integrity by byte length and md5 digest against the source table.
+
+    Scale: binaryFile lists files in parallel and maps one file per
+    row with column pruning (reading only path/length skips content
+    I/O entirely); the md5 here forces the content column — the
+    integrity-scan pattern. Per-file rows keep memory bounded by the
+    largest single blob, the layout object stores actually have.
+    """
+    import os as _os
+
+    path = _sink("docs_binaryfile", sf_dir)
+    _os.makedirs(path, exist_ok=True)
+    for f in _os.listdir(path):
+        if f.endswith(".bin"):
+            _os.remove(_os.path.join(path, f))
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < BINFILE_MAX_DOC)
+
+    def _write_files(rows):
+        for r in rows:
+            with open(_os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(_write_files)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
