@@ -1025,6 +1025,63 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical GREATEST(floor, N/div) cutoff. Production IVF-PQ gets
     # the same effect from nprobe cells; this is the flat-PQ analogue.
     cand_k = max(PQ_CAND, e.count() // PQ_CAND_DIV)
+    from pyspark.sql import Window
+
+    sub, cb, enc = _pq_encoded(e)
+    # query lookup tables: partial distance to every (m, code)
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            _pq_dist_nano(F.col("sub"), F.col("csub")).alias("pd"),
+        )
+    )
+    # ADC: M integer lookups per (query, vector)
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd").alias("adc_nano"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_nano", "vec_id")
+    cand = (
+        adc.withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= cand_k)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the ADC shortlist
+    qn = with_unit_vector(
+        e.where(F.col("vec_id") < N_QUERIES), "embedding", "qunit"
+    ).select(F.col("vec_id").alias("uqid"), "qunit")
+    xn = with_unit_vector(e, "embedding", "xunit").select(
+        F.col("vec_id").alias("uxid"), "xunit"
+    )
+    rer = (
+        cand.join(F.broadcast(qn), F.col("qid") == F.col("uqid"))
+        .join(xn, F.col("vec_id") == F.col("uxid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot_expr("qunit", "xunit"), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+def _pq_encoded(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sub, cb, enc) — the PQ index-build stage, shared by the flat
+    PQ-ADC tier and the IVF+PQ hybrid: subspace split, deterministic
+    corpus-sampled codebook, and the encoded (vec_id, m, code) table
+    from the vectorized mapInPandas encoder."""
     sub = _pq_subspaces(e)
     cb = (
         sub.where(
@@ -1037,8 +1094,6 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sub").alias("csub"),
         )
     )
-    from pyspark.sql import Window
-
     # encode: nearest codebook entry per (vector, subspace) — a
     # VECTORIZED mapInPandas pass (one numpy batch kernel instead of
     # an N*M*K exploded join: 6x faster at sf1, same plan shape as a
@@ -1088,7 +1143,140 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = e.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id long, m int, code long"
     )
-    # query lookup tables: partial distance to every (m, code)
+    return sub, cb, enc
+
+
+IVFPQ_NPROBE = IVF_NPROBE  # coarse cells probed by the hybrid tier
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH e AS ({_SQL_E}),
+{_sql_kmeans_cells()},
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+sub AS (
+  SELECT vec_id, m, emb[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM e CROSS JOIN ms
+),
+cbq AS (
+  SELECT vec_id - {PQ_ANCHOR_LO} AS code, m, sub
+  FROM sub WHERE vec_id >= {PQ_ANCHOR_LO} AND vec_id < {PQ_ANCHOR_LO + PQ_CODES}
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_pq_dist_nano_sql('s', 'c')}, c.code) AS rk
+    FROM sub s JOIN cbq c ON c.m = s.m
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN cent{IVF_ITERS} c
+  ) WHERE prk <= {IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT s.vec_id AS qid, s.m, c.code, {_pq_dist_nano_sql('s', 'c')} AS pd
+  FROM sub s JOIN cbq c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.qid, x.vec_id, SUM(l.pd) AS adc_nano
+  FROM enc x
+  JOIN cells s ON s.vec_id = x.vec_id
+  JOIN probe p ON p.cl = s.cl
+  JOIN lut l ON l.qid = p.qid AND l.m = x.m AND l.code = x.code
+  WHERE x.vec_id <> l.qid
+  GROUP BY l.qid, x.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_nano, vec_id) AS crk
+    FROM adc
+  ) WHERE crk <= (SELECT GREATEST({PQ_CAND}, CAST(FLOOR(COUNT(*) / {PQ_CAND_DIV}.0) AS BIGINT)) FROM e)
+),
+rer AS (
+  SELECT c.qid, c.vec_id,
+         ROUND(list_cosine_similarity(qe.emb, e.emb), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.qid
+  JOIN e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM rer
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "sim_ivf_pq_hybrid_topk",
+    tags=("similarity", "ivf", "quantization", "scale"),
+    oracle=_ivfpq_oracle(),
+)
+def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two tiers composed the way FAISS's production
+    IVFPQ index composes them (Jégou et al. 2011 §IV): a LEARNED
+    coarse quantizer (ml/kmeans.py cells, identical to sim_ivf_topk's)
+    prunes the corpus to IVF_NPROBE probed cells, and inside the
+    probed cells distances come from PQ codes via the ADC lookup join
+    (identical to sim_pq_adc_topk's) — no full vector is touched until
+    the exact re-rank of the final shortlist. The DuckDB oracle
+    re-runs BOTH learned stages (unrolled Lloyd training + window-
+    argmin encoding), so the composed index is hash-checked end to
+    end.
+
+    Scale: this is the pairing that serves 10^9-vector corpora — the
+    coarse probe cuts candidate volume to ~nprobe/k of the corpus
+    (cell-equi-join, only probed cells shuffle), the ADC join reads
+    {PQ_M}-nibble codes instead of 512-byte vectors (64x less memory
+    traffic), and the exact re-rank touches only the adaptive
+    GREATEST(floor, N/{PQ_CAND_DIV}) shortlist. Each stage's scale
+    guard is inherited from its standalone tier: learned cells keep
+    occupancy balanced as N grows (vs the fixed-plane LSH tier), and
+    the corpus-proportional shortlist holds recall (the PQ fix).
+    """
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cand_k = max(PQ_CAND, e.count() // PQ_CAND_DIV)
+    # coarse quantizer: learned IVF cells (same training as sim_ivf_topk)
+    model = KMeans(
+        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+    ).fit(ed)
+    cells = model.transform(ed, "cell").select("vec_id", "cell")
+    cent_rows = spark.createDataFrame(
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        schema="cl bigint, cemb array<double>",
+    )
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent_rows))
+        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
+            ),
+        )
+        .where(F.col("prk") <= IVFPQ_NPROBE)
+        .select(F.col("qid").alias("pqid"), F.col("cl").alias("pcell"))
+    )
+    # fine quantizer: PQ codes (same encoder as sim_pq_adc_topk)
+    sub, cb, enc = _pq_encoded(e)
     lut = (
         sub.where(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cb), F.col("m") == F.col("cm"))
@@ -1099,9 +1287,16 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_dist_nano(F.col("sub"), F.col("csub")).alias("pd"),
         )
     )
-    # ADC: M integer lookups per (query, vector)
+    # ADC restricted to probed cells: code table ⋈ cell id ⋈ probe list
     adc = (
-        enc.join(F.broadcast(lut), ["m", "code"])
+        enc.join(cells, "vec_id")
+        .join(F.broadcast(probe), F.col("cell") == F.col("pcell"))
+        .join(
+            F.broadcast(lut),
+            (F.col("qid") == F.col("pqid"))
+            & (lut["m"] == enc["m"])
+            & (lut["code"] == enc["code"]),
+        )
         .where(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg(F.sum("pd").alias("adc_nano"))
@@ -1112,7 +1307,6 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crk") <= cand_k)
         .select("qid", "vec_id")
     )
-    # exact re-rank of the ADC shortlist
     qn = with_unit_vector(
         e.where(F.col("vec_id") < N_QUERIES), "embedding", "qunit"
     ).select(F.col("vec_id").alias("uqid"), "qunit")
