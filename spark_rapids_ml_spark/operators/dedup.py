@@ -1808,7 +1808,9 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SemDeDup: semantic deduplication via cluster-then-pairwise ---
 SEMDEDUP_K = 4          # coarse clusters (production: ~sqrt(N), see docstring)
 SEMDEDUP_ITERS = 3      # fixed Lloyd iterations (tol=0) so the oracle unrolls
-SEMDEDUP_T = 0.85       # within-cluster cosine threshold for "semantic dup"
+SEMDEDUP_T = 0.8        # within-cluster cosine threshold: the planted
+                        # corpus guarantees a >=9e-4 margin at 0.8 (same
+                        # threshold as dedup_embedding_cosine_pairs)
 SEMDEDUP_TIER_MAX = 4_000  # deterministic 1-in-m subsample above this
 
 
@@ -1826,7 +1828,7 @@ e AS (
 pairs AS (
   SELECT a.cl, b.vec_id AS dropped
   FROM cells a JOIN cells b ON a.cl = b.cl AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.emb, b.emb) >= {SEMDEDUP_T}
+  WHERE list_cosine_similarity(a.emb, b.emb) > {SEMDEDUP_T}
 ),
 drops AS (SELECT cl, COUNT(DISTINCT dropped) AS n_dropped FROM pairs GROUP BY cl),
 m AS (SELECT cl, COUNT(*) AS n_members FROM cells GROUP BY cl)
@@ -1848,7 +1850,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings FIRST, then scoring cosine pairs only WITHIN
     each cluster and dropping every vector that has a lower-id
-    semantic twin (cos >= {SEMDEDUP_T}) in its cluster. Runs on the
+    semantic twin (cos > {SEMDEDUP_T}) in its cluster. Runs on the
     planted corpus (module comment) so true semantic dups exist at
     every sf. Emits per-cluster member/dropped counts and keep ratio —
     the curation report SemDeDup pipelines act on.
@@ -1857,8 +1859,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and {SEMDEDUP_ITERS} fixed iterations; the DuckDB oracle re-runs
     the IDENTICAL training unrolled as SQL (rank-seeded
     _sql_kmeans_cells), so the learned partition itself is
-    hash-checked. Pair decisions are raw-cosine comparisons with a
-    >=0.1 margin to the planted/background separation — cross-engine
+    hash-checked. Pair decisions are raw-cosine comparisons with the
+    planted corpus' >=9e-4 threshold margin — cross-engine
     FP drift (~1e-15, numpy matmul vs sequential fold) cannot flip
     them.
 
@@ -1906,7 +1908,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = x / np.linalg.norm(x, axis=1, keepdims=True)
         sims = u @ u.T
         # row i dropped iff any lower-id row in the cluster is a twin
-        tri = np.tril(sims >= SEMDEDUP_T, -1)
+        tri = np.tril(sims > SEMDEDUP_T, -1)
         return pd.DataFrame(
             {
                 "cluster": [int(pdf["cluster"].iloc[0])],
