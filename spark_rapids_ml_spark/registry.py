@@ -64,66 +64,35 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 8 rotation: (a) the queries round 8 changed or added —
-    # the distributed-scan refactors, the adaptive LSH tier, the df
-    # ceiling + its new guard query — each needs a fresh driver row on
-    # the new code; then (b) the 29 queries never driver-sampled
-    # through r07 (union of CORRECTNESS_r01..r07 vs the registry),
-    # closing the evidence gap VERDICT r7 named; then (c) stalest
-    # surviving driver rows. Names absent from the registry are
-    # skipped, so the list is safe across partial loads.
-    "sim_tfidf_df_ceiling_guard",
-    "agg_exact_quantiles_scan",
-    "agg_weighted_quantiles_scan",
-    "ps_pandas_api_pivot_table",
-    "agg_pareto_share_scan",
-    "events_weekday_seasonality",
-    "events_uplift_by_segment",
+    # -- round 9 rotation: (a) the 10 queries round 9 added (none has
+    # a driver row yet) plus the queries round 9 CHANGED — the
+    # integer-DIV ranged_ntile (its three consumers), the PSI
+    # empty-population degradation fix, the PQ-encoder factor-out and
+    # the rank-seeded kmeans oracle (its consumers) — each needs a
+    # fresh driver row on the new code; then (b) stalest surviving
+    # driver rows (every pre-round-9 query has been sampled at least
+    # once through r08; these are the r01/r02-era rows). Names absent
+    # from the registry are skipped, so the list is safe across
+    # partial loads.
+    "dedup_semantic_clusters",
+    "sim_ivf_pq_hybrid_topk",
+    "agg_ks_two_sample",
+    "text_gopher_quality_filter",
+    "text_zipf_law_fit",
+    "timeseries_stl_decompose",
+    "timeseries_cusum_changepoint",
+    "pipe_shard_bin_packing",
+    "pipe_curriculum_stages",
+    "source_binaryfile_format",
+    # (a) changed by round 9
     "dq_psi_distribution_drift",
-    "agg_hhi_concentration",
-    "pipe_curate_budget_pack",
-    "pca_covariance_incremental_merge",
-    "stream_incremental_covariance",
-    "graph_degree_distribution_ccdf",
-    "sim_sparse_tfidf_cosine_pairs",
-    "sim_lsh_bucketed_topk",
-    "sim_lsh_persisted_probe",
     "events_rfm_segmentation",
     "pipe_token_budget_selection",
     "text_vocab_coverage_curve",
-    "pipe_sequence_packing",
-    "pipe_bpe_tokenize_pack",
-    "graph_kcore_peeling",
-    "pipe_chunk_documents",
-    # (b) never driver-sampled through r07
-    "stream_stateful_ewma",
-    "sink_snapshot_expire_vacuum",
-    "scalar_interval_arithmetic",
-    "sink_lakehouse_lifecycle",
-    "stream_cdf_apply_replica",
-    "scale_partition_evolution",
-    "agg_bitmap_distinct_rollup",
-    "dq_constraint_checks",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_rolling_zscore_anomaly",
-    "join_interval_overlap_binned",
-    "join_null_aware_anti",
-    "mm_image_perceptual_hash",
-    "mm_video_frame_sample",
-    "pipe_bpe_apply_tokens",
-    "pipe_bpe_train_merges",
-    "pipe_mixture_sampling",
-    "scale_runtime_bloom_filter_join",
-    "scd2_dimension_build",
-    "sink_merge_on_read_deletes",
-    "sink_python_datasource_writer",
-    "sink_snapshot_time_travel",
-    "stream_file_sink_exactly_once",
-    "stream_incremental_dedup_lsh",
-    "timeseries_resample_ohlc",
-    "udf_arrow_scalar_tokenstats",
-    # (c) stalest surviving driver rows (r01/r02 prefix)
+    "sim_pq_adc_topk",
+    "sim_ivf_topk",
+    "kmeans_embedding_clusters",
+    # (b) stalest surviving driver rows
     "agg_bitwise",
     "array_basic_ops",
     "array_explode_tokens",
@@ -146,6 +115,29 @@ SWEEP_PRIORITY: list[str] = [
     "join_full_outer",
     "join_inner_basic",
     "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "join_theta_range",
+    "json_extract_events",
+    "json_from_json_agg",
+    "scalar_datetime_extra",
+    "timeseries_gap_fill",
+    "bucketed_join_no_shuffle",
+    "limit_offset_page",
+    "map_funcs",
+    "mm_binary_payload",
+    "mm_struct_bundle",
+    "null_safe_equality",
+    "partitioned_write_pruned_read",
+    "pipe_contamination_overlap",
+    "pipe_deterministic_split",
+    "pipe_stratified_sample",
+    "q14_promotion_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
 ]
 
 
