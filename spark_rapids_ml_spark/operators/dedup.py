@@ -1813,16 +1813,69 @@ SEMDEDUP_T = 0.8        # within-cluster cosine threshold: the planted
                         # threshold as dedup_embedding_cosine_pairs)
 SEMDEDUP_TIER_MAX = 4_000  # deterministic 1-in-m subsample above this
 
+# SemDeDup keys its corpus as orig*2 / TWIN_BASE + orig*2 + 1 instead
+# of the PLANT_ID_OFFSET shift: the offset COLLIDES with real vec_ids
+# on sparse-id corpora (sf10's make_sf1 ids reach 9.9M, so orig+1e6
+# hits another original — 443 duplicate keys at sf10), and the kmeans
+# oracle's per-vec_id argmin window collapses duplicate keys while
+# Spark keeps both rows. The high twin base keeps every twin ABOVE
+# every original, so (a) the k smallest ids — the kmeans seeds — are
+# always ORIGINALS (seeding two clusters on a near-identical twin pair
+# degrades the partition), and (b) the lower-id-wins drop rule always
+# prefers keeping the original. orig_of(key) = (key % TWIN_BASE) // 2
+# recovers the pairing for the slice predicate.
+SEM_TWIN_BASE = 1 << 41  # above any orig*2 for ids up to 2^40
+_SQL_PLANTED_KEYED = f"""
+  SELECT vec_id * 2 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT {SEM_TWIN_BASE} + orig_id * 2 + 1 AS vec_id, emb2 AS emb FROM (
+    SELECT vec_id AS orig_id,
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)
+                               + (((vec_id * 2654435761) % 241) / 1000.0 - 0.12)) AS emb2
+    FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+  )
+"""
+
+
+def planted_corpus_keyed(e: DataFrame) -> DataFrame:
+    """Real embeddings ∪ planted near-duplicates under collision-free
+    keys (orig*2 / SEM_TWIN_BASE + orig*2 + 1) — same perturbation
+    rule as planted_corpus. Output: vec_id, embedding (array<double>)."""
+    base = e.select(
+        (F.col("vec_id") * 2).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    delta = ((F.col("vec_id") * F.lit(2654435761)) % F.lit(241)) / F.lit(1000.0) - F.lit(0.12)
+    planted = (
+        e.where(F.col("vec_id") % PLANT_MOD == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") + delta).alias("embedding"),
+        )
+        .select(
+            (F.lit(SEM_TWIN_BASE) + F.col("vec_id") * 2 + 1).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return base.unionAll(planted)
+
 
 def _semdedup_oracle() -> str:
     from spark_rapids_ml_spark.operators.similarity import _sql_kmeans_cells
 
     return f"""
-WITH eall AS ({_SQL_PLANTED}),
+WITH eall AS ({_SQL_PLANTED_KEYED}),
 e AS (
+  -- subsample on the ORIGINAL id ((key % TWIN_BASE) // 2): an
+  -- original and its twin stay in or out of the slice TOGETHER (a
+  -- raw vec_id % m with even m would drop every odd-keyed twin)
   SELECT vec_id, emb FROM eall
-  WHERE vec_id % (SELECT CAST(CEIL(COUNT(*) / {SEMDEDUP_TIER_MAX}.0) AS BIGINT)
-                  FROM eall) = 0
+  WHERE ((vec_id % {SEM_TWIN_BASE}) // 2)
+        % (SELECT CAST(CEIL(COUNT(*) / {SEMDEDUP_TIER_MAX}.0) AS BIGINT)
+           FROM eall) = 0
 ),
 {_sql_kmeans_cells(k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, seed_by_rank=True)},
 pairs AS (
@@ -1844,6 +1897,7 @@ ORDER BY cluster
 @register(
     "dedup_semantic_clusters",
     tags=("dedup", "vector", "ml"),
+    bench=True,
     oracle=_semdedup_oracle(),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,11 +1936,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_rapids_ml_spark.ml.kmeans import KMeans
 
-    e_all = planted_corpus(load(spark, sf_dir, "embeddings"))
+    e_all = planted_corpus_keyed(load(spark, sf_dir, "embeddings"))
     n_all = e_all.count()
     m = -(-n_all // SEMDEDUP_TIER_MAX)  # ceil
     if m > 1:
-        e_all = e_all.where(F.col("vec_id") % m == 0)
+        # original-id subsample ((key % TWIN_BASE) // 2): twins stay
+        # with their originals — see the oracle comment
+        e_all = e_all.where(
+            F.shiftright(F.col("vec_id") % SEM_TWIN_BASE, 1) % m == 0
+        )
     ed = _cache(e_all.select("vec_id", F.col("embedding").alias("emb")))
     model = KMeans(
         k=SEMDEDUP_K, feature_col="emb", id_col="vec_id",

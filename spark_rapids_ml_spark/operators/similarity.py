@@ -1220,6 +1220,7 @@ ORDER BY qid, rk
 @register(
     "sim_ivf_pq_hybrid_topk",
     tags=("similarity", "ivf", "quantization", "scale"),
+    bench=True,
     oracle=_ivfpq_oracle(),
 )
 def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
