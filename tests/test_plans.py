@@ -825,3 +825,27 @@ def test_vocab_coverage_window_input_is_bounded(spark):
     # global window in the plan tree
     assert f"_lrk#" in plan and f"<= {k_max})" in plan, plan
     assert plan.count("Window") >= 2  # local top-k window + global rank window
+
+
+def test_round9_scan_consumers_no_single_task_windows(spark):
+    """Round-9 additions that rank or scan a corpus-proportional frame
+    (Zipf vocabulary rank, KS double ECDF cumsum, serpentine shard
+    rank, curriculum NTILE) must ride the distributed scan: no window
+    fed by an `Exchange SinglePartition`, and at most the known 1-row
+    scalar aggregates elsewhere in the plan."""
+    from spark_rapids_ml_spark.operators.analytics_extra import agg_ks_two_sample
+    from spark_rapids_ml_spark.operators.llm_pipeline import (
+        pipe_curriculum_stages,
+        pipe_shard_bin_packing,
+    )
+    from spark_rapids_ml_spark.operators.textstats import text_zipf_law_fit
+
+    for fn in (
+        text_zipf_law_fit,
+        agg_ks_two_sample,
+        pipe_shard_bin_packing,
+        pipe_curriculum_stages,
+    ):
+        plan = plan_of(fn(spark, SF))
+        bad = _windows_feed_off_single_partition(plan)
+        assert not bad, f"{fn.__name__}: single-task window(s): {bad}\n{plan}"

@@ -36,6 +36,7 @@ def main() -> None:
         "ivf": sim.sim_ivf_topk,
         "pq_adc": sim.sim_pq_adc_topk,
         "quantized": sim.sim_quantized_topk,
+        "ivf_pq": sim.sim_ivf_pq_hybrid_topk,
     }
     wanted = sys.argv[1:] or list(tiers)
 
