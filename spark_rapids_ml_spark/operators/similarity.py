@@ -600,6 +600,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id so only probed cells shuffle — the classic IVF-Flat plan.
     Assignment is Euclidean (the k-means objective), probing/ranking
     cosine — the standard IVF-Flat pairing for normalized-ish corpora.
+
+    Honest bound: K_CELLS is pinned small so the oracle's unrolled SQL
+    training stays tractable, which makes nprobe/K a 60% corpus
+    fraction — so this FLAT tier re-ranks most of the corpus with
+    per-pair vector math and measures SLOWER than brute force at sf10
+    (83 s vs 36 s, RECALL_r9.json). Production scales K ≈ sqrt(N) with
+    a small nprobe fraction; in this tree the measured scale tiers are
+    sim_ivf_pq_hybrid_topk (same cells, ADC integer scoring inside
+    probed cells: 22.5 s at sf10, recall 1.0) and
+    sim_ivf_persisted_probe (partition-pruned disk layout).
     """
     from pyspark.sql import Window
 
