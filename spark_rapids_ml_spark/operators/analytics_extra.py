@@ -525,3 +525,110 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_location_cents",
         )
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    tags=("agg", "stats"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey % 2 AS pop,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+         CAST(SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+  FROM v GROUP BY cents
+),
+c AS (
+  SELECT cents, n_e, n_o,
+         SUM(n_e + n_o) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS hi
+  FROM per
+),
+r AS (
+  -- rank2 = lo + hi = 2 * average mid-rank of the tied group (exact int)
+  SELECT cents, n_e, n_o, (hi - (n_e + n_o) + 1) + hi AS rank2,
+         n_e + n_o AS t
+  FROM c
+),
+s AS (
+  SELECT CAST(SUM(n_e) AS BIGINT) AS ne, CAST(SUM(n_o) AS BIGINT) AS no,
+         CAST(SUM(rank2 * n_e) AS BIGINT) AS r2e,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM r
+)
+SELECT ne AS n_even, no AS n_odd,
+       CAST(r2e - ne * (ne + 1) AS BIGINT) AS u2,
+       ROUND(CAST(r2e - ne * (ne + 1) AS DOUBLE) / 2.0
+             / (CAST(ne AS DOUBLE) * no), 6) AS auc_effect,
+       ROUND((CAST(r2e - ne * (ne + 1) AS DOUBLE) / 2.0
+              - CAST(ne AS DOUBLE) * no / 2.0)
+             / SQRT((CAST(ne AS DOUBLE) * no / 12.0)
+                    * ((ne + no + 1)
+                       - CAST(tie3 AS DOUBLE) / ((ne + no) * (CAST(ne AS DOUBLE) + no - 1)))),
+             6) + 0 AS z_score
+FROM s
+""",
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between even- and
+    odd-orderkey price populations with mid-rank tie handling and the
+    tie-corrected normal approximation — the nonparametric
+    location-shift test completing the family next to KS (shape),
+    chi-square (independence) and Welch-t (means); U/(n₁n₂) is also
+    the AUC effect size (P[X>Y] + ½P[X=Y]).
+
+    Exactness: ranks stay in DOUBLED integer space — a tied group's
+    rank2 = lo + hi is an exact bigint (mid-ranks are the only .5
+    hazard), so U2 = 2·ΣR_even − n_e(n_e+1) and the tie-correction
+    cubes are exact; z and AUC are fixed-order IEEE expressions over
+    those ints, rounded at 6dp.
+
+    Scale: per-value population counts are one partial-aggregable
+    reduce keyed by price; the pooled rank rides ONE distributed
+    range-partitioned cumsum scan (functions/scan.ranged_cumsum — no
+    single-task window, plan-asserted); the verdict is a one-row
+    reduce of exact partials.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("pop"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per = o.groupBy("cents").agg(
+        F.sum(F.when(F.col("pop") == 0, 1).otherwise(0)).cast("bigint").alias("n_e"),
+        F.sum(F.when(F.col("pop") == 1, 1).otherwise(0)).cast("bigint").alias("n_o"),
+    ).withColumn("t", F.col("n_e") + F.col("n_o"))
+    c = ranged_cumsum(per, "t", [F.col("cents")], cum_col="hi")
+    r = c.select(
+        "n_e",
+        "n_o",
+        "t",
+        ((F.col("hi") - F.col("t") + 1) + F.col("hi")).alias("rank2"),
+    )
+    s = r.agg(
+        F.sum("n_e").cast("bigint").alias("ne"),
+        F.sum("n_o").cast("bigint").alias("no"),
+        F.sum(F.col("rank2") * F.col("n_e")).cast("bigint").alias("r2e"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie3"),
+    )
+    ne, no = F.col("ne").cast("double"), F.col("no").cast("double")
+    u = (F.col("r2e") - F.col("ne") * (F.col("ne") + 1)).cast("double") / 2.0
+    sigma = F.sqrt(
+        (ne * no / 12.0)
+        * (
+            (F.col("ne") + F.col("no") + 1)
+            - F.col("tie3").cast("double")
+            / ((F.col("ne") + F.col("no")) * (ne + no - 1))
+        )
+    )
+    return s.select(
+        F.col("ne").alias("n_even"),
+        F.col("no").alias("n_odd"),
+        (F.col("r2e") - F.col("ne") * (F.col("ne") + 1)).cast("bigint").alias("u2"),
+        F.round(u / (ne * no), 6).alias("auc_effect"),
+        (F.round((u - ne * no / 2.0) / sigma, 6) + 0).alias("z_score"),
+    )

@@ -835,3 +835,140 @@ def graph_degree_distribution_ccdf(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("degree")
     )
+
+
+_HITS_ITERS = 4
+
+
+def _hits_oracle() -> str:
+    its = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        its.append(
+            f"""a{i}raw AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM e0 e JOIN {prev_h} h ON h.id = e.src
+  GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  -- HUGEINT product: raw sums reach ~n * 1e9, * 1e9 again overflows BIGINT
+  SELECT id, CAST(CAST(s AS HUGEINT) * {_ONE} // (SELECT MAX(s) FROM a{i}raw) AS BIGINT) AS s FROM a{i}raw
+),
+h{i}raw AS MATERIALIZED (
+  SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM e0 e JOIN a{i} a ON a.id = e.dst
+  GROUP BY e.src
+),
+h{i} AS MATERIALIZED (
+  SELECT id, CAST(CAST(s AS HUGEINT) * {_ONE} // (SELECT MAX(s) FROM h{i}raw) AS BIGINT) AS s FROM h{i}raw
+)"""
+        )
+        prev_h = f"h{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, {_SUPPLIER_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey <= 6000
+),
+h0 AS (SELECT DISTINCT src AS id, CAST({_ONE} AS BIGINT) AS s FROM e0),
+{chain},
+tops AS (
+  SELECT 'hub' AS side, id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rk
+  FROM h{_HITS_ITERS}
+  UNION ALL
+  SELECT 'authority', id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rk
+  FROM a{_HITS_ITERS}
+)
+SELECT side, CAST(id AS BIGINT) AS id, s AS score_nano, CAST(rk AS BIGINT) AS rk
+FROM tops WHERE rk <= 10
+ORDER BY side, rk
+"""
+
+
+@register("graph_hits_hubs_authorities", tags=("graph", "scale"), oracle=_hits_oracle())
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the DIRECTED customer→supplier graph:
+    {_HITS_ITERS} fixed mutual-reinforcement iterations — authority =
+    Σ hub over in-edges, hub = Σ authority over out-edges — with
+    max-normalization each half-step so scores stay in nano-unit
+    fixed point; top-10 hubs (customers whose orders span the
+    strongest suppliers) and authorities (suppliers endorsed by the
+    strongest customers). Complements PageRank, which ranks by a
+    single stationary flow: HITS separates the two bipartite roles.
+
+    Exactness: the PageRank discipline — all state is BIGINT
+    nano-units, contributions sum as integers (order-independent),
+    normalization is integer s·ONE // max with a deterministic max —
+    every iteration bit-exact at any partition count, and the DuckDB
+    oracle unrolls the identical {_HITS_ITERS} iterations as
+    materialized CTEs.
+
+    Scale: each half-step is ONE equi-join + keyed partial-agg
+    shuffle on the edge list (cached across iterations; at 100 TB
+    checkpoint the score frames every few iterations — the k-core
+    lineage discipline); the normalization max is a 1-row broadcast.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 6000)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e0 = _cache(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_SUPPLIER_BASE) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    def _normalize(df: DataFrame) -> DataFrame:
+        mx = df.agg(F.max("s").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "id",
+            # DECIMAL(38,0) product: raw sums reach ~n * 1e9, and the
+            # 1e9 normalization product overflows BIGINT (ANSI mode
+            # rightly errors) — exact integer DIV in decimal space
+            F.expr(
+                f"CAST((CAST(s AS DECIMAL(38,0)) * {_ONE}) DIV CAST(mx AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("s"),
+        )
+
+    h = e0.select("src").distinct().select(
+        F.col("src").alias("id"), F.lit(_ONE).cast("bigint").alias("s")
+    )
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            e0.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .select(F.col("dst").alias("id"), "s")
+        )
+        a = _normalize(a_raw)
+        h_raw = (
+            e0.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .select(F.col("src").alias("id"), "s")
+        )
+        h = _normalize(h_raw)
+    from pyspark.sql import Window
+
+    def _top(df: DataFrame, side: str) -> DataFrame:
+        w = Window.orderBy(F.col("s").desc(), "id")
+        return (
+            df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= 10)
+            .select(
+                F.lit(side).alias("side"),
+                F.col("id").cast("bigint").alias("id"),
+                F.col("s").alias("score_nano"),
+                "rk",
+            )
+        )
+
+    return _top(h, "hub").unionByName(_top(a, "authority")).orderBy("side", "rk")

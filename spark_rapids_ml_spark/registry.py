@@ -76,6 +76,9 @@ SWEEP_PRIORITY: list[str] = [
     # partial loads.
     "dedup_semantic_clusters",
     "sim_ivf_pq_hybrid_topk",
+    "agg_mann_whitney_u",
+    "graph_hits_hubs_authorities",
+    "timeseries_holt_linear_forecast",
     "agg_ks_two_sample",
     "text_gopher_quality_filter",
     "text_zipf_law_fit",
