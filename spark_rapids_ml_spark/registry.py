@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 9 rotation: (a) the 10 queries round 9 added (none has
+    # -- round 9 rotation: (a) the 13 queries round 9 added (none has
     # a driver row yet) plus the queries round 9 CHANGED — the
     # integer-DIV ranged_ntile (its three consumers), the PSI
     # empty-population degradation fix, the PQ-encoder factor-out and
