@@ -632,3 +632,101 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u / (ne * no), 6).alias("auc_effect"),
         (F.round((u - ne * no / 2.0) / sigma, 6) + 0).alias("z_score"),
     )
+
+
+CRAMER_BUCKET_CENTS = 2500  # $25 value bands, capped at band 4 ($100+)
+CRAMER_MICRO = 1_000_000
+
+
+@register(
+    "agg_cramers_v_association",
+    tags=("agg", "stats"),
+    oracle=f"""
+WITH o AS MATERIALIZED (
+  SELECT event_type,
+         LEAST(4, CAST(round(value * 100) AS BIGINT) // {CRAMER_BUCKET_CENTS}) AS band,
+         COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+ct AS (SELECT band, SUM(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n, COUNT(DISTINCT 1) AS one FROM o),
+dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr, (SELECT COUNT(*) FROM ct) AS nc),
+cells AS (
+  SELECT o.obs, CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS e
+  FROM o JOIN rt USING (event_type) JOIN ct USING (band)
+),
+chi AS (
+  SELECT CAST(SUM(CAST(FLOOR((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+                             * {CRAMER_MICRO}.0) AS BIGINT)) AS BIGINT) AS chi2_micro
+  FROM cells
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       CAST(d.nr AS BIGINT) AS n_rows_dim,
+       CAST(d.nc AS BIGINT) AS n_cols_dim,
+       c.chi2_micro,
+       ROUND(SQRT((CAST(c.chi2_micro AS DOUBLE) / {CRAMER_MICRO}.0)
+                  / (CAST((SELECT n FROM n) AS DOUBLE)
+                     * (LEAST(d.nr, d.nc) - 1))), 6) AS cramers_v
+FROM chi c CROSS JOIN dims d
+""",
+)
+def agg_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and order-of-magnitude value band
+    — the NORMALIZED [0,1] association strength the raw chi-square
+    can't give (chi² grows with n, V doesn't), answering "does what
+    users do predict how much they spend" on the event_type × $25-band
+    contingency. Completes the association family: chi² (significance)
+    → V (effect size), next to Welch-t/uplift for means and
+    MWU's AUC for stochastic dominance.
+
+    Determinism: the chi-square micro fixed-point discipline — each
+    cell's (O−E)²/E floored into micro units and summed as exact
+    bigints; V is then one fixed-order sqrt over exact integers,
+    rounded at 6dp.
+
+    Scale: one partial-aggregable groupBy to the ≤25-cell contingency
+    table; everything downstream aggregates THAT table — ~25 rows
+    cross the exchange at any corpus size.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    ev = load(spark, sf_dir, "events")
+    o = _cache(
+        ev.groupBy(
+            "event_type",
+            F.least(
+                F.lit(4),
+                F.expr(f"CAST(round(value * 100) AS BIGINT) div {CRAMER_BUCKET_CENTS}"),
+            ).alias("band"),
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("band").agg(F.sum("obs").alias("c"))
+    scal = o.agg(F.sum("obs").alias("n_tot")).crossJoin(
+        F.broadcast(rt.agg(F.count(F.lit(1)).alias("nr")))
+    ).crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).alias("nc"))))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n_tot").cast("double")
+    od = F.col("obs").cast("double")
+    cmicro = F.floor((od - e) * (od - e) / e * CRAMER_MICRO).cast("bigint")
+    chi = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(scal))
+        .select(cmicro.alias("cmicro"))
+        .agg(F.sum("cmicro").cast("bigint").alias("chi2_micro"))
+    )
+    v = F.sqrt(
+        (F.col("chi2_micro").cast("double") / CRAMER_MICRO)
+        / (F.col("n_tot").cast("double") * (F.least("nr", "nc") - 1))
+    )
+    return (
+        chi.crossJoin(F.broadcast(scal))
+        .select(
+            F.col("n_tot").cast("bigint").alias("n"),
+            F.col("nr").cast("bigint").alias("n_rows_dim"),
+            F.col("nc").cast("bigint").alias("n_cols_dim"),
+            "chi2_micro",
+            F.round(v, 6).alias("cramers_v"),
+        )
+    )

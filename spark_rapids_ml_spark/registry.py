@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 9 rotation: (a) the 13 queries round 9 added (none has
+    # -- round 9 rotation: (a) the 15 queries round 9 added (none has
     # a driver row yet) plus the queries round 9 CHANGED — the
     # integer-DIV ranged_ntile (its three consumers), the PSI
     # empty-population degradation fix, the PQ-encoder factor-out and
@@ -79,6 +79,8 @@ SWEEP_PRIORITY: list[str] = [
     "agg_mann_whitney_u",
     "graph_hits_hubs_authorities",
     "timeseries_holt_linear_forecast",
+    "agg_cramers_v_association",
+    "stream_cusum_monitor",
     "agg_ks_two_sample",
     "text_gopher_quality_filter",
     "text_zipf_law_fit",

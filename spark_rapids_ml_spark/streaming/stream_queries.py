@@ -1876,3 +1876,158 @@ def stream_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame
     gram = flat[1 + d :].reshape(d, d)
     cov = (gram - n * np.outer(mean, mean)) / (n - 1)
     return _cov_df(spark, cov)
+
+
+CUSUMSTREAM_FILES = 5  # micro-batches the event log replays as
+
+
+@register(
+    "stream_cusum_monitor",
+    tags=("streaming", "timeseries", "scale"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.d, t.n_days,
+         t.n_days * SUM(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.d
+                                       ROWS UNBOUNDED PRECEDING)
+         - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) * t.total
+           AS cusum_x
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+r AS (
+  SELECT event_type, d, n_days, cusum_x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum_x) DESC, d) AS rk
+  FROM c
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(cusum_x AS DOUBLE) / (100.0 * n_days), 6) + 0 AS cusum_peak
+FROM r WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING changepoint monitoring — the online twin of
+    timeseries_cusum_changepoint: the event log replays as
+    CUSUMSTREAM_FILES genuine micro-batches (ranged staging,
+    maxFilesPerTrigger=1); foreachBatch reduces each batch to its
+    per-(event_type, day) exact-cents partials and folds them into a
+    VERSIONED state table (state_v{i} = state_v{i-1} + batch partials,
+    so a retried batch rewrites its own version, never double-counts —
+    the incremental-covariance discipline). The CUSUM changepoint
+    derived from the LAST committed state is hash-equal to the batch
+    oracle over all rows at once: the monitor stays warm on the
+    stream, nothing is rescanned per tick.
+
+    Scale: per tick the work is one O(batch) keyed reduce to
+    (series × day) partial rows; state is bounded by series-count ×
+    calendar days, independent of stream volume; exact-integer cents
+    make the fold order-independent, so micro-batch boundaries cannot
+    shift the hash (same contract the 1-vs-N replay tests pin for the
+    EWMA and top-k monitors).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_cusum/{tag}"
+    state_root = f"/root/repo/.tmp/sinks/{tag}/cusum_state"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    ev.repartitionByRange(CUSUMSTREAM_FILES, "event_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        prev_dir = os.path.join(state_root, f"state_v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type", "d")
+                .agg(F.sum("cents").cast("bigint").alias("cents"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"state_v{batch_id}")
+        )
+
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation",
+                f"{_CHECKPOINT_ROOT}/cusum_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    versions = sorted(
+        int(p.split("_v")[1])
+        for p in os.listdir(state_root)
+        if p.startswith("state_v")
+    )
+    daily = spark.read.parquet(
+        os.path.join(state_root, f"state_v{versions[-1]}")
+    )  # bounded: series x calendar-days rows, stream-volume-independent
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").cast("bigint").alias("total")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy("event_type").orderBy("d")
+    c = daily.join(tot, "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        (
+            F.col("n_days") * F.sum("cents").over(wcum)
+            - F.row_number().over(wrow).cast("bigint") * F.col("total")
+        ).alias("cusum_x"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.abs(F.col("cusum_x")).desc(), "d")
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            (
+                F.round(F.col("cusum_x").cast("double") / (100.0 * F.col("n_days")), 6)
+                + 0
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )

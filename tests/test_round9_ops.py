@@ -122,3 +122,44 @@ def test_ks_statistic_zero_on_identical_and_positive_on_shifted(spark):
     assert 0.0 <= row.ks_d <= 1.0
     # even/odd orderkey split of the same distribution: D must be small
     assert row.ks_d < 0.1, row.ks_d
+
+
+def test_stream_cusum_replay_invariance(spark, monkeypatch):
+    """Micro-batch boundaries must not shift the monitor's verdict:
+    the whole log in ONE batch equals the 5-batch replay row-for-row
+    (exact-integer state makes the fold order-independent)."""
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    five = [tuple(r) for r in sq.stream_cusum_monitor(spark, SF).collect()]
+    monkeypatch.setattr(sq, "CUSUMSTREAM_FILES", 1)
+    one = [tuple(r) for r in sq.stream_cusum_monitor(spark, SF).collect()]
+    assert one == five and len(five) > 0
+
+
+def test_mann_whitney_auc_bounds(spark):
+    """U/(n1 n2) is the AUC effect size — must be in [0,1] and ~0.5
+    for the same-distribution even/odd split; z similarly small."""
+    from spark_rapids_ml_spark.operators.analytics_extra import agg_mann_whitney_u
+
+    r = agg_mann_whitney_u(spark, SF01).collect()[0]
+    assert 0.0 <= r.auc_effect <= 1.0
+    assert abs(r.auc_effect - 0.5) < 0.05
+    assert abs(r.z_score) < 3.5
+
+
+def test_hits_scores_normalized_and_sides_disjoint(spark):
+    """Max hub and max authority are exactly ONE (nano) after the
+    final normalization; hub ids are customers, authority ids are
+    offset suppliers."""
+    from spark_rapids_ml_spark.operators.graph import (
+        _SUPPLIER_BASE,
+        graph_hits_hubs_authorities,
+    )
+
+    rows = graph_hits_hubs_authorities(spark, SF).collect()
+    hubs = [r for r in rows if r.side == "hub"]
+    auths = [r for r in rows if r.side == "authority"]
+    assert hubs[0].score_nano == 1_000_000_000
+    assert auths[0].score_nano == 1_000_000_000
+    assert all(r.id < _SUPPLIER_BASE for r in hubs)
+    assert all(r.id >= _SUPPLIER_BASE for r in auths)
