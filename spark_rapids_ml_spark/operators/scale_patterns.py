@@ -1023,3 +1023,90 @@ def scale_footer_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_key").cast("bigint").alias("min_key"),
         F.max("max_key").cast("bigint").alias("max_key"),
     )
+
+
+# AQE skew-join demonstration knobs: thresholds lowered so the planted
+# hot key (75% of fact rows on one join key) trips the runtime skew
+# split even at test scale; production leaves the defaults (256MB).
+AQE_SKEW_CONFS = {
+    "spark__sql__adaptive__enabled": "true",
+    "spark__sql__adaptive__skewJoin__enabled": "true",
+    "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "1.2",
+    "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "4KB",
+    "spark__sql__adaptive__advisoryPartitionSizeInBytes": "4KB",
+    "spark__sql__adaptive__coalescePartitions__enabled": "false",
+    # the aggregation downstream of the join needs hash partitioning,
+    # so splitting the skewed join partition ADDS a shuffle — without
+    # force, OptimizeSkewedJoin declines exactly the common shape
+    # (join feeding an agg); production sets this when the straggler
+    # costs more than the extra exchange
+    "spark__sql__adaptive__forceOptimizeSkewedJoin": "true",
+    "spark__sql__autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "scale_aqe_skew_join_split",
+    tags=("join", "scale"),
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 1 ELSE l_suppkey END AS skew_key,
+         l_quantity
+  FROM lineitem
+)
+SELECT s.s_nationkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM f JOIN supplier s ON f.skew_key = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+""",
+)
+def scale_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting — the AUTOMATIC complement of
+    skew_join_hot_key_isolation's manual peel: a planted power-law key
+    (75% of fact rows collapse onto join key 1) would straggle one
+    sort-merge task for the whole join; with adaptive skew handling
+    the runtime detects the oversized partition from ACTUAL map
+    output statistics and splits it into balanced sub-tasks, each
+    joined against a replicated copy of the matching build rows —
+    `skew=true` on the executed SortMergeJoin is plan-asserted in
+    tests/test_plans.py. Results must be row-identical to the naive
+    join (the oracle): splitting is a physical rewrite only.
+
+    Scale: this is the 100 TB default defense for UNKNOWN skew — no
+    prior key census, no salting columns; the cost model sees the
+    real shuffle sizes at stage boundary and re-plans. The explicit
+    manual tiers remain for the cases AQE can't touch (co-partition
+    requirements downstream, known-hot sentinel keys). Thresholds
+    here are scoped deployment knobs (defaults assume 256MB
+    partitions), restored on exit — the bloom-join discipline.
+    """
+    with _scoped_conf(spark, **AQE_SKEW_CONFS):
+        # AQE splits a skewed reduce partition on MAP-OUTPUT boundaries
+        # — a partition fed by ONE mapper is unsplittable. The test
+        # tables read as a single parquet file (one map task), so stage
+        # the fact side across 16 mappers first; a 100 TB fact table
+        # has thousands of input splits and needs no such staging.
+        li = load(spark, sf_dir, "lineitem").repartition(16).select(
+            F.when(F.col("l_suppkey") % 4 != 0, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("skew_key"),
+            "l_quantity",
+        )
+        s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        res = (
+            li.join(s, li.skew_key == s.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .orderBy("s_nationkey")
+        )
+        # materialize INSIDE the scope so the adaptive re-plan runs
+        # under the intended thresholds; return a stable local relation
+        rows = res.collect()
+    return spark.createDataFrame(rows, res.schema)

@@ -849,3 +849,32 @@ def test_round9_scan_consumers_no_single_task_windows(spark):
         plan = plan_of(fn(spark, SF))
         bad = _windows_feed_off_single_partition(plan)
         assert not bad, f"{fn.__name__}: single-task window(s): {bad}\n{plan}"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Under the scoped skew thresholds, the executed sort-merge join
+    over the planted hot key must carry AQE's `skew=true` marker —
+    the oversized partition was split from runtime statistics."""
+    from pyspark.sql import functions as F
+
+    from spark_rapids_ml_spark.operators.scale_patterns import (
+        AQE_SKEW_CONFS,
+        _scoped_conf,
+    )
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    with _scoped_conf(spark, **AQE_SKEW_CONFS):
+        # 16 mappers: AQE can only split a skewed partition on
+        # map-output boundaries (one input file = one unsplittable map)
+        li = load(spark, SF, "lineitem").repartition(16).select(
+            F.when(F.col("l_suppkey") % 4 != 0, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("skew_key"),
+            "l_quantity",
+        )
+        s = load(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+        j = li.join(s, li.skew_key == s.s_suppkey)
+        j.collect()  # AQE finalizes (and splits) only on execution
+        plan = plan_of(j)
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan, plan  # the AQEShuffleRead carries the spec
