@@ -86,6 +86,19 @@ SAMPLED = [
     "agg_hhi_concentration",
     "pipe_curate_budget_pack",
     "pca_covariance_incremental_merge",
+    # round 9: the new distributed-scan consumers (Zipf rank, KS and
+    # MWU double-ECDF/pooled-rank cumsums, serpentine shard rank,
+    # curriculum NTILE), the cluster-then-pairwise SemDeDup (kmeans
+    # partials + per-cluster GEMM groups), HITS (nano-int
+    # normalization), and the AQE skew split (a physical-only rewrite)
+    "text_zipf_law_fit",
+    "agg_ks_two_sample",
+    "agg_mann_whitney_u",
+    "pipe_shard_bin_packing",
+    "pipe_curriculum_stages",
+    "dedup_semantic_clusters",
+    "graph_hits_hubs_authorities",
+    "scale_aqe_skew_join_split",
 ]
 
 
