@@ -730,3 +730,99 @@ def agg_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(v, 6).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "agg_spearman_rank_corr",
+    tags=("agg", "stats"),
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+qc AS (SELECT q, COUNT(*) AS n FROM v GROUP BY q),
+qr AS (
+  SELECT q, (hi - n + 1) + hi AS r2 FROM (
+    SELECT q, n, SUM(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS hi FROM qc
+  )
+),
+pc AS (SELECT p, COUNT(*) AS n FROM v GROUP BY p),
+pr AS (
+  SELECT p, (hi - n + 1) + hi AS r2 FROM (
+    SELECT p, n, SUM(n) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS hi FROM pc
+  )
+),
+j AS (
+  SELECT qr.r2 AS x2, pr.r2 AS y2
+  FROM v JOIN qr ON qr.q = v.q JOIN pr ON pr.p = v.p
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x2) AS HUGEINT) AS sx, CAST(SUM(y2) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y2 AS HUGEINT) * y2) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x2 AS HUGEINT) * y2) AS HUGEINT) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS spearman_rho
+FROM s
+""",
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — Pearson on mid-ranks, the monotone-association measure
+    robust to the skewed price distribution (completing the
+    correlation family: Pearson agg_corr → Spearman here → Cramér's V
+    for categoricals; with ties this IS the tie-corrected ρ).
+
+    Exactness: the Mann-Whitney discipline — mid-ranks kept in
+    DOUBLED integer space (rank2 = lo + hi per tied value group), so
+    every moment sum is an exact bigint/DECIMAL(38,0) (HUGEINT in the
+    oracle); ρ is one fixed-order IEEE expression over six exact
+    integers, rounded at 6dp. The ×2 scaling cancels in ρ.
+
+    Scale: each variable's rank table is a per-value reduce + ONE
+    distributed range-partitioned cumsum scan (functions/scan.
+    ranged_cumsum); the rank lookups join back by value (broadcast
+    when the distinct-value table is small, shuffle-join otherwise)
+    and the verdict is a one-row reduce of exact partials.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_cumsum
+
+    v = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+    )
+
+    def rank2_table(col: str) -> DataFrame:
+        cnt = v.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        cum = ranged_cumsum(cnt, "n", [F.col(col)], cum_col="hi")
+        return cum.select(
+            col, ((F.col("hi") - F.col("n") + 1) + F.col("hi")).alias(f"r2_{col}")
+        )
+
+    j = v.join(rank2_table("q"), "q").join(rank2_table("p"), "p")
+    x2 = F.col("r2_q").cast("decimal(38,0)")
+    y2 = F.col("r2_p").cast("decimal(38,0)")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x2).alias("sx"),
+        F.sum(y2).alias("sy"),
+        F.sum(x2 * F.col("r2_q")).alias("sxx"),
+        F.sum(y2 * F.col("r2_p")).alias("syy"),
+        F.sum(x2 * F.col("r2_p")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

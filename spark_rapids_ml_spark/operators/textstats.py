@@ -1013,3 +1013,159 @@ def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 4).alias("zipf_intercept"),
         F.round(r2, 4).alias("zipf_r2"),
     )
+
+
+RAKE_MAX_PHRASE = 4   # candidate phrases capped at 4 tokens (standard RAKE practice)
+RAKE_TOP = 15
+RAKE_MICRO = 1_000_000
+RAKE_SLICE_CEIL = 50_000  # deterministic 1-in-m doc subsample above this
+
+
+@register(
+    "text_rake_keywords",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH src AS (
+  -- RAKE_SLICE_CEIL-doc deterministic mod-subsample (the doc_slice_cap
+  -- discipline): bounds the oracle's 28M-token window sort at sf10
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT CAST(CEIL(COUNT(*) / {RAKE_SLICE_CEIL}.0) AS BIGINT)
+                  FROM documents) = 0
+),
+tok AS (
+  SELECT doc_id, u.pos, u.tok,
+         CASE WHEN list_contains({_SW_LIST_SQL}, u.tok) THEN 1 ELSE 0 END AS sw
+  FROM src t
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(string_split(text, ' ')))),
+           unnest(string_split(text, ' '))
+  ) u(pos, tok)
+),
+runs AS (
+  SELECT doc_id, pos, tok, sw,
+         SUM(sw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS run
+  FROM tok
+),
+phr AS MATERIALIZED (
+  SELECT doc_id, run, list(tok ORDER BY pos) AS toks
+  FROM runs WHERE sw = 0
+  GROUP BY doc_id, run
+  HAVING COUNT(*) <= {RAKE_MAX_PHRASE}
+),
+occ AS MATERIALIZED (SELECT doc_id, run, u.w FROM phr, UNNEST(toks) AS u(w)),
+ws AS (
+  SELECT w, COUNT(*) AS freq, CAST(SUM(l) AS BIGINT) AS deg FROM (
+    SELECT o.w, len(p.toks) AS l
+    FROM occ o JOIN phr p ON p.doc_id = o.doc_id AND p.run = o.run
+  ) GROUP BY w
+),
+wsc AS MATERIALIZED (SELECT w, (deg * {RAKE_MICRO}) // freq AS w_micro FROM ws),
+psc AS (
+  SELECT o.doc_id, o.run, CAST(SUM(s.w_micro) AS BIGINT) AS score_micro
+  FROM occ o JOIN wsc s ON s.w = o.w
+  GROUP BY o.doc_id, o.run
+),
+agg AS (
+  SELECT array_to_string(p.toks, ' ') AS phrase,
+         COUNT(*) AS n_occurrences,
+         MAX(c.score_micro) AS score_micro
+  FROM phr p JOIN psc c ON c.doc_id = p.doc_id AND c.run = p.run
+  GROUP BY 1
+)
+SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences, score_micro,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT phrase, n_occurrences, score_micro,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rk
+  FROM agg
+)
+WHERE rk <= {RAKE_TOP}
+ORDER BY rk
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at {RAKE_MAX_PHRASE}
+    tokens), each member word scored degree/frequency over the whole
+    corpus (degree = total length of phrases containing it — rewarding
+    words that co-occur in longer phrases), phrase score = Σ member
+    word scores; top-{RAKE_TOP} phrases corpus-wide. The unsupervised
+    keyword pass a curation pipeline runs before topic labeling.
+
+    Exactness: word scores are floored MICRO fixed-point integers
+    (deg·1e6 // freq), so phrase scores are exact bigint sums —
+    identical phrase strings always carry identical scores, and the
+    (score, phrase) ranking is deterministic cross-engine.
+
+    Scale: tokenization explodes once; run segmentation is a per-doc
+    window (doc-bounded, never global); word statistics and phrase
+    scores are (word)- and (doc, run)-keyed partial-aggregable
+    reduces. The distinct-phrase table grows with the corpus, so the
+    final verdict window consumes a per-partition partial top-
+    {RAKE_TOP} prune first (the vocab-coverage discipline) — the
+    global sort sees at most {RAKE_TOP} x partitions rows. Above
+    {RAKE_SLICE_CEIL} documents the declared query scores a
+    deterministic 1-in-m subsample (the doc_slice_cap discipline —
+    keyword statistics saturate well below that corpus fraction).
+    """
+    d = load(spark, sf_dir, "documents")
+    m = -(-d.count() // RAKE_SLICE_CEIL)  # ceil
+    if m > 1:
+        d = d.where(F.col("doc_id") % m == 0)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).withColumn("sw", F.array_contains(sw, F.col("tok")).cast("int"))
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tok.withColumn("run", F.sum("sw").over(wrun))
+    phr = (
+        runs.where(F.col("sw") == 0)
+        .groupBy("doc_id", "run")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt"))
+        .select(
+            "doc_id",
+            "run",
+            F.transform("pt", lambda s: s["tok"]).alias("toks"),
+        )
+        .where(F.size("toks") <= RAKE_MAX_PHRASE)
+    )
+    occ = phr.select("doc_id", "run", F.size("toks").alias("l"), F.explode("toks").alias("w"))
+    ws = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("l").cast("bigint").alias("deg")
+    )
+    wsc = ws.select("w", F.expr(f"(deg * {RAKE_MICRO}) div freq").alias("w_micro"))
+    psc = (
+        occ.join(wsc, "w")
+        .groupBy("doc_id", "run")
+        .agg(F.sum("w_micro").cast("bigint").alias("score_micro"))
+    )
+    agg = (
+        phr.join(psc, ["doc_id", "run"])
+        .groupBy(F.array_join("toks", " ").alias("phrase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+    )
+    # partial top-k prune: the global top-RAKE_TOP is necessarily inside
+    # every partition's local top-RAKE_TOP, so the final single-order
+    # window sees <= RAKE_TOP x partitions rows, never all phrases
+    wl = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score_micro").desc(), "phrase"
+    )
+    pruned = agg.withColumn("_lrk", F.row_number().over(wl)).where(
+        F.col("_lrk") <= RAKE_TOP
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= RAKE_TOP)
+        .select("phrase", F.col("n_occurrences").cast("bigint").alias("n_occurrences"), "score_micro", "rk")
+        .orderBy("rk")
+    )
