@@ -1169,3 +1169,98 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase", F.col("n_occurrences").cast("bigint").alias("n_occurrences"), "score_micro", "rk")
         .orderBy("rk")
     )
+
+
+PII_PLANT_MOD = 5  # every 5th document gets planted contact strings
+_PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PII_PHONE_RE = "555-[0-9]{2,6}"
+
+
+@register(
+    "text_pii_detection_scrub",
+    tags=("text", "quality", "privacy"),
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {PII_PLANT_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.org or 555-' || CAST(doc_id % 10000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS n_phone,
+         LENGTH(text) AS len_before,
+         LENGTH(regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                               '{_PII_PHONE_RE}', '[PHONE]', 'g')) AS len_after
+  FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(len_before - len_after) AS BIGINT) AS chars_scrubbed_delta
+FROM hits GROUP BY source ORDER BY source
+""",
+)
+def text_pii_detection_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-class PII detection and scrubbing — the regex pass
+    (emails, phone-shaped identifiers) a training pipeline runs before
+    any text leaves the trust boundary, complementing
+    text_term_redaction's word-blocklist tier. Contact strings are
+    PLANTED deterministically (every {PII_PLANT_MOD}th document) so
+    detector recall is non-vacuous at every sf; output is the per-
+    source audit a privacy review reads: hit-document counts, per-class
+    match counts, and the net size delta of the scrub (redaction
+    tokens replace variable-length matches, so the delta pins the
+    actual replacements, not just the counts).
+
+    Regex parity: the character classes used are identical under Java
+    regex (Spark) and RE2 (DuckDB); counts and replacement lengths are
+    exact integers.
+
+    Scale: row-local regex map + one per-source partial-aggregable
+    rollup — linear, no shuffle beyond the ~|sources| summary rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % PII_PLANT_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org or 555-"),
+                (F.col("doc_id") % 10000).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    hits = planted.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL_RE}', 0)")).alias("n_email"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE_RE}', 0)")).alias("n_phone"),
+        (F.length("text") - F.length(scrubbed)).alias("delta"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("delta").cast("bigint").alias("chars_scrubbed_delta"),
+        )
+        .orderBy("source")
+    )
