@@ -99,6 +99,8 @@ SAMPLED = [
     "dedup_semantic_clusters",
     "graph_hits_hubs_authorities",
     "scale_aqe_skew_join_split",
+    "agg_spearman_rank_corr",
+    "text_rake_keywords",
 ]
 
 
