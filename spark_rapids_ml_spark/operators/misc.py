@@ -330,3 +330,40 @@ def ps_pandas_api_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in _PS_SEGMENTS
         ],
     ).orderBy("nationkey")
+
+
+@register(
+    "sql_identifier_clause",
+    tags=("sql", "spark4"),
+    oracle="""
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL IDENTIFIER() clause (Spark 3.4+/4): table and column
+    names supplied as PARAMETERS instead of string-concatenated SQL —
+    the injection-safe form of dynamic SQL a metadata-driven pipeline
+    (one query template, N tables) should use. The template below
+    resolves both a table name and a join column through
+    IDENTIFIER(:param) binders.
+
+    Scale: purely a binding-time feature — the resolved plan is
+    byte-identical to the literal query (same broadcast join), so
+    there is nothing runtime to pay.
+    """
+    from spark_rapids_ml_spark.sources.catalog import table_path
+
+    spark.read.parquet(table_path(sf_dir, "region")).createOrReplaceTempView("v_region")
+    spark.read.parquet(table_path(sf_dir, "nation")).createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM IDENTIFIER(:dim) r
+        JOIN IDENTIFIER(:fact) n
+          ON IDENTIFIER('n.' || :joincol) = r.r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        args={"dim": "v_region", "fact": "v_nation", "joincol": "n_regionkey"},
+    )

@@ -2401,3 +2401,84 @@ def timeseries_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFra
         .applyInPandas(holt, out_schema)
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    tags=("timeseries", "analytics", "scan"),
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS buy_ts
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.view_ts
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT fv.user_id,
+         CAST(date_diff('second', fv.view_ts, fp.buy_ts) AS BIGINT) AS delta_s
+  FROM fv JOIN fp ON fp.user_id = fv.user_id
+),
+r AS (
+  SELECT user_id, delta_s,
+         ROW_NUMBER() OVER (ORDER BY delta_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM d
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS BIGINT) AS median_s,
+       CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN delta_s END) AS BIGINT) AS p90_s,
+       CAST(MIN(delta_s) AS BIGINT) AS min_s,
+       CAST(MAX(delta_s) AS BIGINT) AS max_s
+FROM r
+""",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the view→purchase funnel: each user's first
+    view to their first subsequent purchase, summarized as EXACT
+    order-statistic latencies (lower median, ceil-rank p90, min/max in
+    whole seconds) — the velocity readout next to
+    events_funnel_conversion's rate. Exact rank selection, not an
+    interpolating percentile: engine-specific float interpolation
+    can't disagree on an integer it never computes.
+
+    Scale: two user-keyed min-reductions and one equi-join produce one
+    delta row per converted user; the rank rides the DISTRIBUTED
+    range-partitioned scan (functions/scan.ranged_row_number — no
+    single-task sort over the per-user table), and the verdict is a
+    one-row conditional reduce.
+    """
+    from spark_rapids_ml_spark.functions.scan import ranged_row_number
+
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("buy_ts"))
+    )
+    d = fv.join(fp, "user_id").select(
+        "user_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("view_ts"))
+        .cast("bigint")
+        .alias("delta_s"),
+    )
+    n = d.count()
+    r = ranged_row_number(d, [F.col("delta_s"), F.col("user_id")], rn_col="rn")
+    med_rn, p90_rn = (n + 1) // 2, (n * 9 + 9) // 10
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("rn") == med_rn, F.col("delta_s"))).cast("bigint").alias("median_s"),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("delta_s"))).cast("bigint").alias("p90_s"),
+        F.min("delta_s").cast("bigint").alias("min_s"),
+        F.max("delta_s").cast("bigint").alias("max_s"),
+    )
