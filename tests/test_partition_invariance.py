@@ -101,6 +101,7 @@ SAMPLED = [
     "scale_aqe_skew_join_split",
     "agg_spearman_rank_corr",
     "text_rake_keywords",
+    "events_funnel_time_to_convert",
 ]
 
 
