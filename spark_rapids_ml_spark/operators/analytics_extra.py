@@ -826,3 +826,112 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+@register(
+    "dq_iqr_outlier_audit",
+    tags=("dq", "stats", "scan"),
+    oracle="""
+WITH v AS (
+  SELECT event_type AS seg,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, seg) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM v
+),
+q AS (
+  SELECT seg,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3,
+         MAX(n) AS n
+  FROM r GROUP BY seg
+),
+f AS (
+  SELECT q.seg, q.n, q.q1, q.q3,
+         q.q1 - 3 * (q.q3 - q.q1) // 2 AS lo,
+         q.q3 + 3 * (q.q3 - q.q1) // 2 AS hi
+  FROM q
+)
+SELECT f.seg AS segment, CAST(f.n AS BIGINT) AS n,
+       f.q1 AS q1_cents, f.q3 AS q3_cents,
+       CAST(SUM(CASE WHEN v.cents < f.lo OR v.cents > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(SUM(CASE WHEN v.cents < f.lo OR v.cents > f.hi THEN 1 ELSE 0 END)
+             * 1.0 / f.n, 6) AS outlier_rate
+FROM v JOIN f ON f.seg = v.seg
+GROUP BY f.seg, f.n, f.q1, f.q3
+ORDER BY segment
+""",
+)
+def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of event values per event type
+    (the right-skewed value distribution actually FIRES the fences —
+    ~5% of rows per type — unlike the uniform-ish order totals):
+    exact rank-based
+    quartiles (lower-ceil ranks, integer cents), fences at
+    1.5×IQR computed with integer floor-division, and the per-segment
+    outlier count/rate — the standard data-quality screen before
+    model features are trusted (complements PSI/KS, which compare
+    POPULATIONS; this audits one population's tails).
+
+    Exactness: quartiles are SELECTED integers (never interpolated);
+    the 1.5×IQR fence is 3·IQR//2 exact integer arithmetic; every
+    comparison and count is deterministic cross-engine.
+
+    Scale: the rank runs per segment (partitioned window over
+    segment-hashed shuffles — segments are few and balanced here;
+    a single-segment corpus would route through the distributed scan
+    exactly as agg_exact_quantiles_scan does), then one broadcast
+    fence join and a partial-aggregable count.
+    """
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("seg"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wseg = Window.partitionBy("seg").orderBy("cents", "seg")
+    wn = Window.partitionBy("seg")
+    r = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(wseg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = r.groupBy("seg").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    f = q.select(
+        "seg",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.expr("3 * (q3 - q1) div 2")).alias("lo"),
+        (F.col("q3") + F.expr("3 * (q3 - q1) div 2")).alias("hi"),
+    )
+    out = F.when((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1).otherwise(0)
+    return (
+        v.join(F.broadcast(f), "seg")
+        .groupBy("seg", "n", "q1", "q3")
+        .agg(
+            F.sum(out).cast("bigint").alias("n_outliers"),
+            F.round(F.sum(out) * 1.0 / F.col("n"), 6).alias("outlier_rate"),
+        )
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("segment")
+    )
