@@ -935,3 +935,93 @@ def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+MI_MICRO = 1_000_000
+
+
+@register(
+    "agg_mutual_information",
+    tags=("agg", "stats"),
+    oracle=f"""
+WITH o AS MATERIALIZED (
+  SELECT event_type,
+         LEAST(4, CAST(round(value * 100) AS BIGINT) // {CRAMER_BUCKET_CENTS}) AS band,
+         COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+ct AS (SELECT band, SUM(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n FROM o),
+cells AS (
+  SELECT o.obs,
+         CAST(FLOOR(CAST(o.obs AS DOUBLE) / (SELECT n FROM n)
+                    * ln(CAST(o.obs AS DOUBLE) * (SELECT n FROM n)
+                         / (CAST(rt.r AS DOUBLE) * ct.c))
+                    * {MI_MICRO}.0) AS BIGINT) AS mi_micro,
+         CAST(FLOOR(-(CAST(o.obs AS DOUBLE) / (SELECT n FROM n))
+                    * ln(CAST(o.obs AS DOUBLE) / (SELECT n FROM n))
+                    * {MI_MICRO}.0) AS BIGINT) AS hj_micro
+  FROM o JOIN rt USING (event_type) JOIN ct USING (band)
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       CAST(SUM(mi_micro) AS BIGINT) AS mi_micro,
+       CAST(SUM(hj_micro) AS BIGINT) AS joint_entropy_micro,
+       ROUND(CAST(SUM(mi_micro) AS DOUBLE) / CAST(SUM(hj_micro) AS DOUBLE), 6)
+         AS normalized_mi
+FROM cells
+""",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; value band) with joint entropy
+    and the normalized ratio I/H — the information-theoretic member of
+    the association trio (chi² significance → Cramér's V effect size →
+    MI in nats), the measure feature-selection pipelines rank
+    categorical features by.
+
+    Determinism: the chi-square micro fixed-point discipline — each
+    cell's p·ln(p·n/(r·c)) contribution (a fixed-order IEEE tree over
+    exact integers) floored into micro units and summed as exact
+    bigints, so totals are order-invariant and cross-engine identical;
+    the one division to normalized MI happens on the exact sums.
+
+    Scale: one partial-aggregable groupBy to the ≤25-cell contingency
+    table; marginals and both entropy sums aggregate THAT table —
+    ~25 rows cross the exchange at any corpus size.
+    """
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    ev = load(spark, sf_dir, "events")
+    o = _cache(
+        ev.groupBy(
+            "event_type",
+            F.least(
+                F.lit(4),
+                F.expr(f"CAST(round(value * 100) AS BIGINT) div {CRAMER_BUCKET_CENTS}"),
+            ).alias("band"),
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("band").agg(F.sum("obs").alias("c"))
+    n_tot = o.agg(F.sum("obs").alias("n_tot"))
+    obs_d = F.col("obs").cast("double")
+    nd = F.col("n_tot").cast("double")
+    p = obs_d / nd
+    mi_micro = F.floor(
+        p * F.log(obs_d * nd / (F.col("r").cast("double") * F.col("c"))) * MI_MICRO
+    ).cast("bigint")
+    hj_micro = F.floor(-p * F.log(p) * MI_MICRO).cast("bigint")
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(n_tot))
+        .select("n_tot", mi_micro.alias("mi_micro"), hj_micro.alias("hj_micro"))
+    )
+    return cells.agg(
+        F.max("n_tot").cast("bigint").alias("n"),
+        F.sum("mi_micro").cast("bigint").alias("mi_micro"),
+        F.sum("hj_micro").cast("bigint").alias("joint_entropy_micro"),
+        F.round(
+            F.sum("mi_micro").cast("double") / F.sum("hj_micro").cast("double"), 6
+        ).alias("normalized_mi"),
+    )
