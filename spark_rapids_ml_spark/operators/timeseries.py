@@ -2482,3 +2482,195 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("delta_s").cast("bigint").alias("min_s"),
         F.max("delta_s").cast("bigint").alias("max_s"),
     )
+
+
+STL_ANOM_K = 3  # flag days beyond K x MAD of the STL residual
+
+
+@register(
+    "events_stl_anomaly_flags",
+    tags=("timeseries", "analytics", "dq"),
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d, dayofweek(ts) AS dow0,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, d, dow0, cents,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+  FROM daily
+),
+det AS (SELECT event_type, dow0, 7 * cents - t7 AS dx7 FROM w WHERE c7 = 7),
+sdow AS (
+  SELECT event_type, dow0, CAST(SUM(dx7) AS BIGINT) AS s_sum, COUNT(*) AS s_n
+  FROM det GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(SUM(dx7) AS BIGINT) AS g_sum, COUNT(*) AS g_n
+  FROM det GROUP BY 1
+),
+res AS MATERIALIZED (
+  SELECT w.event_type, w.d,
+         CAST(ROUND(((CAST(w.cents AS DOUBLE) / 100.0 - CAST(w.t7 AS DOUBLE) / 700.0)
+               - (CAST(s.s_sum AS DOUBLE) / (700.0 * s.s_n)
+                  - CAST(g.g_sum AS DOUBLE) / (700.0 * g.g_n))) * 1000000.0)
+              AS BIGINT) AS r_micro
+  FROM w
+  JOIN sdow s ON s.event_type = w.event_type AND s.dow0 = w.dow0
+  JOIN g ON g.event_type = w.event_type
+  WHERE w.c7 = 7
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN r_micro END) AS med
+  FROM (
+    SELECT event_type, r_micro,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r_micro, d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM res
+  ) GROUP BY event_type
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM (
+    SELECT r.event_type, ABS(r.r_micro - m.med) AS dev,
+           ROW_NUMBER() OVER (PARTITION BY r.event_type
+                              ORDER BY ABS(r.r_micro - m.med), r.d) AS rn,
+           COUNT(*) OVER (PARTITION BY r.event_type) AS n
+    FROM res r JOIN med m ON m.event_type = r.event_type
+  ) GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(MAX(a.mad) AS BIGINT) AS mad_micro,
+       CAST(SUM(CASE WHEN ABS(r.r_micro - m.med) > {STL_ANOM_K} * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       strftime(MIN(CASE WHEN rk = 1 THEN r.d END), '%Y-%m-%d') AS worst_day
+FROM (
+  SELECT res.*, ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ABS(r_micro - (SELECT med FROM med m2
+                                   WHERE m2.event_type = res.event_type)) DESC, d
+         ) AS rk
+  FROM res
+) r
+JOIN med m ON m.event_type = r.event_type
+JOIN mad a ON a.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+)
+def events_stl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the STL decomposition
+    USED: interior-day residuals (trend and weekday effect removed, so
+    a Saturday dip is not an alert) are screened by the robust
+    median ± {STL_ANOM_K}·MAD rule; per event type the interior-day
+    count, the residual MAD, the anomaly count and the worst day. The
+    monitoring loop timeseries_stl_decompose exists to feed.
+
+    Exactness: residuals are fixed-order IEEE expressions over exact
+    cents (identical cross-engine), rounded half-away into micro ints
+    ONCE; median and MAD are SELECTED integers (rank selection, lower
+    median), the fence compare is pure integer arithmetic.
+
+    Scale: everything after the (type, day) rollup is windows
+    PARTITIONED BY event_type over calendar-bounded series — no
+    global sort; the verdict is one keyed reduce.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        (F.dayofweek("ts") - 1).alias("dow0"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    w = daily.select(
+        "event_type",
+        "d",
+        "dow0",
+        "cents",
+        F.sum("cents").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = w.where(F.col("c7") == 7).select(
+        "event_type", "dow0", (7 * F.col("cents") - F.col("t7")).alias("dx7")
+    )
+    sdow = det.groupBy("event_type", "dow0").agg(
+        F.sum("dx7").cast("bigint").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    g = det.groupBy("event_type").agg(
+        F.sum("dx7").cast("bigint").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    seasonal = F.col("s_sum").cast("double") / (700.0 * F.col("s_n")) - F.col(
+        "g_sum"
+    ).cast("double") / (700.0 * F.col("g_n"))
+    resid = (F.col("cents").cast("double") / 100.0 - F.col("t7").cast("double") / 700.0) - seasonal
+    res = (
+        w.where(F.col("c7") == 7)
+        .join(sdow, ["event_type", "dow0"])
+        .join(g, "event_type")
+        .select(
+            "event_type", "d", F.round(resid * 1e6).cast("bigint").alias("r_micro")
+        )
+    )
+    wrn = Window.partitionBy("event_type").orderBy("r_micro", "d")
+    wn = Window.partitionBy("event_type")
+    med = (
+        res.select(
+            "event_type",
+            "r_micro",
+            F.row_number().over(wrn).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("r_micro"))
+            ).alias("med")
+        )
+    )
+    rm = res.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("r_micro") - F.col("med"))
+    )
+    wdev = Window.partitionBy("event_type").orderBy("dev", "d")
+    mad = (
+        rm.select(
+            "event_type",
+            "dev",
+            F.row_number().over(wdev).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias(
+                "mad"
+            )
+        )
+    )
+    wworst = Window.partitionBy("event_type").orderBy(F.col("dev").desc(), "d")
+    flagged = rm.join(mad, "event_type").withColumn(
+        "rk", F.row_number().over(wworst)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interior"),
+            F.max("mad").cast("bigint").alias("mad_micro"),
+            F.sum(
+                F.when(F.col("dev") > STL_ANOM_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.date_format(
+                F.min(F.when(F.col("rk") == 1, F.col("d"))), "yyyy-MM-dd"
+            ).alias("worst_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 9 rotation: (a) the 23 queries round 9 added (none has
+    # -- round 9 rotation: (a) the 24 queries round 9 added (none has
     # a driver row yet) plus the queries round 9 CHANGED — the
     # integer-DIV ranged_ntile (its three consumers), the PSI
     # empty-population degradation fix, the PQ-encoder factor-out and
@@ -89,6 +89,7 @@ SWEEP_PRIORITY: list[str] = [
     "events_funnel_time_to_convert",
     "dq_iqr_outlier_audit",
     "agg_mutual_information",
+    "events_stl_anomaly_flags",
     "agg_ks_two_sample",
     "text_gopher_quality_filter",
     "text_zipf_law_fit",
