@@ -637,7 +637,10 @@ LPA_ROUNDS = 4  # fixed synchronous supersteps (unrolled in the oracle)
 LPA_MIN_SUP = GRAPH_MIN_SUP  # co-purchase support floor (+1 above CO_SUPPORT_THRESH)
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_chain() -> str:
+    """The unrolled LPA trajectory as a joined CTE string (edge build,
+    support floor, symmetric edges, LPA_ROUNDS label supersteps) —
+    shared by the community-size oracle and the modularity oracle."""
     ctes = [
         f"""sup AS (SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > {CO_SUPPORT_THRESH}
                     THEN {LPA_MIN_SUP + 1} ELSE {LPA_MIN_SUP} END AS ms)""",
@@ -660,8 +663,11 @@ def _lpa_oracle() -> str:
             f" ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk"
             f" FROM cnt{i}) WHERE rk = 1)"
         )
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
+    return ",\n".join(ctes)
+
+
+def _lpa_oracle() -> str:
+    return f"""WITH {_lpa_cte_chain()}
 SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM lbl{LPA_ROUNDS} GROUP BY lbl
 ORDER BY n_members DESC, community LIMIT 25"""
@@ -689,8 +695,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame is cached and the previous round's unpersisted (bounded
     executor memory across rounds, the BFS discipline).
     """
-    from spark_rapids_ml_spark.operators.dedup import _cache
+    e, sym, lbl, cleanup = _lpa_run(spark, sf_dir)
+    out = (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("lbl").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )
+    rows = out.collect()  # bounded: top-25 communities
+    cleanup()
+    return spark.createDataFrame(rows, "community bigint, n_members bigint").orderBy(
+        F.col("n_members").desc(), "community"
+    )
+
+
+def _lpa_run(spark: SparkSession, sf_dir: str):
+    """Shared LPA trajectory: (edges, symmetric edges (cached), final
+    labels (cached), cleanup) — the label table feeding both the
+    community-size view and the modularity evaluation. Caller MUST
+    call cleanup() after materializing."""
     from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.dedup import _cache
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     min_sup = LPA_MIN_SUP + 1 if li.count() > CO_SUPPORT_THRESH else LPA_MIN_SUP
@@ -730,21 +757,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist()
         prev, lbl = lbl, nxt
-    out = (
-        lbl.groupBy("lbl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .select(F.col("lbl").alias("community"), "n_members")
-        .orderBy(F.col("n_members").desc(), "community")
-        .limit(25)
-    )
-    rows = out.collect()  # bounded: top-25 communities
-    lbl.unpersist()
-    if prev is not None:
-        prev.unpersist()
-    sym.unpersist()
-    return spark.createDataFrame(rows, "community bigint, n_members bigint").orderBy(
-        F.col("n_members").desc(), "community"
-    )
+    final_lbl, final_prev = lbl, prev
+
+    def cleanup() -> None:
+        final_lbl.unpersist()
+        if final_prev is not None:
+            final_prev.unpersist()
+        sym.unpersist()
+
+    return e, sym, lbl, cleanup
 
 
 # ---------------------------------------- degree distribution (CCDF)
@@ -972,3 +993,89 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _top(h, "hub").unionByName(_top(a, "authority")).orderBy("side", "rk")
+
+
+def _modularity_oracle() -> str:
+    return f"""WITH {_lpa_cte_chain()},
+m AS (SELECT COUNT(*) AS m FROM e),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+vl AS (SELECT l.v, l.lbl, deg.d FROM lbl{LPA_ROUNDS} l JOIN deg ON deg.v = l.v),
+ec AS (
+  SELECT la.lbl AS lbl, COUNT(*) AS e_in
+  FROM e JOIN lbl{LPA_ROUNDS} la ON la.v = e.a
+  JOIN lbl{LPA_ROUNDS} lb ON lb.v = e.b AND lb.lbl = la.lbl
+  GROUP BY la.lbl
+),
+dc AS (SELECT lbl, CAST(SUM(d) AS BIGINT) AS d_c FROM vl GROUP BY lbl),
+parts AS (
+  SELECT dc.lbl, COALESCE(ec.e_in, 0) AS e_in, dc.d_c
+  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       CAST(SUM(4 * CAST((SELECT m FROM m) AS HUGEINT) * e_in
+                - CAST(d_c AS HUGEINT) * d_c) AS BIGINT) AS q_scaled,
+       ROUND(CAST(SUM(4 * CAST((SELECT m FROM m) AS HUGEINT) * e_in
+                      - CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+             / (4.0 * CAST((SELECT m FROM m) AS DOUBLE)
+                    * CAST((SELECT m FROM m) AS DOUBLE)), 6) AS modularity
+FROM parts
+"""
+
+
+@register(
+    "graph_community_modularity",
+    tags=("graph", "scale", "eval"),
+    oracle=_modularity_oracle(),
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities — the
+    partition-quality metric that makes LPA self-evaluating (the graph
+    analogue of k-means' silhouette): Q = Σ_c (e_c/m − (d_c/2m)²) over
+    the same co-purchase graph and the same deterministic LPA
+    trajectory, computed in CLEARED-DENOMINATOR integer space —
+    Q·4m² = Σ_c (4m·e_c − d_c²) is an exact integer (HUGEINT /
+    DECIMAL(38,0) products), so the verdict survives any summation
+    order; one division at the end.
+
+    Scale: beyond the shared LPA run, modularity needs one edge⋈label
+    equi-join (intra-community edge counts), one degree reduce and a
+    per-community rollup — all keyed partial-aggregable shuffles; the
+    verdict is a one-row reduce.
+    """
+    e, sym, lbl, cleanup = _lpa_run(spark, sf_dir)
+    m_edges = e.count()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    vl = lbl.join(deg, "v")
+    la = lbl.select(F.col("v").alias("a"), F.col("lbl").alias("lbl_a"))
+    lb = lbl.select(F.col("v").alias("b"), F.col("lbl").alias("lbl_b"))
+    ec = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = vl.groupBy("lbl").agg(F.sum("d").cast("bigint").alias("d_c"))
+    parts = dc.join(ec, "lbl", "left").select(
+        "lbl",
+        F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+        "d_c",
+    )
+    q_term = (
+        F.lit(4) * F.lit(m_edges).cast("decimal(38,0)") * F.col("e_in")
+        - F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+    )
+    out = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.lit(m_edges).cast("bigint").alias("n_edges"),
+        F.sum(q_term).cast("bigint").alias("q_scaled"),
+        F.round(
+            F.sum(q_term).cast("double") / (4.0 * m_edges * float(m_edges)), 6
+        ).alias("modularity"),
+    )
+    rows = out.collect()  # 1-row verdict
+    cleanup()
+    return spark.createDataFrame(
+        rows, "n_communities bigint, n_edges bigint, q_scaled bigint, modularity double"
+    )

@@ -64,7 +64,7 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 9 rotation: (a) the 24 queries round 9 added (none has
+    # -- round 9 rotation: (a) the 25 queries round 9 added (plus the LPA refactor consumer) (none has
     # a driver row yet) plus the queries round 9 CHANGED — the
     # integer-DIV ranged_ntile (its three consumers), the PSI
     # empty-population degradation fix, the PQ-encoder factor-out and
@@ -90,6 +90,8 @@ SWEEP_PRIORITY: list[str] = [
     "dq_iqr_outlier_audit",
     "agg_mutual_information",
     "events_stl_anomaly_flags",
+    "graph_community_modularity",
+    "graph_label_propagation",
     "agg_ks_two_sample",
     "text_gopher_quality_filter",
     "text_zipf_law_fit",
