@@ -49,6 +49,7 @@ ALLOWED = {
     "operators/graph.py": {
         'F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")',  # k-core round stats: ONE row per round
         "rows = out.collect()  # bounded: top-25 communities",  # LPA result after limit(25); lets the caches release before return
+        "rows = out.collect()  # 1-row verdict",  # modularity Q: ONE aggregate row; lets the shared LPA caches release before return
     },
     "operators/evalmetrics.py": {
         'e.where(F.col("vec_id") < KNN_N_TEST)',  # kNN query matrix: KNN_N_TEST x dim rows (model input, corpus-independent)
