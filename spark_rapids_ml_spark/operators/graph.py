@@ -1044,17 +1044,20 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict is a one-row reduce.
     """
     e, sym, lbl, cleanup = _lpa_run(spark, sf_dir)
-    m_edges = e.count()
+    # every verdict input derives from the CACHED symmetric frame: the
+    # uncached e would recompute the lineitem self-join per consuming job
+    # (each undirected edge appears exactly twice in sym, so //2 is exact)
+    m_edges = sym.count() // 2
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
     vl = lbl.join(deg, "v")
-    la = lbl.select(F.col("v").alias("a"), F.col("lbl").alias("lbl_a"))
-    lb = lbl.select(F.col("v").alias("b"), F.col("lbl").alias("lbl_b"))
+    la = lbl.select(F.col("v").alias("src"), F.col("lbl").alias("lbl_a"))
+    lb = lbl.select(F.col("v").alias("dst"), F.col("lbl").alias("lbl_b"))
     ec = (
-        e.join(la, "a")
-        .join(lb, "b")
+        sym.join(la, "src")
+        .join(lb, "dst")
         .where(F.col("lbl_a") == F.col("lbl_b"))
         .groupBy(F.col("lbl_a").alias("lbl"))
-        .agg(F.count(F.lit(1)).alias("e_in"))
+        .agg(F.expr("count(*) div 2").alias("e_in"))
     )
     dc = vl.groupBy("lbl").agg(F.sum("d").cast("bigint").alias("d_c"))
     parts = dc.join(ec, "lbl", "left").select(

@@ -1156,7 +1156,9 @@ def pipe_shard_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = ranged_row_number(
         d, [F.col("n_chars").desc(), F.col("doc_id")], rn_col="rn"
     ).withColumn("r0", F.col("rn") - 1)
-    pass_even = (F.col("r0") / N_SHARDS).cast("bigint") % 2 == 0
+    # integer DIV, not float division: r0/8 via float64 loses exactness
+    # past 2^53 ranks (same defect class the ranged_ntile fix removed)
+    pass_even = F.expr(f"r0 div {N_SHARDS}") % 2 == 0
     pos = F.col("r0") % N_SHARDS
     a = rk.select(
         "doc_id",

@@ -2381,6 +2381,16 @@ def timeseries_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFra
 
         pdf = pdf.sort_values("d")
         y = [c / 100.0 for c in pdf["cents"]]
+        if len(y) < 2:
+            # trend init needs two points; the oracle's recursive CTE is
+            # anchored on rn=2 and silently omits 1-day series — match it
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in [
+                    ("event_type", "object"), ("n_days", "int64"),
+                    ("level", "float64"), ("trend", "float64"),
+                    ("forecast_next", "float64"),
+                ]}
+            )
         lvl, b = y[1], y[1] - y[0]
         for t in range(2, len(y)):
             new_l = HOLT_ALPHA * y[t] + (1.0 - HOLT_ALPHA) * (lvl + b)
@@ -2476,7 +2486,11 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     r = ranged_row_number(d, [F.col("delta_s"), F.col("user_id")], rn_col="rn")
     med_rn, p90_rn = (n + 1) // 2, (n * 9 + 9) // 10
     return r.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        # zero-conversion corpus: oracle's MAX(n) over empty r is NULL —
+        # mirror that instead of Spark's count-of-empty = 0
+        F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_converted"),
         F.max(F.when(F.col("rn") == med_rn, F.col("delta_s"))).cast("bigint").alias("median_s"),
         F.max(F.when(F.col("rn") == p90_rn, F.col("delta_s"))).cast("bigint").alias("p90_s"),
         F.min("delta_s").cast("bigint").alias("min_s"),
