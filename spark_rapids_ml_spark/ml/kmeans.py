@@ -81,11 +81,11 @@ class KMeans:
                         + (c * c).sum(axis=1)[None, :]
                     )
                     lab = d2.argmin(axis=1)
-                    for j in range(len(c)):
-                        m = lab == j
-                        counts[j] += int(m.sum())
-                        if m.any():
-                            sums[j] += x[m].sum(axis=0)
+                    # vectorized scatter-accumulate: the per-cluster
+                    # mask loop was O(k·rows) python at k≈√n (448
+                    # passes per batch at sf10)
+                    counts += np.bincount(lab, minlength=len(c))
+                    np.add.at(sums, lab, x)
                 rows = [
                     {
                         "cluster": j,

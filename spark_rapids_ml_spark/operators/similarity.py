@@ -92,6 +92,41 @@ IVF_NPROBE = 6
 K_CELLS = 10
 IVF_ITERS = 3
 
+# Corpus-adaptive cell count for the FLAT IVF tiers (round 10): the
+# classic k ≈ √n rule keeps probed-corpus mass ~nprobe/√n instead of a
+# constant fraction — with fixed k=10, nprobe/k was a 60% corpus slice
+# and the flat tier measured SLOWER than brute force at sf10 (83 s vs
+# 36 s, RECALL_r9.json). Both knobs are exact-integer twins of the
+# oracle's kc scalar subquery (the round-8 LSH-planes discipline).
+IVF_CELL_FLOOR = K_CELLS  # floor binds for n <= 100 (k-means tractability)
+IVF_PROBE_DEN = 6  # nprobe = max(IVF_NPROBE, ceil(k / DEN)) — ~17% of cells
+
+
+def ivf_n_cells(n_corpus: int) -> int:
+    """Adaptive cell count: max(floor, ceil(sqrt(n))). ceil(sqrt) is
+    IEEE-exact for n < 2^52, so the DuckDB twin (CEIL(SQRT(COUNT(*))))
+    computes the identical integer."""
+    import math
+
+    return max(IVF_CELL_FLOOR, math.ceil(math.sqrt(n_corpus)))
+
+
+def ivf_nprobe(k: int) -> int:
+    """Cells probed per query: a fixed 1/IVF_PROBE_DEN fraction of the
+    adaptive cell count, floored at the legacy IVF_NPROBE (integer
+    ceil-division twin of the oracle's (k + DEN - 1) // DEN)."""
+    return max(IVF_NPROBE, (k + IVF_PROBE_DEN - 1) // IVF_PROBE_DEN)
+
+
+# the same two rules in DuckDB, over the oracle's corpus CTE `e`
+SQL_IVF_KC = (
+    f"kc AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k"
+    " FROM e)"
+)
+SQL_IVF_NPROBE = (
+    f"(SELECT GREATEST({IVF_NPROBE}, (k + {IVF_PROBE_DEN - 1}) // {IVF_PROBE_DEN}) FROM kc)"
+)
+
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """<a, b> in float64 via zip_with + aggregate (codegen'd, no UDF)."""
@@ -488,7 +523,10 @@ def sim_lsh_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kmeans_cells(
-    k: int = K_CELLS, iters: int = IVF_ITERS, seed_by_rank: bool = False
+    k: int = K_CELLS,
+    iters: int = IVF_ITERS,
+    seed_by_rank: bool = False,
+    k_sql: str | None = None,
 ) -> str:
     """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
     seed centroids = the k smallest vec_ids, then `iters` unrolled
@@ -514,8 +552,29 @@ def _sql_kmeans_cells(
     (cluster id = seed rank 0..k-1) instead of ``vec_id < k`` — the
     general form matching ml/kmeans.py's init on corpora where the
     smallest ids are not 0..k-1 (e.g. a mod-subsampled slice). On a
-    corpus containing ids 0..k-1 the two forms are identical."""
-    if seed_by_rank:
+    corpus containing ids 0..k-1 the two forms are identical.
+
+    ``k_sql`` makes the cell count a SCALAR SUBQUERY (e.g. the
+    corpus-adaptive ``(SELECT k FROM kc)`` spine the flat IVF tier
+    uses): seeding switches to the rank form bounded by that scalar;
+    the literal ``k`` is ignored. The caller must define the
+    referenced CTE before this chain.
+
+    The argmin is the two-pass MIN(dist) + MIN(cl)-at-the-min form,
+    NOT a ROW_NUMBER window: both pick the smallest cl attaining the
+    minimum (numpy-argmin tiebreak, load-bearing because duplicated
+    corpora breed duplicate centroids), but the window form sorts the
+    n×k cross product inside 200k partitions — measured 459 s per
+    pass at sf10 with √n cells where this form runs ~6 s. The dist
+    recompute in the tiebreak pass compares equal by construction
+    (same expression over the same operands)."""
+    if k_sql is not None:
+        cent0 = (
+            "cent0 AS MATERIALIZED (SELECT rnk - 1 AS cl, cemb FROM ("
+            "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk, emb AS cemb FROM e"
+            f") WHERE rnk <= {k_sql})"
+        )
+    elif seed_by_rank:
         cent0 = (
             "cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
             f"emb AS cemb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k}))"
@@ -525,12 +584,15 @@ def _sql_kmeans_cells(
     parts = [cent0]
     assign = """
 {name} AS MATERIALIZED (
-  SELECT vec_id, emb, cl FROM (
-    SELECT e.vec_id, e.emb, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_distance(e.emb, c.cemb), c.cl) AS rk
-    FROM e CROSS JOIN {cent} c
-  ) WHERE rk = 1
+  SELECT e.vec_id, e.emb, am.cl FROM (
+    SELECT dm.vec_id, MIN(c2.cl) AS cl
+    FROM (SELECT e2.vec_id, MIN(list_distance(e2.emb, c.cemb)) AS dmin
+          FROM e e2 CROSS JOIN {cent} c GROUP BY e2.vec_id) dm
+    JOIN e e3 ON e3.vec_id = dm.vec_id
+    CROSS JOIN {cent} c2
+    WHERE list_distance(e3.emb, c2.cemb) = dm.dmin
+    GROUP BY dm.vec_id
+  ) am JOIN e ON e.vec_id = am.vec_id
 )"""
     for i in range(iters):
         parts.append(assign.format(name=f"a{i}", cent=f"cent{i}"))
@@ -552,10 +614,12 @@ cent{i + 1} AS MATERIALIZED (
 
 
 # Shared by the ephemeral and persisted IVF tiers (same result set;
-# the persisted tier changes only the physical access path).
+# the persisted tier changes only the physical access path). The cell
+# count and nprobe are corpus-adaptive scalar subqueries (kc).
 _IVF_TOPK_ORACLE = f"""
-WITH e AS ({_SQL_E}),
-{_sql_kmeans_cells()},
+WITH e AS MATERIALIZED ({_SQL_E}),
+{SQL_IVF_KC},
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)")},
 q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
 probe AS (
   SELECT qid, cl FROM (
@@ -563,7 +627,7 @@ probe AS (
            ROW_NUMBER() OVER (PARTITION BY q.qid
                               ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
     FROM q CROSS JOIN cent{IVF_ITERS} c
-  ) WHERE prk <= {IVF_NPROBE}
+  ) WHERE prk <= {SQL_IVF_NPROBE}
 ),
 scored AS (
   SELECT q.qid, s.vec_id,
@@ -589,9 +653,8 @@ ORDER BY qid, rk
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF ANN: coarse cells LEARNED by distributed Lloyd's
     k-means (ml/kmeans.py — per-iteration linear scans, k×d driver
-    state, deterministic smallest-id init), probe the IVF_NPROBE
-    nearest cells by centroid cosine, exact re-rank within probed
-    cells. The DuckDB oracle re-runs the identical fixed-iteration
+    state, deterministic smallest-id init), probe the nprobe nearest
+    cells by centroid cosine, exact re-rank within probed cells. The DuckDB oracle re-runs the identical fixed-iteration
     training (_sql_kmeans_cells), so the learned index itself is
     hash-checked, not just the final neighbors.
 
@@ -601,15 +664,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is Euclidean (the k-means objective), probing/ranking
     cosine — the standard IVF-Flat pairing for normalized-ish corpora.
 
-    Honest bound: K_CELLS is pinned small so the oracle's unrolled SQL
-    training stays tractable, which makes nprobe/K a 60% corpus
-    fraction — so this FLAT tier re-ranks most of the corpus with
-    per-pair vector math and measures SLOWER than brute force at sf10
-    (83 s vs 36 s, RECALL_r9.json). Production scales K ≈ sqrt(N) with
-    a small nprobe fraction; in this tree the measured scale tiers are
-    sim_ivf_pq_hybrid_topk (same cells, ADC integer scoring inside
-    probed cells: 22.5 s at sf10, recall 1.0) and
-    sim_ivf_persisted_probe (partition-pruned disk layout).
+    Cell count is CORPUS-ADAPTIVE (round 10): k = max(floor, ceil(√n))
+    with nprobe a fixed ~1/6 fraction of k (ivf_n_cells/ivf_nprobe,
+    mirrored as the oracle's kc scalar subquery). With the round-9
+    fixed k=10, nprobe/k was a 60% corpus slice and this tier measured
+    83 s vs 36 s brute force at sf10; √n cells shrink the probed mass
+    to ~nprobe/√n so the flat tier beats brute force at every measured
+    decade (RECALL_r10.json carries the curve).
     """
     from pyspark.sql import Window
 
@@ -617,16 +678,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    k_cells = ivf_n_cells(ed.count())
+    n_probe = ivf_nprobe(k_cells)
     model = KMeans(
-        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+        k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
-    cells = model.transform(ed, "cell")  # (vec_id, emb, cell)
+    # pre-normalized corpus: the candidate cosine is then ONE dot per
+    # pair instead of dot+2 norms (3x fewer HOF evaluations — the same
+    # unit-vector discipline as the brute/LSH tiers; 6dp-parity with
+    # the oracle's list_cosine_similarity is the established precedent)
+    eu = with_unit_vector(ed, "emb", "unit")
+    cells = model.transform(eu, "cell")  # (vec_id, emb, unit, cell)
     cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
         schema="cl bigint, cemb array<double>",
     )
-    q = ed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    q = eu.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("unit").alias("qunit"),
     )
     probe = (
         q.crossJoin(F.broadcast(cent_rows))
@@ -637,13 +707,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
             ),
         )
-        .where(F.col("prk") <= IVF_NPROBE)
+        .where(F.col("prk") <= n_probe)
         .select("qid", F.col("cl").alias("pcell"))
     )
     scored = (
-        q.join(probe, "qid")
-        .join(cells, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "emb"), 6).alias("cosine"))
+        q.drop("qemb")
+        .join(probe, "qid")
+        .join(
+            cells.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -807,18 +881,21 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = _index_tag(sf_dir)
     db = f"simdb_{tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    cells_tbl, cent_tbl = f"{db}.ivf_cells_p", f"{db}.ivf_centroids"
+    # _a = adaptive-cell-count index layout (round 10); the un-suffixed
+    # fixed-k=10 tables from earlier rounds are stale and never served
+    cells_tbl, cent_tbl = f"{db}.ivf_cells_pa", f"{db}.ivf_centroids_a"
     if spark.catalog.tableExists(cells_tbl) and spark.catalog.tableExists(cent_tbl):
         return cells_tbl, cent_tbl
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
         "file:", ""
     )
-    for t in ("ivf_cells_p", "ivf_centroids"):
+    for t in ("ivf_cells_p", "ivf_centroids", "ivf_cells_pa", "ivf_centroids_a"):
         shutil.rmtree(os.path.join(warehouse, f"{db}.db", t), ignore_errors=True)
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    k_cells = ivf_n_cells(ed.count())
     model = KMeans(
-        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+        k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
     (
         model.transform(ed, "cell")
@@ -827,7 +904,7 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .saveAsTable(cells_tbl)
     )
     spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
         schema="cl bigint, cemb array<double>",
     ).write.mode("overwrite").saveAsTable(cent_tbl)
     return cells_tbl, cent_tbl
@@ -840,13 +917,14 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 )
 def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against a PERSISTED index: the cell-assignment table is
-    written once PARTITIONED BY cell, so probing the IVF_NPROBE
-    nearest cells per query prunes the scan to exactly the probed
-    partitions — the scan never touches the other cells' files
-    (plan-asserted in tests/test_plans.py::
+    written once PARTITIONED BY cell (corpus-adaptive k ≈ √n cells,
+    ivf_n_cells), so probing the nprobe nearest cells per query prunes
+    the scan to exactly the probed partitions — the scan never touches
+    the other cells' files (plan-asserted in tests/test_plans.py::
     test_ivf_persisted_probe_partition_pruning). The probed cell set
-    is bounded driver state (≤ K_CELLS ids). Same result and oracle as
-    sim_ivf_topk; only the access path changes.
+    is bounded driver state (≤ nprobe ≈ √n/6 ids — 10^5 at n=10^10).
+    Same result and oracle as sim_ivf_topk; only the access path
+    changes.
 
     Scale: this is IVF-Flat's disk layout at 100 TB — the corpus
     partitioned by cell id; a query set touching nprobe/k of the cells
@@ -858,6 +936,9 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells_tbl, cent_tbl = ivf_index_tables(spark, sf_dir)
     cent = spark.table(cent_tbl)
+    # k is the persisted centroid count (one tiny-table count, no
+    # corpus re-count); nprobe re-derives the same adaptive fraction
+    n_probe = ivf_nprobe(cent.count())
     e = load(spark, sf_dir, "embeddings")
     q = e.select(
         F.col("vec_id").alias("qid"),
@@ -872,16 +953,29 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
             ),
         )
-        .where(F.col("prk") <= IVF_NPROBE)
+        .where(F.col("prk") <= n_probe)
         .select("qid", F.col("cl").alias("pcell"))
     )
-    # bounded driver state: at most K_CELLS distinct probed cell ids
+    # bounded driver state: at most N_QUERIES x nprobe probed cell ids
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
-    idx = spark.table(cells_tbl).where(F.col("cell").isin(probed))
+    # pre-normalize both sides so the pair cosine is ONE dot (the
+    # brute/LSH unit-vector discipline; norms amortize per ROW). The
+    # query side is 20 broadcast rows, so the inline O(d^2) projection
+    # collapse with_unit_vector's cache barrier exists to avoid is noise.
+    idx = with_unit_vector(
+        spark.table(cells_tbl).where(F.col("cell").isin(probed)), "emb", "unit"
+    )
+    qu = q.withColumn("qnorm", norm_expr("qemb")).select(
+        "qid",
+        F.transform("qemb", lambda x: x.cast("double") / F.col("qnorm")).alias("qunit"),
+    )
     scored = (
-        q.join(F.broadcast(probe), "qid")
-        .join(idx, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", F.round(cosine_expr("qemb", "emb"), 6).alias("cosine"))
+        qu.join(F.broadcast(probe), "qid")
+        .join(
+            idx.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
