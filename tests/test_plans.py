@@ -878,3 +878,18 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         plan = plan_of(j)
     assert "skew=true" in plan, plan
     assert "skewed" in plan, plan  # the AQEShuffleRead carries the spec
+
+
+def test_round10_hits_ranking_has_no_single_task_window(spark):
+    """Round-10 scale fix pin: the HITS top-10 ranking must NOT funnel
+    the full per-node score table through an unpartitioned window —
+    the local top-10 prune bounds the rank input at 10 x partitions
+    rows and ranged_row_number ranks it with range partitioning, so no
+    window in the final plan is fed by an `Exchange SinglePartition`
+    (the normalization max() 1-row aggregates are scalar aggs, not
+    windows, and stay)."""
+    from spark_rapids_ml_spark.operators.graph import graph_hits_hubs_authorities
+
+    plan = plan_of(graph_hits_hubs_authorities(spark, SF))
+    bad = _windows_feed_off_single_partition(plan)
+    assert not bad, f"single-task window(s): {bad}\n{plan}"
