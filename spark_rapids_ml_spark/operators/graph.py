@@ -60,7 +60,12 @@ LIMIT 20
 """
 
 
-@register("graph_pagerank_bipartite", tags=("graph", "scale"), oracle=_pagerank_oracle())
+@register(
+    "graph_pagerank_bipartite",
+    tags=("graph", "scale"),
+    bench=True,  # round 10: a graph-iteration headline row beyond k-core
+    oracle=_pagerank_oracle(),
+)
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five fixed PageRank iterations (damping 0.85, teleport per
     node) on the symmetric customer-supplier graph; top-20 nodes by
@@ -472,14 +477,18 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = []
     prev_deg = None
     prev_ck = None
+    from spark_rapids_ml_spark.plans.profiling import span
+
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
         for r in range(_KCORE_ROUNDS + 1):
-            deg = _deg(e).cache()
-            # the stats collect materializes THIS round's checkpoint,
-            # after which the previous round's blocks are dead weight
-            row = deg.agg(
-                F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")
-            ).collect()[0]
+            with span(spark, f"kcore_round_{r}"):
+                deg = _deg(e).cache()
+                # the stats collect materializes THIS round's
+                # checkpoint, after which the previous round's blocks
+                # are dead weight
+                row = deg.agg(
+                    F.count(F.lit(1)).alias("v"), F.sum("d").alias("dsum")
+                ).collect()[0]
             vr, er = row.v, (row.dsum or 0) // 2
             if prev_deg is not None:
                 prev_deg.unpersist()

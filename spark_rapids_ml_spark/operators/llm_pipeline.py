@@ -1000,6 +1000,8 @@ CBP_MIN_RATIO_MICRO = 300_000  # distinct-token ratio floor (0.3 in micro)
 @register(
     "pipe_curate_budget_pack",
     tags=("llm-pipe", "composed", "selection", "packing"),
+    bench=True,  # round 10: the composed curation pipeline as a headline row
+
     oracle=f"""
 WITH t AS MATERIALIZED (
   SELECT doc_id, text,

@@ -1579,6 +1579,7 @@ def _ewma_stateful_of(src: DataFrame) -> DataFrame:
 @register(
     "stream_stateful_ewma",
     tags=("streaming", "stateful", "timeseries"),
+    bench=True,  # round 10: the headline set lacked a stateful-streaming row
     oracle=_EWMA_BATCH_ORACLE,
 )
 def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
