@@ -60,3 +60,72 @@ def test_model_persistence_via_facade(spark, vec_df, tmp_path):
     model.save_model(spark, path)
     loaded = SparkPCAModel.load_model(spark, path)
     np.testing.assert_array_equal(model.pc, loaded.pc)
+
+
+def test_param_copy_is_independent():
+    """copy(extra) must yield an INDEPENDENT params instance
+    (ParamsSuite parity — a Pipeline clones stages through copy())."""
+    from spark_rapids_ml_spark.ml.pipeline_api import SparkKMeans, SparkStandardScaler
+
+    est = SparkPCA(k=3, inputCol="a", outputCol="b")
+    c = est.copy({est.k: 7})
+    assert c.getK() == 7 and est.getK() == 3
+    assert c.getInputCol() == "a" and c.uid == est.uid
+    km = SparkKMeans(k=4, inputCol="proj", idCol="rid", maxIter=3, tol=0.0)
+    kc = km.copy()
+    kc.setK(9)
+    assert km.getK() == 4 and kc.getK() == 9
+    assert kc.getIdCol() == "rid" and kc.getMaxIter() == 3
+    sc_ = SparkStandardScaler(inputCol="x", outputCol="y").copy()
+    assert sc_.getInputCol() == "x" and sc_.getOutputCol() == "y"
+
+
+def test_three_stage_pipeline_nested_persistence(spark, vec_df, tmp_path):
+    """PCASuite.scala:192-206 parity, widened to a 3-stage chain:
+    scaler -> PCA -> k-means must fit inside Pipeline, and BOTH the
+    unfitted Pipeline and the fitted PipelineModel must round-trip
+    through ml persistence with every stage's params surviving."""
+    from pyspark.ml import PipelineModel
+
+    from spark_rapids_ml_spark.ml.pipeline_api import (
+        SparkKMeans,
+        SparkKMeansModel,
+        SparkStandardScaler,
+        SparkStandardScalerModel,
+    )
+
+    x, df = vec_df
+    pipe = Pipeline(
+        stages=[
+            SparkStandardScaler(inputCol="features", outputCol="scaled"),
+            SparkPCA(k=4, inputCol="scaled", outputCol="proj", meanCentering=True),
+            SparkKMeans(k=3, inputCol="proj", outputCol="cluster", idCol="id", maxIter=5, tol=0.0),
+        ]
+    )
+
+    # unfitted estimator chain round-trip (params only)
+    epath = str(tmp_path / "pipe_est")
+    pipe.save(epath)
+    pipe2 = Pipeline.load(epath)
+    s0, s1, s2 = pipe2.getStages()
+    assert isinstance(s0, SparkStandardScaler) and s0.getOutputCol() == "scaled"
+    assert isinstance(s1, SparkPCA) and s1.getK() == 4 and s1.getInputCol() == "scaled"
+    assert isinstance(s2, SparkKMeans) and s2.getK() == 3 and s2.getIdCol() == "id"
+    assert s2.getMaxIter() == 5 and s2.getTol() == 0.0
+
+    # fitted chain round-trip (params + model payloads)
+    pm = pipe.fit(df)
+    out1 = {r["id"]: (tuple(np.round(r["proj"], 9)), r["cluster"])
+            for r in pm.transform(df).select("id", "proj", "cluster").collect()}
+    mpath = str(tmp_path / "pipe_model")
+    pm.save(mpath)
+    pm2 = PipelineModel.load(mpath)
+    m0, m1, m2 = pm2.stages
+    assert isinstance(m0, SparkStandardScalerModel)
+    assert isinstance(m1, SparkPCAModel) and m1.getOutputCol() == "proj"
+    assert isinstance(m2, SparkKMeansModel) and m2.getOutputCol() == "cluster"
+    np.testing.assert_array_equal(pm.stages[1].pc, m1.pc)
+    np.testing.assert_array_equal(pm.stages[2].clusterCenters, m2.clusterCenters)
+    out2 = {r["id"]: (tuple(np.round(r["proj"], 9)), r["cluster"])
+            for r in pm2.transform(df).select("id", "proj", "cluster").collect()}
+    assert out1 == out2
