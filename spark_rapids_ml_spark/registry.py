@@ -64,16 +64,75 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 9 rotation: (a) the 25 queries round 9 added (plus the LPA refactor consumer) (none has
-    # a driver row yet) plus the queries round 9 CHANGED — the
-    # integer-DIV ranged_ntile (its three consumers), the PSI
-    # empty-population degradation fix, the PQ-encoder factor-out and
-    # the rank-seeded kmeans oracle (its consumers) — each needs a
-    # fresh driver row on the new code; then (b) stalest surviving
-    # driver rows (every pre-round-9 query has been sampled at least
-    # once through r08; these are the r01/r02-era rows). Names absent
-    # from the registry are skipped, so the list is safe across
-    # partial loads.
+    # -- round 10 rotation: (a) queries round 10 CHANGED — the
+    # adaptive-cell IVF tiers (hashes moved at every sf where the √n
+    # rule unbinds the k=10 floor) and every consumer of the rewritten
+    # two-pass kmeans-oracle argmin, the four advice fixes (serpentine
+    # integer DIV, modularity cached-frame reuse, Holt 1-day guard,
+    # funnel empty-slice NULL), and the HITS pruned distributed rank —
+    # each needs a fresh driver row on the new code; then (b) stalest
+    # surviving driver rows (sampled r01/r02-era, enumerated from the
+    # union of CORRECTNESS_r01..r09). Names absent from the registry
+    # are skipped, so the list is safe across partial loads.
+    "sim_ivf_topk",
+    "sim_ivf_persisted_probe",
+    "sim_ivf_pq_hybrid_topk",
+    "kmeans_embedding_clusters",
+    "ml_kmeans_silhouette",
+    "dedup_semantic_clusters",
+    "pipe_shard_bin_packing",
+    "graph_community_modularity",
+    "timeseries_holt_linear_forecast",
+    "events_funnel_time_to_convert",
+    "graph_hits_hubs_authorities",
+    "graph_kcore_peeling",
+    "stream_stateful_ewma",
+    "graph_pagerank_bipartite",
+    "pipe_curate_budget_pack",
+    # (b) stalest surviving driver rows
+    "join_composite_key_argmax",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_basic",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "join_theta_range",
+    "json_extract_events",
+    "json_from_json_agg",
+    "scalar_datetime_extra",
+    "timeseries_gap_fill",
+    "bucketed_join_no_shuffle",
+    "limit_offset_page",
+    "map_funcs",
+    "mm_binary_payload",
+    "mm_struct_bundle",
+    "null_safe_equality",
+    "partitioned_write_pruned_read",
+    "pipe_contamination_overlap",
+    "pipe_deterministic_split",
+    "pipe_stratified_sample",
+    "q14_promotion_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "salted_skew_aggregation",
+    "scalar_conditional_null",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_regexp_extract_all",
+    "scalar_regexp_funcs",
+    # ---- retained pre-round-10 tail (ignored once the 50-slot window
+    # fills; kept so a larger driver budget keeps walking backwards) --
     "dedup_semantic_clusters",
     "sim_ivf_pq_hybrid_topk",
     "agg_mann_whitney_u",
