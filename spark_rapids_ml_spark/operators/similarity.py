@@ -1250,13 +1250,17 @@ def _pq_encoded(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return sub, cb, enc
 
 
-IVFPQ_NPROBE = IVF_NPROBE  # coarse cells probed by the hybrid tier
+# The hybrid shares the flat tier's corpus-adaptive coarse quantizer
+# (k = max(10, ceil(sqrt(n))) cells, nprobe = max(6, ceil(k/6)) — the
+# kc scalar-subquery spine), so the ADC join volume is ~nprobe/sqrt(n)
+# of the corpus instead of the round-9 fixed 60% slice.
 
 
 def _ivfpq_oracle() -> str:
     return f"""
-WITH e AS ({_SQL_E}),
-{_sql_kmeans_cells()},
+WITH e AS MATERIALIZED ({_SQL_E}),
+{SQL_IVF_KC},
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)")},
 ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 sub AS (
   SELECT vec_id, m, emb[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
@@ -1281,7 +1285,7 @@ probe AS (
            ROW_NUMBER() OVER (PARTITION BY q.qid
                               ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
     FROM q CROSS JOIN cent{IVF_ITERS} c
-  ) WHERE prk <= {IVFPQ_NPROBE}
+  ) WHERE prk <= {SQL_IVF_NPROBE}
 ),
 lut AS (
   SELECT s.vec_id AS qid, s.m, c.code, {_pq_dist_nano_sql('s', 'c')} AS pd
@@ -1331,7 +1335,7 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the two tiers composed the way FAISS's production
     IVFPQ index composes them (Jégou et al. 2011 §IV): a LEARNED
     coarse quantizer (ml/kmeans.py cells, identical to sim_ivf_topk's)
-    prunes the corpus to IVF_NPROBE probed cells, and inside the
+    prunes the corpus to the adaptive nprobe probed cells (of k ≈ √n learned cells, ivf_n_cells/ivf_nprobe), and inside the
     probed cells distances come from PQ codes via the ADC lookup join
     (identical to sim_pq_adc_topk's) — no full vector is touched until
     the exact re-rank of the final shortlist. The DuckDB oracle
@@ -1355,14 +1359,17 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cand_k = max(PQ_CAND, e.count() // PQ_CAND_DIV)
+    n_corpus = e.count()
+    cand_k = max(PQ_CAND, n_corpus // PQ_CAND_DIV)
+    k_cells = ivf_n_cells(n_corpus)
+    n_probe = ivf_nprobe(k_cells)
     # coarse quantizer: learned IVF cells (same training as sim_ivf_topk)
     model = KMeans(
-        k=K_CELLS, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+        k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
     cells = model.transform(ed, "cell").select("vec_id", "cell")
     cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(K_CELLS)],
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
         schema="cl bigint, cemb array<double>",
     )
     q = ed.where(F.col("vec_id") < N_QUERIES).select(
@@ -1377,7 +1384,7 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
             ),
         )
-        .where(F.col("prk") <= IVFPQ_NPROBE)
+        .where(F.col("prk") <= n_probe)
         .select(F.col("qid").alias("pqid"), F.col("cl").alias("pcell"))
     )
     # fine quantizer: PQ codes (same encoder as sim_pq_adc_topk)
