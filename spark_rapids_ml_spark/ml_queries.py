@@ -252,7 +252,7 @@ def _kmeans_clusters_oracle() -> str:
     from spark_rapids_ml_spark.operators.similarity import _SQL_E, _sql_kmeans_cells
 
     return f"""
-WITH e AS ({_SQL_E}),
+WITH e AS MATERIALIZED ({_SQL_E}),
 {_sql_kmeans_cells(k=4, iters=6)}
 SELECT c.cl AS cluster, s.n,
        ROUND(SQRT(list_dot_product(c.cemb, c.cemb)), 6) AS centroid_norm
@@ -609,7 +609,7 @@ def _silhouette_oracle() -> str:
     from spark_rapids_ml_spark.operators.similarity import _SQL_E, _sql_kmeans_cells
 
     return f"""
-WITH e AS ({_SQL_E}),
+WITH e AS MATERIALIZED ({_SQL_E}),
 {_sql_kmeans_cells(k=4, iters=6)},
 d AS (
   SELECT x.vec_id, x.cl AS own, c.cl, list_distance(x.emb, c.cemb) AS dist

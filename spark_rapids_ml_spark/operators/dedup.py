@@ -1867,8 +1867,8 @@ def _semdedup_oracle() -> str:
     from spark_rapids_ml_spark.operators.similarity import _sql_kmeans_cells
 
     return f"""
-WITH eall AS ({_SQL_PLANTED_KEYED}),
-e AS (
+WITH eall AS MATERIALIZED ({_SQL_PLANTED_KEYED}),
+e AS MATERIALIZED (
   -- subsample on the ORIGINAL id ((key % TWIN_BASE) // 2): an
   -- original and its twin stay in or out of the slice TOGETHER (a
   -- raw vec_id % m with even m would drop every odd-keyed twin)

@@ -890,6 +890,10 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         "file:", ""
     )
     for t in ("ivf_cells_p", "ivf_centroids", "ivf_cells_pa", "ivf_centroids_a"):
+        # DROP first so a still-registered catalog entry never outlives
+        # its data files (a dangling entry would fail on read instead
+        # of a clean table-not-found)
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
         shutil.rmtree(os.path.join(warehouse, f"{db}.db", t), ignore_errors=True)
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))

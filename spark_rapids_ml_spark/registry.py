@@ -72,8 +72,13 @@ SWEEP_PRIORITY: list[str] = [
     # funnel empty-slice NULL), and the HITS pruned distributed rank —
     # each needs a fresh driver row on the new code; then (b) stalest
     # surviving driver rows (sampled r01/r02-era, enumerated from the
-    # union of CORRECTNESS_r01..r09). Names absent from the registry
-    # are skipped, so the list is safe across partial loads.
+    # union of CORRECTNESS_r01..r09). (a)=15 + (b)=41 deliberately
+    # overfills a 50-row driver window by 6: the scalar_* tail of (b)
+    # rides just past the boundary and leads the NEXT rotation (it
+    # stays ahead of the round-9 remainder below), so nothing is
+    # silently dropped — only deferred one round. Names absent from
+    # the registry are skipped, so the list is safe across partial
+    # loads.
     "sim_ivf_topk",
     "sim_ivf_persisted_probe",
     "sim_ivf_pq_hybrid_topk",

@@ -1,53 +1,59 @@
 """CI guard: every `crossJoin` in engine code must either broadcast
-its small side explicitly (`F.broadcast(...)` in the call's immediate
-context) or be on the audited bounded-side allowlist.
+its argument explicitly (`F.broadcast(...)` as the cross join's OWN
+argument, not merely nearby) or be on the audited bounded-side
+allowlist.
 
 A cross join whose both sides scale with the data is the canonical
 100 TB catastrophe (|A|x|B| rows). Every allowed site below attaches a
 side that is provably tiny — a 1-row scalar aggregate, a value-domain
 dimension, or a fixed demo dim — never a fact table. Adding a new
-`crossJoin` requires F.broadcast on the small side or an entry here
+`crossJoin` requires F.broadcast around its argument or an entry here
 WITH its boundedness argument — the same review gate
 tests/test_driver_hops.py and tests/test_window_audit.py automate for
 driver hops and unpartitioned windows.
+
+Detection is AST-based: the exemption requires the broadcast call to
+be INSIDE the crossJoin argument expression itself, so a broadcast of
+some unrelated frame on a neighboring line can never mask an
+unbounded cross join; line-wrapped calls are seen whole.
 """
 
 from __future__ import annotations
 
-import io
+import ast
 import os
-import tokenize
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spark_rapids_ml_spark",
 )
 
-# file -> {substring matching the flagged line}: one entry per allowed
-# non-broadcast crossJoin, each with the boundedness invariant.
+# file -> {substring of the flagged call's flattened source segment}:
+# one entry per allowed non-broadcast crossJoin, each with the
+# boundedness invariant.
 ALLOWED = {
     "ml_queries.py": {
         "tok_te.crossJoin(classes)",  # Naive Bayes scoring fan-out by the LABEL DOMAIN (|classes| = distinct o_orderpriority = 5), never fact-sized
     },
     "operators/aggregates.py": {
-        "stats = sa.crossJoin(sb).withColumn(",  # KMV sketch union: sa and sb are each ONE aggregated sketch-summary row
-        "stats.crossJoin(ex)",  # exact-count verdict attach: ex is ONE row (global agg)
-        ".crossJoin(ni)",  # KMV intersection estimate attach: ni is ONE row
+        "sa.crossJoin(sb)",  # KMV sketch union: sa and sb are each ONE aggregated sketch-summary row
+        "stats.crossJoin(ex)",  # exact-count + intersection-estimate verdict attaches: ex and ni are ONE row each (global aggs); the short marker matches both the inner call and the chained outer
     },
     "operators/scale_patterns.py": {
-        'uniq_chk = dup_keys.crossJoin(c.agg(F.count(F.lit(1)).alias("n_checked")))',  # DQ check: both sides 1-row global aggregates
-        'fk_chk = orphans.crossJoin(o.agg(F.count(F.lit(1)).alias("n_checked")))',  # DQ check: both sides 1-row global aggregates
+        'dup_keys.crossJoin(c.agg(F.count(F.lit(1)).alias("n_checked")))',  # DQ check: both sides 1-row global aggregates
+        'orphans.crossJoin(o.agg(F.count(F.lit(1)).alias("n_checked")))',  # DQ check: both sides 1-row global aggregates
     },
     "operators/dedup.py": {
-        "nt.crossJoin(nc)",  # recall verdict: three 1-row scalar attaches
-        ".crossJoin(nh)",  # recall verdict: 1-row hit count
+        "nt.crossJoin(nc)",  # recall verdict: three 1-row scalar attaches (nc/nh are 1-row counts; matches inner and chained outer)
     },
     "operators/graph.py": {
-        "n_edges.crossJoin(wedges)",  # clustering-coefficient verdict: 1-row scalar aggregates
-        ".crossJoin(tri)",  # triangle count: ONE row
+        "n_edges.crossJoin(wedges)",  # clustering-coefficient verdict: 1-row scalar aggregates (edge/wedge/triangle counts; matches inner and chained outer)
+    },
+    "operators/llm_pipeline.py": {
+        "n_docs.crossJoin(summary)",  # token-budget verdict: both sides 1-row global aggregates (the chained budget attach is already broadcast)
     },
     "operators/joins.py": {
-        "return r.crossJoin(n)",  # declared CROSS JOIN demo over the region x nation dims (25x5), docstring says never fact-sized
+        "r.crossJoin(n)",  # declared CROSS JOIN demo over the region x nation dims (25x5), docstring says never fact-sized
     },
     "operators/curation.py": {
         "sizes.crossJoin(union_size)",  # bitmap-jaccard verdict: two 1-row frames
@@ -55,23 +61,27 @@ ALLOWED = {
 }
 
 
-def _code_lines(src: str) -> set[int]:
-    lines: set[int] = set()
-    skip = {
-        tokenize.STRING,
-        tokenize.COMMENT,
-        tokenize.NL,
-        tokenize.NEWLINE,
-        tokenize.INDENT,
-        tokenize.DEDENT,
-        tokenize.ENCODING,
-    }
-    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
-        if tok.type in skip:
-            continue
-        for ln in range(tok.start[0], tok.end[0] + 1):
-            lines.add(ln)
-    return lines
+def _contains_broadcast(node: ast.expr) -> bool:
+    """True if the expression tree contains a broadcast(...) call
+    (F.broadcast or bare broadcast)."""
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Call):
+            fn = sub.func
+            if isinstance(fn, ast.Attribute) and fn.attr == "broadcast":
+                return True
+            if isinstance(fn, ast.Name) and fn.id == "broadcast":
+                return True
+    return False
+
+
+def _crossjoin_calls(tree: ast.AST):
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "crossJoin"
+        ):
+            yield node
 
 
 def test_no_unaudited_crossjoins():
@@ -84,20 +94,18 @@ def test_no_unaudited_crossjoins():
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             with open(path) as f:
                 src = f.read()
-            lines = src.splitlines()
-            code = _code_lines(src)
+            tree = ast.parse(src)
             allowed = ALLOWED.get(rel, set())
-            for i, line in enumerate(lines, 1):
-                if i not in code or ".crossJoin(" not in line:
+            for call in _crossjoin_calls(tree):
+                # exemption: the broadcast must wrap the crossJoin's
+                # OWN argument — a broadcast elsewhere doesn't count
+                if call.args and _contains_broadcast(call.args[0]):
                     continue
-                # explicit broadcast in the call's immediate context
-                # (the argument often starts on the following line)
-                ctx = "\n".join(lines[i - 1 : i + 2])
-                if "F.broadcast(" in ctx:
+                seg = ast.get_source_segment(src, call) or ""
+                flat = " ".join(seg.split())
+                if any(" ".join(m.split()) in flat for m in allowed):
                     continue
-                if any(marker in line for marker in allowed):
-                    continue
-                violations.append(f"{rel}:{i}: {line.strip()}")
+                violations.append(f"{rel}:{call.lineno}: {flat[:140]}")
     assert not violations, (
         "unaudited crossJoin site(s) — wrap the small side in "
         "F.broadcast(...) or add the site to tests/test_crossjoin_audit.py "
@@ -111,9 +119,25 @@ def test_allowlist_entries_still_exist():
         path = os.path.join(PKG, rel)
         with open(path) as f:
             src = f.read()
+        flat_src = " ".join(src.split())
         for m in markers:
-            if m not in src:
+            if " ".join(m.split()) not in flat_src:
                 stale.append(f"{rel}: {m!r}")
     assert not stale, (
         "stale test_crossjoin_audit.py ALLOWED entries:\n" + "\n".join(stale)
     )
+
+
+def test_exemption_requires_broadcast_inside_the_argument():
+    """A broadcast of an UNRELATED frame nearby must not exempt the
+    cross join — the defect the AST rewrite exists to close."""
+    masked = ast.parse(
+        "x = big.crossJoin(huge)\n"
+        "y = other.join(F.broadcast(dim), 'k')\n"
+    )
+    calls = list(_crossjoin_calls(masked))
+    assert len(calls) == 1
+    assert not _contains_broadcast(calls[0].args[0])
+    ok = ast.parse("x = big.crossJoin(\n    F.broadcast(one_row)\n)")
+    (call,) = list(_crossjoin_calls(ok))
+    assert _contains_broadcast(call.args[0])

@@ -13,31 +13,33 @@ here WITH its boundedness argument — the review gate this test
 automates (round-10 follow-up to the HITS fix; companion to
 tests/test_driver_hops.py which pins the same discipline for driver
 materializations).
+
+Detection is AST-based (`ast.walk` for ``orderBy`` attribute calls
+whose receiver chain bottoms out at the ``Window`` class with no
+``partitionBy`` link), so line-wrapped or formatter-split calls cannot
+slip past a line regex, and prose in docstrings never false-positives.
 """
 
 from __future__ import annotations
 
-import io
+import ast
 import os
-import re
-import tokenize
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spark_rapids_ml_spark",
 )
 
-# file -> {substring that must appear on the flagged line}: one entry
+# file -> {substring of the flagged call's source segment}: one entry
 # per allowed unpartitioned-window site, each with the boundedness
 # invariant it relies on.
 ALLOWED = {
     "operators/windows.py": {
         'Window.orderBy("s_acctbal", "s_suppkey")',  # distribution ranks over the supplier DIM (10 rows/sf0.001 .. 100k/sf10, never fact-scale); fact-scale alternative named in the docstring
-        'Window.orderBy("s_acctbal").rangeBetween(-500, Window.currentRow)',  # range frame over the supplier DIM, same bound
-        'Window.orderBy("s_acctbal").rangeBetween(-500, 500)',  # centered range frame over the supplier DIM, same bound
+        'Window.orderBy("s_acctbal")',  # two range frames over the supplier DIM, same bound
     },
     "operators/timeseries.py": {
-        'Window.orderBy("dur").rowsBetween',  # Kaplan-Meier risk-set cumsum: input is groupBy(dur) of day-resolution lifetimes — O(distinct durations) = time-range/day, not corpus rows
+        'Window.orderBy("dur")',  # Kaplan-Meier risk-set cumsum: input is groupBy(dur) of day-resolution lifetimes — O(distinct durations) = time-range/day, not corpus rows
     },
     "operators/scale_patterns.py": {
         'Window.orderBy("zkey", "l_orderkey", "l_linenumber")',  # Z-order VERIFICATION layer only (capped read-back); the production write is range-partitioned, no global window
@@ -48,31 +50,47 @@ ALLOWED = {
     },
 }
 
-# an unpartitioned window is `Window.orderBy(` or `Window().orderBy(`;
-# `Window.partitionBy(...).orderBy(...)` never matches this.
-PATTERN = re.compile(r"Window(\(\))?\.orderBy\(")
+
+def _receiver_chain_root(node: ast.expr) -> ast.expr:
+    """Walk a method chain (a.b(...).c(...).d) down to its leftmost
+    receiver expression."""
+    while True:
+        if isinstance(node, ast.Attribute):
+            node = node.value
+        elif isinstance(node, ast.Call):
+            node = node.func
+        else:
+            return node
 
 
-def _code_lines(src: str) -> set[int]:
-    """Line numbers that carry real code tokens (docstrings, string
-    literals, and comments excluded) — so prose mentioning
-    Window.orderBy never trips the gate."""
-    lines: set[int] = set()
-    skip = {
-        tokenize.STRING,
-        tokenize.COMMENT,
-        tokenize.NL,
-        tokenize.NEWLINE,
-        tokenize.INDENT,
-        tokenize.DEDENT,
-        tokenize.ENCODING,
-    }
-    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
-        if tok.type in skip:
+def _chain_has_partition_by(node: ast.expr) -> bool:
+    """True if any call in the receiver chain is .partitionBy(...)."""
+    while True:
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            if node.func.attr == "partitionBy":
+                return True
+            node = node.func.value
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        else:
+            return False
+
+
+def _unpartitioned_window_calls(tree: ast.AST):
+    """Yield Call nodes of the form Window[...].orderBy(...) (chain
+    rooted at the Name `Window`) with no partitionBy link anywhere in
+    the receiver chain."""
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
             continue
-        for ln in range(tok.start[0], tok.end[0] + 1):
-            lines.add(ln)
-    return lines
+        if node.func.attr != "orderBy":
+            continue
+        root = _receiver_chain_root(node.func.value)
+        if not (isinstance(root, ast.Name) and root.id == "Window"):
+            continue
+        if _chain_has_partition_by(node.func.value):
+            continue
+        yield node
 
 
 def test_no_unaudited_unpartitioned_windows():
@@ -85,17 +103,14 @@ def test_no_unaudited_unpartitioned_windows():
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             with open(path) as f:
                 src = f.read()
-            lines = src.splitlines()
-            code = _code_lines(src)
+            tree = ast.parse(src)
             allowed = ALLOWED.get(rel, set())
-            for i, line in enumerate(lines, 1):
-                if i not in code:
+            for call in _unpartitioned_window_calls(tree):
+                seg = ast.get_source_segment(src, call) or ""
+                flat = " ".join(seg.split())
+                if any(" ".join(m.split()) in flat for m in allowed):
                     continue
-                if not PATTERN.search(line):
-                    continue
-                if any(marker in line for marker in allowed):
-                    continue
-                violations.append(f"{rel}:{i}: {line.strip()}")
+                violations.append(f"{rel}:{call.lineno}: {flat[:120]}")
     assert not violations, (
         "unaudited unpartitioned window site(s) — a Window.orderBy with "
         "no partitionBy is a single-task total sort; add a per-partition "
@@ -106,17 +121,36 @@ def test_no_unaudited_unpartitioned_windows():
 
 
 def test_allowlist_entries_still_exist():
-    """Every allowlisted marker must still match a live line — stale
+    """Every allowlisted marker must still match a live call — stale
     entries would silently widen the gate as code moves."""
     stale = []
     for rel, markers in ALLOWED.items():
         path = os.path.join(PKG, rel)
         with open(path) as f:
             src = f.read()
+        flat_src = " ".join(src.split())
         for m in markers:
-            if m not in src:
+            if " ".join(m.split()) not in flat_src:
                 stale.append(f"{rel}: {m!r}")
     assert not stale, (
         "stale test_window_audit.py ALLOWED entries (site moved or "
         "removed — update the allowlist):\n" + "\n".join(stale)
     )
+
+
+def test_detector_catches_wrapped_and_chained_forms():
+    """The gate must see through formatter line-splits and frame
+    chains — the shapes a regex missed."""
+    wrapped = ast.parse(
+        "w = Window.orderBy(\n    F.col('x').desc(),\n    'id',\n)"
+    )
+    assert len(list(_unpartitioned_window_calls(wrapped))) == 1
+    chained = ast.parse("w = Window.orderBy('x').rowsBetween(-1, 0)")
+    assert len(list(_unpartitioned_window_calls(chained))) == 1
+    partitioned = ast.parse("w = Window.partitionBy('g').orderBy('x')")
+    assert not list(_unpartitioned_window_calls(partitioned))
+    partitioned_after = ast.parse(
+        "w = Window.orderBy('x')\n"  # flagged
+        "v = Window.partitionBy('g').orderBy('x').rangeBetween(0, 1)"  # fine
+    )
+    assert len(list(_unpartitioned_window_calls(partitioned_after))) == 1
