@@ -129,3 +129,24 @@ def test_three_stage_pipeline_nested_persistence(spark, vec_df, tmp_path):
     out2 = {r["id"]: (tuple(np.round(r["proj"], 9)), r["cluster"])
             for r in pm2.transform(df).select("id", "proj", "cluster").collect()}
     assert out1 == out2
+
+
+def test_feature_import_path_parity(spark, vec_df):
+    """The reference's user spelling is `com.nvidia.spark.ml.feature.PCA`
+    (PCA.scala:27-37); our equivalent public path must exist and be the
+    same Pipeline-composable classes, so a switching user only changes
+    the package root."""
+    from spark_rapids_ml_spark import feature
+    from spark_rapids_ml_spark.ml.pipeline_api import SparkPCA, SparkPCAModel
+
+    assert feature.PCA is SparkPCA
+    assert feature.PCAModel is SparkPCAModel
+    _, df = vec_df
+    model = feature.PCA(k=2, inputCol="features", outputCol="proj").fit(df)
+    assert isinstance(model, feature.PCAModel)
+    row = model.transform(df).select("proj").first()
+    assert len(row["proj"]) == 2
+    assert set(feature.__all__) == {
+        "PCA", "PCAModel", "KMeans", "KMeansModel",
+        "StandardScaler", "StandardScalerModel",
+    }
