@@ -64,6 +64,15 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
+    # -- round 11 rotation head: (a) queries round 11 ADDED or
+    # CHANGED — the new IVF-SQ hybrid (composes the int8 codec with
+    # the learned coarse quantizer) and the flat quantized tier whose
+    # reconstruction now routes through the shared _sq_reconstructed
+    # helper (values unchanged; the fresh driver row proves it). The
+    # rest of the window follows tools/staleness.py least-recently-
+    # sampled order (STALENESS.md is the auditable artifact).
+    "sim_ivf_sq_hybrid_topk",
+    "sim_quantized_topk",
     # -- round 10 rotation: (a) queries round 10 CHANGED — the
     # adaptive-cell IVF tiers (hashes moved at every sf where the √n
     # rule unbinds the k=10 floor) and every consumer of the rewritten

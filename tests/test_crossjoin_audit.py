@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -61,16 +62,40 @@ ALLOWED = {
 }
 
 
-def _contains_broadcast(node: ast.expr) -> bool:
-    """True if the expression tree contains a broadcast(...) call
-    (F.broadcast or bare broadcast)."""
-    for sub in ast.walk(node):
-        if isinstance(sub, ast.Call):
-            fn = sub.func
+def _arg_is_broadcast(node: ast.expr) -> bool:
+    """True only when the cross join's argument IS a broadcast: its
+    outermost call is broadcast(...) or its receiver chain bottoms out
+    at one (F.broadcast(x).select(...)). Deliberately does NOT walk
+    into call ARGUMENTS — a broadcast nested inside a fact-sized
+    argument (big.crossJoin(huge.join(F.broadcast(dim), 'k'))) must
+    not exempt the unbounded cross join (round-10 advice)."""
+    while True:
+        if isinstance(node, ast.Call):
+            fn = node.func
             if isinstance(fn, ast.Attribute) and fn.attr == "broadcast":
                 return True
             if isinstance(fn, ast.Name) and fn.id == "broadcast":
                 return True
+            node = fn  # descend the receiver chain, never the args
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        else:
+            return False
+
+
+def _marker_matches(marker: str, flat: str) -> bool:
+    """Marker present in the flattened text at an identifier boundary
+    (so a future `giant.crossJoin(nc)` can never ride the allowlisted
+    `nt.crossJoin(nc)` as a substring — round-10 advice)."""
+    m = " ".join(marker.split())
+    for match in re.finditer(re.escape(m), flat):
+        s, e = match.start(), match.end()
+        pre_ok = s == 0 or not (flat[s - 1].isalnum() or flat[s - 1] == "_")
+        post_ok = e == len(flat) or not (
+            (flat[e].isalnum() or flat[e] == "_") and (m[-1].isalnum() or m[-1] == "_")
+        )
+        if pre_ok and post_ok:
+            return True
     return False
 
 
@@ -97,13 +122,15 @@ def test_no_unaudited_crossjoins():
             tree = ast.parse(src)
             allowed = ALLOWED.get(rel, set())
             for call in _crossjoin_calls(tree):
-                # exemption: the broadcast must wrap the crossJoin's
-                # OWN argument — a broadcast elsewhere doesn't count
-                if call.args and _contains_broadcast(call.args[0]):
+                # exemption: the broadcast must BE the crossJoin's own
+                # argument (outermost call / receiver-chain root) — a
+                # broadcast elsewhere, or nested inside a fact-sized
+                # argument, doesn't count
+                if call.args and _arg_is_broadcast(call.args[0]):
                     continue
                 seg = ast.get_source_segment(src, call) or ""
                 flat = " ".join(seg.split())
-                if any(" ".join(m.split()) in flat for m in allowed):
+                if any(_marker_matches(m, flat) for m in allowed):
                     continue
                 violations.append(f"{rel}:{call.lineno}: {flat[:140]}")
     assert not violations, (
@@ -121,7 +148,7 @@ def test_allowlist_entries_still_exist():
             src = f.read()
         flat_src = " ".join(src.split())
         for m in markers:
-            if " ".join(m.split()) not in flat_src:
+            if not _marker_matches(m, flat_src):
                 stale.append(f"{rel}: {m!r}")
     assert not stale, (
         "stale test_crossjoin_audit.py ALLOWED entries:\n" + "\n".join(stale)
@@ -137,7 +164,25 @@ def test_exemption_requires_broadcast_inside_the_argument():
     )
     calls = list(_crossjoin_calls(masked))
     assert len(calls) == 1
-    assert not _contains_broadcast(calls[0].args[0])
+    assert not _arg_is_broadcast(calls[0].args[0])
+
+
+def test_exemption_requires_broadcast_as_the_argument_root():
+    """A broadcast nested inside a fact-sized argument must not exempt
+    the cross join; a broadcast at the argument root (even under later
+    chained methods) must."""
+    nested = ast.parse("x = big.crossJoin(huge.join(F.broadcast(dim), 'k'))")
+    call = next(iter(_crossjoin_calls(nested)))
+    assert not _arg_is_broadcast(call.args[0])
+    rooted = ast.parse("x = big.crossJoin(F.broadcast(dim).select('a'))")
+    call = next(iter(_crossjoin_calls(rooted)))
+    assert _arg_is_broadcast(call.args[0])
+
+
+def test_marker_requires_identifier_boundary():
+    assert not _marker_matches("nt.crossJoin(nc)", "z = giant.crossJoin(nc)")
+    assert _marker_matches("nt.crossJoin(nc)", "z = nt.crossJoin(nc)")
+    # line-wrapped broadcast argument still exempts
     ok = ast.parse("x = big.crossJoin(\n    F.broadcast(one_row)\n)")
     (call,) = list(_crossjoin_calls(ok))
-    assert _contains_broadcast(call.args[0])
+    assert _arg_is_broadcast(call.args[0])

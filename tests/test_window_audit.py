@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -49,6 +50,22 @@ ALLOWED = {
         'Window.orderBy(F.col("score_micro").desc(), "phrase")',  # RAKE: fed by the per-partition top-RAKE_TOP prune above it — <= RAKE_TOP * n_partitions rows
     },
 }
+
+
+def _marker_matches(marker: str, flat: str) -> bool:
+    """Marker present in the flattened text at an identifier boundary
+    (bare substring containment would let a new violating site ride an
+    existing marker as a substring — round-10 advice)."""
+    m = " ".join(marker.split())
+    for match in re.finditer(re.escape(m), flat):
+        s, e = match.start(), match.end()
+        pre_ok = s == 0 or not (flat[s - 1].isalnum() or flat[s - 1] == "_")
+        post_ok = e == len(flat) or not (
+            (flat[e].isalnum() or flat[e] == "_") and (m[-1].isalnum() or m[-1] == "_")
+        )
+        if pre_ok and post_ok:
+            return True
+    return False
 
 
 def _receiver_chain_root(node: ast.expr) -> ast.expr:
@@ -108,7 +125,7 @@ def test_no_unaudited_unpartitioned_windows():
             for call in _unpartitioned_window_calls(tree):
                 seg = ast.get_source_segment(src, call) or ""
                 flat = " ".join(seg.split())
-                if any(" ".join(m.split()) in flat for m in allowed):
+                if any(_marker_matches(m, flat) for m in allowed):
                     continue
                 violations.append(f"{rel}:{call.lineno}: {flat[:120]}")
     assert not violations, (

@@ -37,6 +37,7 @@ def main() -> None:
         "pq_adc": sim.sim_pq_adc_topk,
         "quantized": sim.sim_quantized_topk,
         "ivf_pq": sim.sim_ivf_pq_hybrid_topk,
+        "ivf_sq": sim.sim_ivf_sq_hybrid_topk,
     }
     wanted = sys.argv[1:] or list(tiers)
 
