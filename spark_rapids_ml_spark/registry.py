@@ -73,6 +73,12 @@ SWEEP_PRIORITY: list[str] = [
     # sampled order (STALENESS.md is the auditable artifact).
     "sim_ivf_sq_hybrid_topk",
     "sim_quantized_topk",
+    # lineage-cut rewrites (hashes pinned unchanged at three decades
+    # this round; the fresh driver row re-proves it on the new code)
+    "graph_bfs_shortest_path",
+    "graph_label_propagation",
+    "graph_community_modularity",
+    "graph_hits_hubs_authorities",
     # -- round 10 rotation: (a) queries round 10 CHANGED — the
     # adaptive-cell IVF tiers (hashes moved at every sf where the √n
     # rule unbinds the k=10 floor) and every consumer of the rewritten

@@ -150,3 +150,83 @@ def test_feature_import_path_parity(spark, vec_df):
         "PCA", "PCAModel", "KMeans", "KMeansModel",
         "StandardScaler", "StandardScalerModel",
     }
+
+
+# ---------------------- input-type unification (round-10 verdict #6)
+# PCASuite.scala:155-190 pins dense/sparse parity at the estimator
+# level; the facade must give IDENTICAL components for array<double>,
+# ml.linalg DenseVector, and ml.linalg SparseVector inputs, both
+# standalone and inside a pyspark.ml.Pipeline.
+
+
+@pytest.fixture(scope="module")
+def typed_input_dfs(spark):
+    """The SAME 150x10 matrix (half the entries zeroed so the sparse
+    representation is genuinely sparse) as three frames: array,
+    DenseVector, SparseVector."""
+    from pyspark.ml.linalg import DenseVector, SparseVector, VectorUDT
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(150, 10))
+    x[rng.random(size=x.shape) < 0.5] = 0.0
+    arr = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("features", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    vec_schema = StructType(
+        [StructField("id", LongType()), StructField("features", VectorUDT())]
+    )
+    dense = spark.createDataFrame(
+        [(i, DenseVector(row)) for i, row in enumerate(x)], vec_schema
+    )
+    sparse = spark.createDataFrame(
+        [
+            (
+                i,
+                SparseVector(
+                    10,
+                    [int(j) for j in np.nonzero(row)[0]],
+                    [float(v) for v in row[np.nonzero(row)[0]]],
+                ),
+            )
+            for i, row in enumerate(x)
+        ],
+        vec_schema,
+    )
+    return x, {"array": arr, "dense": dense, "sparse": sparse}
+
+
+@pytest.mark.parametrize("input_type", ["array", "dense", "sparse"])
+@pytest.mark.parametrize("via_pipeline", [False, True], ids=["standalone", "pipeline"])
+def test_pca_facade_input_type_parity(spark, typed_input_dfs, input_type, via_pipeline):
+    """Identical principal components (exact deterministic sign flip,
+    same covariance → same eigh) and identical projections regardless
+    of input column type or composition route."""
+    x, dfs = typed_input_dfs
+    df = dfs[input_type]
+    est = SparkPCA(k=3, inputCol="features", outputCol="proj")
+    if via_pipeline:
+        model = Pipeline(stages=[est]).fit(df).stages[0]
+    else:
+        model = est.fit(df)
+    base = SparkPCA(k=3, inputCol="features", outputCol="proj").fit(dfs["array"])
+    np.testing.assert_allclose(model.pc, base.pc, atol=1e-9)
+    rows = model.transform(df).select("id", "proj").collect()
+    assert len(rows) == 150 and len(rows[0]["proj"]) == 3
+    got = {r["id"]: np.array(r["proj"]) for r in rows}
+    mu = x.mean(axis=0)
+    expected = (x - mu) @ base.pc + mu @ base.pc  # = x @ pc
+    for i in (0, 74, 149):
+        np.testing.assert_allclose(got[i], expected[i], atol=1e-6)
