@@ -1246,3 +1246,107 @@ def pipe_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ------------------------------------ mixture budget apportionment
+
+MIX_BUDGET = 10_000  # training slots (documents to draw) to apportion
+
+
+@register(
+    "pipe_mixture_budget_apportionment",
+    tags=("llm-pipe", "sample", "scale"),
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, toks,
+         CAST(FLOOR(SQRT(CAST(toks AS DOUBLE))) AS BIGINT) AS weight
+  FROM tok
+),
+tw AS (SELECT SUM(weight) AS wsum FROM w),
+quota AS (
+  SELECT lang, n_docs, toks, weight,
+         ({MIX_BUDGET} * weight) // (SELECT wsum FROM tw) AS base,
+         ({MIX_BUDGET} * weight) % (SELECT wsum FROM tw) AS rem
+  FROM w
+),
+lo AS (SELECT {MIX_BUDGET} - SUM(base) AS leftover FROM quota),
+ranked AS (
+  SELECT lang, n_docs, toks, weight, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM quota
+)
+SELECT lang, n_docs, toks, weight,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked ORDER BY lang
+""",
+)
+def pipe_mixture_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture BUDGET apportionment: split a fixed sampling
+    budget of {MIX_BUDGET} slots across languages by α=0.5
+    exponent-smoothed mass (weight = ⌊√tokens⌋ — the multilingual
+    sub-linear sampling recipe: low-resource languages get a larger
+    share than raw proportional, high-resource ones saturate), using
+    LARGEST-REMAINDER (Hamilton) apportionment so the integer
+    allocations sum EXACTLY to the budget — the piece proportional
+    rounding gets wrong. Complements pipe_mixture_sampling (which
+    applies per-source keep RATES); this query is where those rates
+    come from.
+
+    Cross-engine exactness: token counts are integers; √ is the
+    IEEE-correctly-rounded sqrt in both engines (the ivf_n_cells
+    discipline) and floor of it is deterministic; quotas/remainders
+    are pure bigint div/mod; the remainder ranking breaks ties by
+    lang. No FP comparison anywhere near a decision boundary.
+
+    Scale: one partial-aggregable groupBy over the corpus (tokens per
+    language — the only data-sized pass), then everything downstream
+    operates on |languages| rows: the weight sum is a 1-row broadcast
+    attach, the remainder rank a value-domain-bounded window. At
+    100 TB the apportionment itself costs the same as at 100 MB.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
+    )
+    w = tok.withColumn(
+        "weight", F.floor(F.sqrt(F.col("toks").cast("double"))).cast("bigint")
+    )
+    tw = w.agg(F.sum("weight").alias("wsum"))
+    quota = w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "n_docs",
+        "toks",
+        "weight",
+        F.expr(f"CAST({MIX_BUDGET} * weight AS BIGINT) div wsum").alias("base"),
+        F.expr(f"CAST({MIX_BUDGET} * weight AS BIGINT) % wsum").alias("rem"),
+    )
+    lo = quota.agg((F.lit(MIX_BUDGET) - F.sum("base")).alias("leftover"))
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "lang",
+            "n_docs",
+            "toks",
+            "weight",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("lang")
+    )

@@ -527,6 +527,8 @@ def _sql_kmeans_cells(
     iters: int = IVF_ITERS,
     seed_by_rank: bool = False,
     k_sql: str | None = None,
+    src: str = "e",
+    assign_src: str | None = None,
 ) -> str:
     """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
     seed centroids = the k smallest vec_ids, then `iters` unrolled
@@ -560,6 +562,14 @@ def _sql_kmeans_cells(
     the literal ``k`` is ignored. The caller must define the
     referenced CTE before this chain.
 
+    ``src`` names the TRAINING corpus CTE (default ``e``; with
+    ``src="e"`` the generated text is byte-identical to every prior
+    round's chain). ``assign_src`` names the corpus the FINAL
+    ``cells`` assignment runs over (default = ``src``) — the
+    bootstrap-train / index-everything split a streaming ingest uses
+    (train the coarse quantizer on the anchor slice, assign the whole
+    corpus).
+
     The argmin is the two-pass MIN(dist) + MIN(cl)-at-the-min form,
     NOT a ROW_NUMBER window: both pick the smallest cl attaining the
     minimum (numpy-argmin tiebreak, load-bearing because duplicated
@@ -568,34 +578,35 @@ def _sql_kmeans_cells(
     pass at sf10 with √n cells where this form runs ~6 s. The dist
     recompute in the tiebreak pass compares equal by construction
     (same expression over the same operands)."""
+    asrc = assign_src or src
     if k_sql is not None:
         cent0 = (
             "cent0 AS MATERIALIZED (SELECT rnk - 1 AS cl, cemb FROM ("
-            "SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk, emb AS cemb FROM e"
+            f"SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk, emb AS cemb FROM {src}"
             f") WHERE rnk <= {k_sql})"
         )
     elif seed_by_rank:
         cent0 = (
             "cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
-            f"emb AS cemb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k}))"
+            f"emb AS cemb FROM (SELECT vec_id, emb FROM {src} ORDER BY vec_id LIMIT {k}))"
         )
     else:
-        cent0 = f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM e WHERE vec_id < {k})"
+        cent0 = f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM {src} WHERE vec_id < {k})"
     parts = [cent0]
     assign = """
 {name} AS MATERIALIZED (
-  SELECT e.vec_id, e.emb, am.cl FROM (
+  SELECT {src}.vec_id, {src}.emb, am.cl FROM (
     SELECT dm.vec_id, MIN(c2.cl) AS cl
     FROM (SELECT e2.vec_id, MIN(list_distance(e2.emb, c.cemb)) AS dmin
-          FROM e e2 CROSS JOIN {cent} c GROUP BY e2.vec_id) dm
-    JOIN e e3 ON e3.vec_id = dm.vec_id
+          FROM {src} e2 CROSS JOIN {cent} c GROUP BY e2.vec_id) dm
+    JOIN {src} e3 ON e3.vec_id = dm.vec_id
     CROSS JOIN {cent} c2
     WHERE list_distance(e3.emb, c2.cemb) = dm.dmin
     GROUP BY dm.vec_id
-  ) am JOIN e ON e.vec_id = am.vec_id
+  ) am JOIN {src} ON {src}.vec_id = am.vec_id
 )"""
     for i in range(iters):
-        parts.append(assign.format(name=f"a{i}", cent=f"cent{i}"))
+        parts.append(assign.format(name=f"a{i}", cent=f"cent{i}", src=src))
         parts.append(f"""
 cent{i + 1} AS MATERIALIZED (
   SELECT c.cl, COALESCE(m.memb, c.cemb) AS cemb
@@ -609,7 +620,7 @@ cent{i + 1} AS MATERIALIZED (
     ) GROUP BY cl
   ) m ON m.cl = c.cl
 )""")
-    parts.append(assign.format(name="cells", cent=f"cent{iters}"))
+    parts.append(assign.format(name="cells", cent=f"cent{iters}", src=asrc))
     return ",".join(parts)
 
 

@@ -73,12 +73,64 @@ SWEEP_PRIORITY: list[str] = [
     # sampled order (STALENESS.md is the auditable artifact).
     "sim_ivf_sq_hybrid_topk",
     "sim_quantized_topk",
+    # round-11 additions: streaming ANN index ingest (bootstrap-train
+    # + exactly-once partitioned file-sink append) and the mixture
+    # budget apportionment (largest-remainder integer allocation)
+    "stream_ivf_index_ingest",
+    "pipe_mixture_budget_apportionment",
     # lineage-cut rewrites (hashes pinned unchanged at three decades
     # this round; the fresh driver row re-proves it on the new code)
     "graph_bfs_shortest_path",
     "graph_label_propagation",
     "graph_community_modularity",
     "graph_hits_hubs_authorities",
+    # -- round 11 window tail: the 44 least-recently-sampled queries
+    # (tools/staleness.py order; STALENESS.md is the audit artifact) —
+    # all 23 r03-era survivors plus the oldest 21 of the r04 cohort.
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "salted_skew_aggregation",
+    "scalar_conditional_null",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_regexp_extract_all",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "setop_distinct_rows",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sink_dynamic_partition_overwrite",
+    "sort_nulls_ordering",
+    "source_csv_roundtrip",
+    "source_inmemory_createdataframe",
+    "source_json_roundtrip",
+    "source_parquet_roundtrip",
+    "subquery_scalar",
+    "asof_join_latest_order",
+    "dedup_clusters_materialized",
+    "dedup_lsh_skew_guard",
+    "feature_minmax_scale",
+    "feature_standard_scale",
+    "linreg_slope_1d",
+    "mm_audio_frame_sample",
+    "mm_image_decode_features",
+    "mm_image_resize",
+    "pca_covariance_matrix",
+    "pca_covariance_spr",
+    "pca_explained_variance",
+    "pca_mean_vector",
+    "pca_transform_topk",
+    "q13_customer_distribution",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "stream_dedup",
+    "stream_foreachbatch_sink",
+    "stream_session_window",
+    "stream_sliding_window",
     # -- round 10 rotation: (a) queries round 10 CHANGED — the
     # adaptive-cell IVF tiers (hashes moved at every sf where the √n
     # rule unbinds the k=10 floor) and every consumer of the rewritten

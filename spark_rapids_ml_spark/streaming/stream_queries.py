@@ -2032,3 +2032,189 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------- streaming ANN index ingest
+
+IVFSTREAM_FILES = 4  # micro-batches the corpus replays as
+IVFSTREAM_ANCHOR_DEN = 4  # bootstrap slice: first 1/4 of ids (floor K_CELLS)
+
+
+def _ivf_ingest_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import (
+        _SQL_E,
+        _sql_kmeans_cells,
+        IVF_CELL_FLOOR,
+        IVF_ITERS,
+        K_CELLS,
+        N_QUERIES,
+        SQL_IVF_NPROBE,
+        TOP_K,
+    )
+
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+acap AS (SELECT GREATEST({K_CELLS}, COUNT(*) // {IVFSTREAM_ANCHOR_DEN}) AS cap FROM e),
+tr AS MATERIALIZED (SELECT * FROM e WHERE vec_id < (SELECT cap FROM acap)),
+kc AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM tr),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)", src="tr", assign_src="e")},
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN cent{IVF_ITERS} c
+  ) WHERE prk <= {SQL_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN cells s ON s.cl = p.cl AND s.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "stream_ivf_index_ingest",
+    tags=("streaming", "similarity", "ivf", "scale"),
+    oracle=_ivf_ingest_oracle(),
+)
+def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance — the FAISS production workflow
+    (train the coarse quantizer once on a bootstrap sample, then add
+    vectors forever) on Structured Streaming: k-means cells are
+    learned on the ANCHOR slice (first 1/IVFSTREAM_ANCHOR_DEN of ids,
+    k = ceil(sqrt(anchor))); the corpus then replays as
+    IVFSTREAM_FILES micro-batches and each batch is cell-assigned by
+    the BROADCAST centroids (a stateless pandas-UDF map — no state
+    store) and lands in the cell-PARTITIONED parquet index via the
+    native streaming file sink, whose _spark_metadata transaction log
+    makes ingest EXACTLY-ONCE under retry (the
+    stream_file_sink_exactly_once contract). Probing the finished
+    index prunes to the nprobe probed cell partitions, exactly like
+    sim_ivf_persisted_probe.
+
+    The DuckDB oracle re-runs the bootstrap training unrolled over the
+    anchor slice (the _sql_kmeans_cells src/assign_src split), assigns
+    the FULL corpus, and re-ranks — so the incrementally-built index
+    is hash-checked end to end against an all-at-once build: batch
+    boundaries provably don't change the index (cell assignment is a
+    pure per-row function of the frozen centroids).
+    tests/test_streaming_semantics.py additionally pins 1-vs-4-batch
+    ingest equality on the index CONTENT.
+
+    Scale: this is how a 100 TB embedding corpus keeps its ANN index
+    warm — training cost is bounded by the anchor (never re-run),
+    per-tick work is one stateless map + partitioned append, and the
+    sink manifest makes restarts idempotent. Probes pay nprobe/k of
+    the index bytes regardless of how many batches built it.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.similarity import (
+        IVF_ITERS,
+        K_CELLS,
+        N_QUERIES,
+        TOP_K,
+        cosine_expr,
+        dot_expr,
+        ivf_n_cells,
+        ivf_nprobe,
+        with_unit_vector,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}"
+    index_dir = f"/root/repo/.tmp/sinks/{tag}/ivf_ingest_index"
+    ck = f"{_CHECKPOINT_ROOT}/ivf_ingest_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    n = ed.count()
+    anchor = ed.where(F.col("vec_id") < max(K_CELLS, n // IVFSTREAM_ANCHOR_DEN))
+    k_cells = ivf_n_cells(anchor.count())
+    n_probe = ivf_nprobe(k_cells)
+    model = KMeans(
+        k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+    ).fit(anchor)
+
+    # replay the corpus as ranged micro-batches through the ingest
+    ed.repartitionByRange(IVFSTREAM_FILES, "vec_id").write.mode("overwrite").parquet(
+        stage
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    assigned = model.transform(stream, "cell")
+    with _state_shuffle(spark):
+        q = (
+            assigned.writeStream.format("parquet")
+            .option("path", index_dir)
+            .option("checkpointLocation", ck)
+            .partitionBy("cell")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # probe the finished index (partition-pruned scan, the
+    # sim_ivf_persisted_probe access path)
+    cent_rows = spark.createDataFrame(
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
+        schema="cl bigint, cemb array<double>",
+    )
+    qv = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probe = (
+        qv.crossJoin(F.broadcast(cent_rows))
+        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
+            ),
+        )
+        .where(F.col("prk") <= n_probe)
+        .select("qid", F.col("cl").alias("pcell"))
+    )
+    # bounded driver state: at most N_QUERIES x nprobe probed cell ids
+    # (<= Q * ceil(sqrt(n))/6 — ~10^5 at n=10^10), the
+    # sim_ivf_persisted_probe partition-prune contract
+    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
+    idx = spark.read.parquet(index_dir).where(F.col("cell").isin(probed))
+    iu = with_unit_vector(idx, "emb", "unit")
+    qu = F.broadcast(
+        with_unit_vector(qv.withColumnRenamed("qemb", "emb"), "emb", "qunit").select(
+            "qid", "qunit"
+        )
+    )
+    scored = (
+        qu.join(F.broadcast(probe), "qid")
+        .join(
+            iu.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )

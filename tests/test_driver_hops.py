@@ -75,6 +75,7 @@ ALLOWED = {
     },
     "streaming/stream_queries.py": {
         "bounded: d^2 + d + 1 statistic cells",  # incremental-covariance final state: one flat moments vector
+        "sim_ivf_persisted_probe partition-prune contract",  # IVF ingest probe list — bounded at N_QUERIES x nprobe (~Q * ceil(sqrt(n))/6) cell ids
     },
     "ml/scaler.py": {
         "mapInPandas(run, _PACKED).collect()",  # packed per-partition stats

@@ -370,3 +370,34 @@ def test_cdf_apply_replica_batch_boundary_invariance(spark, monkeypatch):
         assert replica.exceptAll(v2).count() == 0
         assert v2.exceptAll(replica).count() == 0
     assert results[1] == results[5]
+
+
+def test_ivf_ingest_batch_boundary_invariance(spark, monkeypatch):
+    """The incrementally-built IVF index must be invariant to
+    micro-batch boundaries: cell assignment is a pure per-row function
+    of the frozen bootstrap centroids, so replaying the corpus as 1 or
+    4 batches must produce byte-identical index CONTENT (every
+    (vec_id, cell) pair) and identical probe results."""
+    import glob
+
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = f"/root/repo/.tmp/sinks/{sf.strip('/').replace('/', '_')}/ivf_ingest_index"
+    results, contents, n_files = {}, {}, {}
+    for n_batches in (1, 4):
+        monkeypatch.setattr(sq, "IVFSTREAM_FILES", n_batches)
+        rows = sq.stream_ivf_index_ingest(spark, sf).collect()
+        results[n_batches] = [tuple(r) for r in rows]
+        contents[n_batches] = sorted(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(index_dir).select("vec_id", "cell").collect()
+        )
+        n_files[n_batches] = len(
+            glob.glob(f"{index_dir}/cell=*/*.parquet")
+        )
+    assert results[1] == results[4]
+    assert contents[1] == contents[4]
+    assert len(contents[1]) == 500  # every corpus vector indexed exactly once
+    # the 4-batch run genuinely appended across multiple commits
+    assert n_files[4] > n_files[1]

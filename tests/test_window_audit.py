@@ -42,6 +42,9 @@ ALLOWED = {
     "operators/timeseries.py": {
         'Window.orderBy("dur")',  # Kaplan-Meier risk-set cumsum: input is groupBy(dur) of day-resolution lifetimes — O(distinct durations) = time-range/day, not corpus rows
     },
+    "operators/llm_pipeline.py": {
+        'Window.orderBy(F.col("rem").desc(), "lang")',  # mixture apportionment: remainder rank over ONE ROW PER LANGUAGE (value-domain cardinality, ~dozens at any corpus scale), never fact-sized
+    },
     "operators/scale_patterns.py": {
         'Window.orderBy("zkey", "l_orderkey", "l_linenumber")',  # Z-order VERIFICATION layer only (capped read-back); the production write is range-partitioned, no global window
     },
