@@ -893,3 +893,37 @@ def test_round10_hits_ranking_has_no_single_task_window(spark):
     plan = plan_of(graph_hits_hubs_authorities(spark, SF))
     bad = _windows_feed_off_single_partition(plan)
     assert not bad, f"single-task window(s): {bad}\n{plan}"
+
+
+def test_ivf_ingest_index_partition_pruning(spark):
+    """The streaming-ingested IVF index (cell-partitioned parquet dir
+    built by the file sink across micro-batches) must prune probe
+    scans to the probed cells' partition dirs exactly like the
+    batch-built persisted index — the access path cannot regress
+    because the index arrived incrementally."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.streaming import stream_queries as sq
+
+    index_dir = (
+        f"/root/repo/.tmp/sinks/{SF.strip('/').replace('/', '_')}/ivf_ingest_index"
+    )
+    if not os.path.isdir(index_dir):  # build it through the declared query
+        sq.stream_ivf_index_ingest(spark, SF).collect()
+    idx = spark.read.parquet(index_dir)
+    n_cells = idx.select("cell").distinct().count()
+    probed = [r["cell"] for r in idx.select("cell").distinct().limit(3).collect()]
+    pruned = idx.where(F.col("cell").isin(probed))
+    txt = formatted(pruned)
+    assert "PartitionFilters" in txt, txt
+    part_filters = txt.split("PartitionFilters:")[1].splitlines()[0]
+    # the IN-list must land in the scan's PARTITION filter slot (dir
+    # pruning), not the data-filter slot. (inputFiles() is computed
+    # from the unpruned file index on a raw dir read, so the plan text
+    # is the observable here — the persisted-TABLE twin above checks
+    # file counts.)
+    assert "cell" in part_filters, part_filters
+    assert pruned.count() < idx.count()  # the prune excludes real rows
+    assert n_cells > 3
