@@ -1833,3 +1833,138 @@ def sim_tfidf_df_ceiling_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.concat(F.lit(BOILERPLATE + " "), F.col("text")), " ").alias("toks"),
     )
     return _sparse_cosine_pairs_of(d)
+
+
+# ------------------------------------------ embedding drift monitor
+
+# Micro fixed-point scale for PSI terms — the dq_psi_distribution_
+# drift / chi-square discipline (aggregates.py CHI2_MICRO parity).
+EMB_PSI_MICRO = 1_000_000
+
+
+def _emb_drift_oracle() -> str:
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+tr AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 2 = 0),
+kc AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM tr),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)", src="tr", assign_src="e")},
+w AS (SELECT s.cl AS cell, s.vec_id % 2 AS pop FROM cells s),
+c AS (SELECT pop, cell, COUNT(*) AS n FROM w GROUP BY 1, 2),
+spine AS (SELECT cl AS cell FROM cent{IVF_ITERS}),
+tot AS (SELECT pop, SUM(n) AS t FROM c GROUP BY 1),
+m AS (
+  SELECT spine.cell, COALESCE(p.n, 0) AS n_ref, COALESCE(q.n, 0) AS n_cur,
+         (SELECT t FROM tot WHERE pop = 0) AS t_ref,
+         (SELECT t FROM tot WHERE pop = 1) AS t_cur,
+         (SELECT k FROM kc) AS k
+  FROM spine
+  LEFT JOIN c p ON p.cell = spine.cell AND p.pop = 0
+  LEFT JOIN c q ON q.cell = spine.cell AND q.pop = 1
+),
+k2 AS (
+  SELECT cell, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         CAST(FLOOR(
+           ((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
+            - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))
+           * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
+                / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))
+           * {EMB_PSI_MICRO}.0) AS BIGINT) AS psi_micro
+  FROM m
+)
+SELECT CAST(cell AS VARCHAR) AS cell, n_ref, n_cur, psi_micro FROM k2
+UNION ALL
+SELECT '__ALL__', CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+       CAST(SUM(psi_micro) AS BIGINT)
+FROM k2
+ORDER BY cell
+"""
+
+
+@register(
+    "dq_embedding_drift_psi",
+    tags=("dq", "ml", "similarity", "scale"),
+    oracle=_emb_drift_oracle(),
+)
+def dq_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift monitor: PSI between the reference window
+    (even ids, standing in for last month's embeddings — the even/odd
+    population split dq_psi_distribution_drift uses, density-
+    independent where an id-threshold split is not: sf1/sf10 ids are
+    sparse) and the current window (odd ids) over the LEARNED-CELL
+    histogram — k-means cells trained on the reference window (the
+    same bootstrap quantizer the IVF tiers and the streaming ingest
+    use) act as the binning that scalar PSI's value buckets can't
+    provide in 64-d space. This is
+    the production ANN-index health check: PSI > 0.25 on the cell
+    histogram means the corpus has drifted away from the cells the
+    index was trained on and the coarse quantizer needs retraining.
+
+    The DuckDB oracle re-runs the unrolled bootstrap training over the
+    reference half (the _sql_kmeans_cells src/assign_src split), so
+    the monitor's binning itself is hash-checked. Per-cell PSI terms
+    follow the dq_psi_distribution_drift discipline exactly: add-one
+    smoothing over k cells, (p-q)*ln(p/q) floored into micro
+    fixed-point, the __ALL__ row an exact bigint sum.
+
+    Scale: training is bounded by the reference window; assignment is
+    one stateless broadcast-centroid map; the only exchange after that
+    is the (pop, cell) count — ≤ 2k rows. The monitor costs one corpus
+    scan regardless of dimensionality or corpus size.
+    """
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    anchor = ed.where(F.col("vec_id") % 2 == 0)
+    k_cells = ivf_n_cells(anchor.count())
+    model = KMeans(
+        k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+    ).fit(anchor)
+    w = model.transform(ed, "cell").select(
+        F.col("cell"),
+        (F.col("vec_id") % 2).alias("pop"),
+    )
+    c = w.groupBy("pop", "cell").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.createDataFrame([(i,) for i in range(k_cells)], "cell bigint")
+    # unconditional scalar totals (the dq_psi degenerate-slice shape)
+    t_scalar = c.groupBy("pop").agg(F.sum("n").alias("t")).agg(
+        F.max(F.when(F.col("pop") == 0, F.col("t"))).alias("t_ref"),
+        F.max(F.when(F.col("pop") == 1, F.col("t"))).alias("t_cur"),
+    )
+    p = c.where(F.col("pop") == 0).select("cell", F.col("n").alias("n_ref"))
+    q = c.where(F.col("pop") == 1).select("cell", F.col("n").alias("n_cur"))
+    m = (
+        spine.join(p, "cell", "left")
+        .join(q, "cell", "left")
+        .crossJoin(F.broadcast(t_scalar))
+        .select(
+            "cell",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            "t_ref",
+            "t_cur",
+        )
+    )
+    kq = m.select(
+        "cell",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            f"CAST(FLOOR(((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
+            f" - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells})))"
+            f" * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
+            f" / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells})))"
+            f" * {EMB_PSI_MICRO}.0) AS BIGINT)"
+        ).alias("psi_micro"),
+    )
+    total = kq.agg(
+        F.lit("__ALL__").alias("cell"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.sum("psi_micro").cast("bigint").alias("psi_micro"),
+    )
+    return (
+        kq.select(F.col("cell").cast("string").alias("cell"), "n_ref", "n_cur", "psi_micro")
+        .unionByName(total)
+        .orderBy("cell")
+    )

@@ -78,6 +78,7 @@ SWEEP_PRIORITY: list[str] = [
     # budget apportionment (largest-remainder integer allocation)
     "stream_ivf_index_ingest",
     "pipe_mixture_budget_apportionment",
+    "dq_embedding_drift_psi",
     # lineage-cut rewrites (hashes pinned unchanged at three decades
     # this round; the fresh driver row re-proves it on the new code)
     "graph_bfs_shortest_path",
