@@ -716,9 +716,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per superstep, one |E|-row equi-join (neighbor label fetch)
     + one (v, lbl) groupBy + one per-node argmax window — all keyed
-    shuffles, state is one label per node. Each superstep's frontier
-    DataFrame is cached and the previous round's unpersisted (bounded
-    executor memory across rounds, the BFS discipline).
+    shuffles, state is one label per node. Each superstep's label
+    table is an eager localCheckpoint read back as a LogicalRDD (the
+    round-11 lineage-cut discipline in _lpa_run: constant-size plans,
+    previous round's blocks freed as the next materializes — the
+    fault-tolerance trade-off documented there).
     """
     e, sym, lbl, cleanup = _lpa_run(spark, sf_dir)
     out = (

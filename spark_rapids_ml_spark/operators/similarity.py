@@ -128,6 +128,41 @@ SQL_IVF_NPROBE = (
 )
 
 
+def ivf_centroid_rows(spark: SparkSession, model) -> DataFrame:
+    """The k-row (cl, cemb) centroid frame every IVF tier broadcasts —
+    one shared constructor so the schema and float64 materialization
+    stay provably identical across tiers (round-11 review)."""
+    k = len(model.centroids)
+    return spark.createDataFrame(
+        [(j, [float(v) for v in model.centroids[j]]) for j in range(k)],
+        schema="cl bigint, cemb array<double>",
+    )
+
+
+def ivf_probe(q: DataFrame, cent_rows: DataFrame, n_probe: int) -> DataFrame:
+    """(qid, pcell): the n_probe nearest cells per query by centroid
+    cosine ROUNDED to 6dp, ties broken by cl — shared by every IVF
+    tier (flat/persisted/PQ/SQ hybrids, streaming ingest). The
+    round-then-tiebreak order is LOAD-BEARING for oracle parity: the
+    DuckDB probe ranks the identically-rounded value, so a precision
+    change here must change every tier's oracle in lockstep. ``q``
+    must carry (qid, qemb); extra columns are ignored."""
+    from pyspark.sql import Window
+
+    return (
+        q.crossJoin(F.broadcast(cent_rows))
+        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
+            ),
+        )
+        .where(F.col("prk") <= n_probe)
+        .select("qid", F.col("cl").alias("pcell"))
+    )
+
+
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """<a, b> in float64 via zip_with + aggregate (codegen'd, no UDF)."""
     return F.aggregate(
@@ -700,27 +735,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's list_cosine_similarity is the established precedent)
     eu = with_unit_vector(ed, "emb", "unit")
     cells = model.transform(eu, "cell")  # (vec_id, emb, unit, cell)
-    cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
-        schema="cl bigint, cemb array<double>",
-    )
     q = eu.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
         F.col("unit").alias("qunit"),
     )
-    probe = (
-        q.crossJoin(F.broadcast(cent_rows))
-        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
-            ),
-        )
-        .where(F.col("prk") <= n_probe)
-        .select("qid", F.col("cl").alias("pcell"))
-    )
+    probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe)
     scored = (
         q.drop("qemb")
         .join(probe, "qid")
@@ -985,18 +1005,7 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qemb"),
     ).where(F.col("qid") < N_QUERIES)
-    probe = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
-            ),
-        )
-        .where(F.col("prk") <= n_probe)
-        .select("qid", F.col("cl").alias("pcell"))
-    )
+    probe = ivf_probe(q, cent, n_probe)
     # bounded driver state: at most N_QUERIES x nprobe probed cell ids
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
     # pre-normalize both sides so the pair cosine is ONE dot (the
@@ -1409,24 +1418,11 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
     cells = model.transform(ed, "cell").select("vec_id", "cell")
-    cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
-        schema="cl bigint, cemb array<double>",
-    )
     q = ed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probe = (
-        q.crossJoin(F.broadcast(cent_rows))
-        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
-            ),
-        )
-        .where(F.col("prk") <= n_probe)
-        .select(F.col("qid").alias("pqid"), F.col("cl").alias("pcell"))
+    probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe).select(
+        F.col("qid").alias("pqid"), "pcell"
     )
     # fine quantizer: PQ codes (same encoder as sim_pq_adc_topk)
     sub, cb, enc = _pq_encoded(e)
@@ -1592,24 +1588,11 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
     cells = model.transform(ed, "cell").select("vec_id", "cell")
-    cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
-        schema="cl bigint, cemb array<double>",
-    )
     q = ed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probe = (
-        q.crossJoin(F.broadcast(cent_rows))
-        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
-            ),
-        )
-        .where(F.col("prk") <= n_probe)
-        .select(F.col("qid").alias("pqid"), F.col("cl").alias("pcell"))
+    probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe).select(
+        F.col("qid").alias("pqid"), "pcell"
     )
     # fine codec: int8 scalar quantization (same quantizer as
     # sim_quantized_topk); query reconstructions ride the probe list

@@ -2128,10 +2128,11 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         K_CELLS,
         N_QUERIES,
         TOP_K,
-        cosine_expr,
         dot_expr,
+        ivf_centroid_rows,
         ivf_n_cells,
         ivf_nprobe,
+        ivf_probe,
         with_unit_vector,
     )
 
@@ -2173,26 +2174,12 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     # probe the finished index (partition-pruned scan, the
-    # sim_ivf_persisted_probe access path)
-    cent_rows = spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(k_cells)],
-        schema="cl bigint, cemb array<double>",
-    )
+    # sim_ivf_persisted_probe access path; shared centroid/probe
+    # helpers keep the rank-and-tiebreak identical across tiers)
     qv = ed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probe = (
-        qv.crossJoin(F.broadcast(cent_rows))
-        .select("qid", "cl", F.round(cosine_expr("qemb", "cemb"), 6).alias("csim"))
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cl"))
-            ),
-        )
-        .where(F.col("prk") <= n_probe)
-        .select("qid", F.col("cl").alias("pcell"))
-    )
+    probe = ivf_probe(qv, ivf_centroid_rows(spark, model), n_probe)
     # bounded driver state: at most N_QUERIES x nprobe probed cell ids
     # (<= Q * ceil(sqrt(n))/6 — ~10^5 at n=10^10), the
     # sim_ivf_persisted_probe partition-prune contract

@@ -60,20 +60,7 @@ ALLOWED = {
 }
 
 
-def _marker_matches(marker: str, flat: str) -> bool:
-    """Marker present in the flattened text at an identifier boundary
-    on both ends (so 'nt.xxx(nc)' can never be satisfied by
-    'giant.xxx(nc)', and 'f(sa)' never by 'f(sab)')."""
-    m = " ".join(marker.split())
-    for match in re.finditer(re.escape(m), flat):
-        s, e = match.start(), match.end()
-        pre_ok = s == 0 or not (flat[s - 1].isalnum() or flat[s - 1] == "_")
-        post_ok = e == len(flat) or not (
-            (flat[e].isalnum() or flat[e] == "_") and (m[-1].isalnum() or m[-1] == "_")
-        )
-        if pre_ok and post_ok:
-            return True
-    return False
+from tests.audit_util import marker_matches as _marker_matches  # noqa: E402
 
 
 def _collect_agg_sites(tree: ast.AST, src: str):

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import ast
 import os
-import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -83,20 +82,7 @@ def _arg_is_broadcast(node: ast.expr) -> bool:
             return False
 
 
-def _marker_matches(marker: str, flat: str) -> bool:
-    """Marker present in the flattened text at an identifier boundary
-    (so a future `giant.crossJoin(nc)` can never ride the allowlisted
-    `nt.crossJoin(nc)` as a substring — round-10 advice)."""
-    m = " ".join(marker.split())
-    for match in re.finditer(re.escape(m), flat):
-        s, e = match.start(), match.end()
-        pre_ok = s == 0 or not (flat[s - 1].isalnum() or flat[s - 1] == "_")
-        post_ok = e == len(flat) or not (
-            (flat[e].isalnum() or flat[e] == "_") and (m[-1].isalnum() or m[-1] == "_")
-        )
-        if pre_ok and post_ok:
-            return True
-    return False
+from tests.audit_util import marker_matches as _marker_matches  # noqa: E402
 
 
 def _crossjoin_calls(tree: ast.AST):

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import ast
 import os
-import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -55,20 +54,7 @@ ALLOWED = {
 }
 
 
-def _marker_matches(marker: str, flat: str) -> bool:
-    """Marker present in the flattened text at an identifier boundary
-    (bare substring containment would let a new violating site ride an
-    existing marker as a substring — round-10 advice)."""
-    m = " ".join(marker.split())
-    for match in re.finditer(re.escape(m), flat):
-        s, e = match.start(), match.end()
-        pre_ok = s == 0 or not (flat[s - 1].isalnum() or flat[s - 1] == "_")
-        post_ok = e == len(flat) or not (
-            (flat[e].isalnum() or flat[e] == "_") and (m[-1].isalnum() or m[-1] == "_")
-        )
-        if pre_ok and post_ok:
-            return True
-    return False
+from tests.audit_util import marker_matches as _marker_matches  # noqa: E402
 
 
 def _receiver_chain_root(node: ast.expr) -> ast.expr:
