@@ -102,6 +102,15 @@ SAMPLED = [
     "agg_spearman_rank_corr",
     "text_rake_keywords",
     "events_funnel_time_to_convert",
+    # round 11: the composed IVF tiers (learned cells + int8 codec /
+    # streaming partitioned ingest — assignment is a pure per-row map
+    # of frozen centroids, scores 6dp-rounded before any tie-break),
+    # the learned-cell PSI histogram (integer counts + fixed-order
+    # ln), and the all-bigint Hamilton apportionment
+    "sim_ivf_sq_hybrid_topk",
+    "stream_ivf_index_ingest",
+    "dq_embedding_drift_psi",
+    "pipe_mixture_budget_apportionment",
 ]
 
 
