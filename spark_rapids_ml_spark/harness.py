@@ -5,6 +5,35 @@ on the same parquet tables, then compare row count, column names, and
 an order-insensitive value comparison (sorted by all columns). Used
 by pytest so every operator is validated the same way the driver
 validates it (CORRECTNESS_r{N}.json).
+
+Two compare modes:
+
+* ``pandas`` — the original driver-replica: collect BOTH results to
+  the driver, normalize (sorted column names, floats at 6dp,
+  stringified), sort rows, compare cell-by-cell. Exact and great for
+  diagnostics, but the collect is O(result) driver memory/time — a
+  9.5M-row result at sf10 takes tens of minutes to hash.
+* ``digest`` — distributed: each engine reduces its own result to ONE
+  row — ``(count, sum(h1), sum(h2))`` where h1/h2 are two independent
+  60-bit integers taken from md5 of a canonical per-row string — so
+  only O(1) crosses to the driver on either side. The canonical string
+  keeps the same conventions as the pandas mode (sorted column names,
+  6dp float tolerance, order-insensitive multiset compare via the
+  commutative sum) but avoids cross-engine printf: floats canonicalize
+  through ``floor(x*1e6 + 0.5)`` — IEEE multiply/add/floor are
+  correctly rounded and bit-identical in the JVM and DuckDB, unlike
+  ``%.6f`` which rounds on the exact binary value in Java but on the
+  shortest decimal repr in DuckDB's fmt (observed: 5e-07 formats to
+  0.000001 vs 0.000000). A false PASS needs a 2^-120 md5-sum
+  collision; mode-equivalence vs the pandas compare is pinned over the
+  full catalog by tools/pin_compare_modes.py.
+* ``auto`` (default) — run digest; on digest PASS, done. On digest
+  mismatch with a small result (<= SPARK_GRAFT_COMPARE_FALLBACK_ROWS,
+  default 200k), re-run the pandas compare as the authoritative
+  verdict with row-level diagnostics.
+
+Select with SPARK_GRAFT_COMPARE_MODE=auto|digest|pandas or the
+``mode=`` kwarg.
 """
 
 from __future__ import annotations
@@ -15,7 +44,9 @@ from typing import Any
 
 import duckdb
 import pandas as pd
-from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from spark_rapids_ml_spark.registry import QuerySpec
 from spark_rapids_ml_spark.sources.catalog import TABLES, table_path
@@ -64,10 +95,186 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
-def compare(
+# ---------------------------------------------------------------------------
+# Digest mode: O(1)-to-driver distributed compare.
+# Canonical per-row string -> md5 -> two 60-bit terms -> commutative sum.
+# Float canon uses magnitude tiers so the scaled value always fits a
+# 64-bit integer; tier arithmetic is *, /, abs, floor, comparisons —
+# all exact or correctly-rounded IEEE ops, hence bit-identical across
+# the JVM and DuckDB (no printf, no log, no decimal parsing).
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"
+_NULL = "\x02N"  # per-column null sentinel (pre-coalesce, can't collide)
+
+# |x| tier bounds; scaled |value| stays < 8e18 < 2^63 in every tier.
+_TIERS = (("S", 8e12, 1e6, "*"), ("M", 8e18, 1e6, "/"), ("L", 8e30, 1e18, "/"),
+          ("H", float("inf"), 1e294, "/"))
+
+
+def _classify_spark(dt: T.DataType) -> str:
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.StringType):
+        return "str"
+    return "other"
+
+
+def _classify_duck(typ: str) -> str:
+    base = typ.split("(")[0].upper()
+    if base in ("DOUBLE", "FLOAT", "REAL", "DECIMAL"):
+        return "float"
+    if base in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+                "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return "int"
+    if base == "VARCHAR":
+        return "str"
+    return "other"
+
+
+def _canon_spark(name: str, cls: str):
+    c = F.col(name)
+    if cls == "float":
+        x = c.cast("double")
+        expr = (
+            F.when(F.isnan(x), F.lit("nan"))
+            .when(x == float("inf"), F.lit("inf"))
+            .when(x == float("-inf"), F.lit("-inf"))
+        )
+        for tag, bound, scale, op in _TIERS:
+            scaled = x * scale if op == "*" else x / scale
+            # Spark floor(double) returns BIGINT directly.
+            term = F.concat(F.lit(tag), F.floor(scaled + F.lit(0.5)).cast("string"))
+            expr = expr.when(F.abs(x) < bound, term) if bound != float("inf") else (
+                expr.otherwise(term)
+            )
+        return F.coalesce(F.when(c.isNull(), F.lit(None)).otherwise(expr), F.lit(_NULL))
+    if cls == "str":
+        return F.coalesce(c, F.lit(_NULL))
+    # int and any fallback: exact decimal string via cast.
+    return F.coalesce(c.cast("string"), F.lit(_NULL))
+
+
+def _canon_duck(name: str, cls: str) -> str:
+    q = '"' + name.replace('"', '""') + '"'
+    if cls == "float":
+        x = f"CAST({q} AS DOUBLE)"
+        branches = [
+            f"WHEN isnan({x}) THEN 'nan'",
+            f"WHEN {x} = 'infinity'::DOUBLE THEN 'inf'",
+            f"WHEN {x} = '-infinity'::DOUBLE THEN '-inf'",
+        ]
+        for tag, bound, scale, op in _TIERS:
+            scaled = f"{x} {'*' if op == '*' else '/'} {scale!r}"
+            term = f"'{tag}' || CAST(CAST(floor(({scaled}) + 0.5) AS BIGINT) AS VARCHAR)"
+            if bound == float("inf"):
+                branches.append(f"ELSE {term}")
+            else:
+                branches.append(f"WHEN abs({x}) < {bound!r} THEN {term}")
+        case = "CASE " + " ".join(branches) + " END"
+        return f"coalesce(CASE WHEN {q} IS NULL THEN NULL ELSE {case} END, '{_NULL}')"
+    if cls == "str":
+        return f"coalesce({q}, '{_NULL}')"
+    return f"coalesce(CAST({q} AS VARCHAR), '{_NULL}')"
+
+
+def _digest_spark(sdf: DataFrame) -> tuple[int, int | None, int | None]:
+    cols = sorted(sdf.columns)
+    classes = {f.name: _classify_spark(f.dataType) for f in sdf.schema.fields}
+    row = F.concat_ws(_SEP, *[_canon_spark(c, classes[c]) for c in cols])
+    m = F.md5(row)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("decimal(38,0)")
+    h2 = F.conv(F.substring(m, 17, 15), 16, 10).cast("decimal(38,0)")
+    n, s1, s2 = sdf.select(
+        F.count(F.lit(1)), F.sum(h1), F.sum(h2)
+    ).first()
+    return int(n), None if s1 is None else int(s1), None if s2 is None else int(s2)
+
+
+def _digest_duck(
+    con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> tuple[int, int | None, int | None, list[str]]:
+    desc = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    classes = {d[0]: _classify_duck(d[1]) for d in desc}
+    cols = sorted(classes)
+    canon = ", ".join(_canon_duck(c, classes[c]) for c in cols)
+    chr_sep = f"chr({ord(_SEP)})"
+    q = f"""
+    WITH __r AS (SELECT md5(concat_ws({chr_sep}, {canon})) AS m
+                 FROM ({oracle_sql}))
+    SELECT count(*),
+           sum(CAST(CAST('0x' || substr(m, 1, 15) AS UBIGINT) AS HUGEINT)),
+           sum(CAST(CAST('0x' || substr(m, 17, 15) AS UBIGINT) AS HUGEINT))
+    FROM __r
+    """
+    n, s1, s2 = con.execute(q).fetchone()
+    return int(n), None if s1 is None else int(s1), None if s2 is None else int(s2), cols
+
+
+def _compare_digest(
     spark: SparkSession, spec: QuerySpec, sf_dir: str
 ) -> tuple[bool, dict[str, Any]]:
-    """Run spark query vs oracle; return (match, details)."""
+    from spark_rapids_ml_spark.operators.dedup import release_caches
+
+    sdf = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        n = sdf.count()
+        release_caches()
+        return n >= 0, {"rows": n, "oracle": "none", "mode": "digest"}
+    sn, sh1, sh2 = _digest_spark(sdf)
+    release_caches()
+    con = duckdb_connect(sf_dir)
+    try:
+        on, oh1, oh2, ocols = _digest_duck(con, spec.oracle)
+    finally:
+        con.close()
+    details: dict[str, Any] = {"spark_rows": sn, "oracle_rows": on, "mode": "digest"}
+    if sn != on:
+        return False, {**details, "why": "row count"}
+    scols = sorted(sdf.columns)
+    if scols != ocols:
+        return False, {**details, "why": "columns", "spark_cols": scols,
+                       "oracle_cols": ocols}
+    if (sh1, sh2) != (oh1, oh2):
+        return False, {**details, "why": "values",
+                       "spark_digest": [sh1, sh2], "oracle_digest": [oh1, oh2]}
+    return True, details
+
+
+def compare(
+    spark: SparkSession, spec: QuerySpec, sf_dir: str, mode: str | None = None
+) -> tuple[bool, dict[str, Any]]:
+    """Run spark query vs oracle; return (match, details).
+
+    mode: "pandas" (driver-replica row compare), "digest" (O(1)-to-
+    driver distributed hash compare), or "auto" (digest, with a pandas
+    re-check on mismatch for small results). Default from
+    SPARK_GRAFT_COMPARE_MODE, else "auto".
+    """
+    mode = mode or os.environ.get("SPARK_GRAFT_COMPARE_MODE", "auto")
+    if mode not in ("pandas", "digest", "auto"):
+        raise ValueError(f"unknown compare mode {mode!r}")
+    if mode in ("digest", "auto"):
+        ok, details = _compare_digest(spark, spec, sf_dir)
+        if ok or mode == "digest":
+            return ok, details
+        fallback_rows = int(os.environ.get("SPARK_GRAFT_COMPARE_FALLBACK_ROWS", "200000"))
+        if max(details.get("spark_rows", 0), details.get("oracle_rows", 0)) > fallback_rows:
+            return ok, details
+        # Small result: the pandas compare is authoritative and gives
+        # row-level diagnostics (and absorbs any canon edge the digest
+        # convention treats more strictly).
+        ok2, d2 = _compare_pandas(spark, spec, sf_dir)
+        return ok2, {**d2, "digest_details": details}
+    return _compare_pandas(spark, spec, sf_dir)
+
+
+def _compare_pandas(
+    spark: SparkSession, spec: QuerySpec, sf_dir: str
+) -> tuple[bool, dict[str, Any]]:
+    """Driver-replica compare: collect both results, normalize, diff."""
     from spark_rapids_ml_spark.operators.dedup import release_caches
 
     sdf = spec.fn(spark, sf_dir).toPandas()

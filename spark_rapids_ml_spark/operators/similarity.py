@@ -908,7 +908,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eu = with_unit_vector(ed, "emb", "unit")
     qe = F.broadcast(
-        eu.select(F.col("vec_id").alias("qid"), F.col("unit").alias("qunit"))
+        eu.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
+        )
     )
     rer = (
         cand.join(qe, "qid")
@@ -1619,7 +1621,9 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eu = with_unit_vector(ed, "emb", "unit")
     qe = F.broadcast(
-        eu.select(F.col("vec_id").alias("qid"), F.col("unit").alias("qunit"))
+        eu.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
+        )
     )
     rer = (
         cand.join(qe, "qid")
@@ -1846,11 +1850,11 @@ m AS (
 ),
 k2 AS (
   SELECT cell, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-         CAST(FLOOR(
+         CAST(FLOOR(ROUND(
            ((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
             - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))
            * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
-                / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))
+                / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))), 9)
            * {EMB_PSI_MICRO}.0) AS BIGINT) AS psi_micro
   FROM m
 )
@@ -1932,11 +1936,15 @@ def dq_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "n_ref",
         "n_cur",
+        # ROUND(term, 9) before the micro-floor absorbs sub-ulp ln()
+        # differences between java.lang.Math.log and libm log that
+        # could otherwise flip FLOOR at an exact integer boundary
+        # (same guard in the oracle; ADVICE r11)
         F.expr(
-            f"CAST(FLOOR(((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
+            f"CAST(FLOOR(ROUND(((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
             f" - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells})))"
             f" * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
-            f" / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells})))"
+            f" / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells}))), 9)"
             f" * {EMB_PSI_MICRO}.0) AS BIGINT)"
         ).alias("psi_micro"),
     )

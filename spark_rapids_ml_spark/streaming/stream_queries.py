@@ -2172,6 +2172,12 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # the index dir must outlive this call (probe below + the plan and
+    # batch-boundary tests read it), but the checkpoint and the staged
+    # replay source are per-invocation scratch — remove them so
+    # repeated sweeps don't accumulate uuid-suffixed state
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
 
     # probe the finished index (partition-pruned scan, the
     # sim_ivf_persisted_probe access path; shared centroid/probe

@@ -901,7 +901,7 @@ def test_ivf_ingest_index_partition_pruning(spark):
     scans to the probed cells' partition dirs exactly like the
     batch-built persisted index — the access path cannot regress
     because the index arrived incrementally."""
-    import os
+    import shutil
 
     import pyspark.sql.functions as F
 
@@ -910,8 +910,12 @@ def test_ivf_ingest_index_partition_pruning(spark):
     index_dir = (
         f"/root/repo/.tmp/sinks/{SF.strip('/').replace('/', '_')}/ivf_ingest_index"
     )
-    if not os.path.isdir(index_dir):  # build it through the declared query
-        sq.stream_ivf_index_ingest(spark, SF).collect()
+    # hermeticity: always rebuild through the declared query so the
+    # plan assertion exercises the CURRENT ingest code, not an index
+    # left on disk by an older run or by the batch-boundary test's
+    # monkeypatched IVFSTREAM_FILES (ADVICE r11)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sq.stream_ivf_index_ingest(spark, SF).collect()
     idx = spark.read.parquet(index_dir)
     n_cells = idx.select("cell").distinct().count()
     probed = [r["cell"] for r in idx.select("cell").distinct().limit(3).collect()]
