@@ -564,6 +564,7 @@ def _sql_kmeans_cells(
     k_sql: str | None = None,
     src: str = "e",
     assign_src: str | None = None,
+    prefix: str = "",
 ) -> str:
     """CTE chain recomputing ml/kmeans.py's EXACT training run in SQL:
     seed centroids = the k smallest vec_ids, then `iters` unrolled
@@ -605,6 +606,13 @@ def _sql_kmeans_cells(
     (train the coarse quantizer on the anchor slice, assign the whole
     corpus).
 
+    ``prefix`` namespaces the generated CTEs (``{prefix}cent{{i}}``,
+    ``{prefix}a{{i}}``, ``{prefix}cells``) so TWO independent training
+    runs can coexist in one oracle — the drift-gated retrain lifecycle
+    needs the v1 (reference-trained) and v2 (current-trained) chains
+    side by side. The default "" keeps every existing oracle
+    byte-identical.
+
     The argmin is the two-pass MIN(dist) + MIN(cl)-at-the-min form,
     NOT a ROW_NUMBER window: both pick the smallest cl attaining the
     minimum (numpy-argmin tiebreak, load-bearing because duplicated
@@ -614,19 +622,20 @@ def _sql_kmeans_cells(
     recompute in the tiebreak pass compares equal by construction
     (same expression over the same operands)."""
     asrc = assign_src or src
+    p = prefix
     if k_sql is not None:
         cent0 = (
-            "cent0 AS MATERIALIZED (SELECT rnk - 1 AS cl, cemb FROM ("
+            f"{p}cent0 AS MATERIALIZED (SELECT rnk - 1 AS cl, cemb FROM ("
             f"SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk, emb AS cemb FROM {src}"
             f") WHERE rnk <= {k_sql})"
         )
     elif seed_by_rank:
         cent0 = (
-            "cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
+            f"{p}cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
             f"emb AS cemb FROM (SELECT vec_id, emb FROM {src} ORDER BY vec_id LIMIT {k}))"
         )
     else:
-        cent0 = f"cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM {src} WHERE vec_id < {k})"
+        cent0 = f"{p}cent0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cemb FROM {src} WHERE vec_id < {k})"
     parts = [cent0]
     assign = """
 {name} AS MATERIALIZED (
@@ -641,21 +650,21 @@ def _sql_kmeans_cells(
   ) am JOIN {src} ON {src}.vec_id = am.vec_id
 )"""
     for i in range(iters):
-        parts.append(assign.format(name=f"a{i}", cent=f"cent{i}", src=src))
+        parts.append(assign.format(name=f"{p}a{i}", cent=f"{p}cent{i}", src=src))
         parts.append(f"""
-cent{i + 1} AS MATERIALIZED (
+{p}cent{i + 1} AS MATERIALIZED (
   SELECT c.cl, COALESCE(m.memb, c.cemb) AS cemb
-  FROM cent{i} c LEFT JOIN (
+  FROM {p}cent{i} c LEFT JOIN (
     SELECT cl, list(avgv ORDER BY pos) AS memb FROM (
       SELECT a.cl, u.pos, AVG(u.val) AS avgv
-      FROM a{i} a CROSS JOIN LATERAL (
+      FROM {p}a{i} a CROSS JOIN LATERAL (
         SELECT unnest(generate_series(1, len(emb))), unnest(emb)
       ) u(pos, val)
       GROUP BY a.cl, u.pos
     ) GROUP BY cl
   ) m ON m.cl = c.cl
 )""")
-    parts.append(assign.format(name="cells", cent=f"cent{iters}", src=asrc))
+    parts.append(assign.format(name=f"{p}cells", cent=f"{p}cent{iters}", src=asrc))
     return ",".join(parts)
 
 
@@ -873,56 +882,102 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 codes shrink the index 8x (64 bytes/vector); the coarse scan
     ranks by dot product of DEQUANTIZED reconstructions (equivalent to
     the integer-dot + affine-correction a production scorer uses),
-    keeps 4k candidates, then re-ranks exactly. Measured recall@5 =
-    1.0 on this corpus (reconstruction error ~1.4e-3 per element —
-    gate in tests/test_quality.py).
+    keeps QUANT_CAND candidates, then re-ranks exactly. Measured
+    recall@5 = 1.0 on this corpus (reconstruction error ~1.4e-3 per
+    element — gate in tests/test_quality.py).
 
-    Scale: stats are one d-row aggregate; codes are a linear map
-    (broadcast stats); the quantized scan is the same broadcast-Q×N
-    shape as brute force but over 8x smaller data — the tier trades
-    MEMORY, not comparisons: the coarse pass is still a linear O(N·Q)
-    scan by design, and sub-linear candidate generation is what the
-    LSH/IVF tiers alongside are for. At 100 TB this is the tier that
-    keeps the index in memory. Quantizer arithmetic is
-    bit-identical cross-engine (three FP ops on identical doubles +
-    floor), so even the codes themselves are hash-checkable."""
+    The coarse scan is ONE Arrow-batched numpy kernel per partition
+    (the _signatures_df / ml/pca.py batched discipline): dequantize
+    the batch, (rows, d) @ (d, Q) against the driver-reconstructed
+    query matrix, and keep only each partition's top-QUANT_CAND per
+    query (any global top-QUANT_CAND candidate is in its partition's
+    local top). Round 11 measured the interpreted zip_with form at
+    45.8 s vs 39.9 s brute at sf10 — the Q·N higher-order folds AND
+    the Q·N-row shuffle into the candidate window dominated; the
+    batched kernel does the same float64 arithmetic with two orders
+    of magnitude fewer interpreter dispatches and ships only
+    O(partitions · Q · QUANT_CAND) rows to the global window.
+
+    TIER SELECTION: this tier stays a deliberate O(N·Q) linear scan —
+    it is the memory codec and the re-rank stage of the hybrid; for
+    sub-linear candidate generation above ~sf1 use
+    sim_ivf_sq_hybrid_topk (learned-cell prune + this tier's int8
+    coarse scan + exact re-rank; RECALL_r11.json).
+
+    Scale: stats are one d-row aggregate; the query matrix is Q·d
+    driver doubles (bounded like the k-means centroids), shipped as
+    closure constants. Quantizer arithmetic is the same three FP ops
+    + floor on identical doubles in both engines; candidate-boundary
+    agreement with the oracle's SUM-ordered dots rests on |dot|
+    staying far above 6dp boundaries (the matmul-vs-fold argument at
+    _hyperplanes; the FINAL cosine always comes from the exact
+    re-rank)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    rv = _sq_reconstructed(ed)
-    qrv = F.broadcast(
-        rv.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("rv").alias("qrv")
-        )
+    # per-dimension min/max stats: d rows of bounded driver state,
+    # op-order-identical to the oracle's stats CTE (_sq_reconstructed)
+    stats = (
+        ed.select(F.posexplode("emb").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .orderBy("pos")
+        .collect()
     )
-    score = (
-        qrv.join(rv, F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(dot_expr("qrv", "rv"), 6).alias("qscore"))
+    mins = np.array([r["mn"] for r in stats], dtype=np.float64)
+    dens = np.array(
+        [r["mx"] - r["mn"] if r["mx"] > r["mn"] else 1.0 for r in stats],
+        dtype=np.float64,
     )
+    lv = float(QUANT_LEVELS)
+    qrows = (
+        ed.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )  # Q rows — bounded driver state (the query workload itself)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in qrows])
+    # reconstruct queries with the SAME op order as the oracle's qv
+    # CTE: mn + LEAST(lv, FLOOR((v-mn)*lv/den)) * den / lv
+    qrec = mins + np.minimum(lv, np.floor((qmat - mins) * lv / dens)) * dens / lv
+
+    def coarse_scan(batches):
+        nq = len(qids)
+        acc_v = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        acc_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            rec = mins + np.minimum(lv, np.floor((x - mins) * lv / dens)) * dens / lv
+            s = rec @ qrec.T  # (rows, Q)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            s[vid[:, None] == qids[None, :]] = -np.inf  # self-pairs out
+            for j in range(nq):
+                keep = np.isfinite(s[:, j])
+                v = np.concatenate([acc_v[j], vid[keep]])
+                raw = np.concatenate([acc_s[j], s[keep, j]])
+                # trim to the running local top by (rounded desc,
+                # vec_id asc) — the candidate window's exact ordering
+                order = np.lexsort((v, -np.round(raw, 6)))[:QUANT_CAND]
+                acc_v[j], acc_s[j] = v[order], raw[order]
+        if sum(len(v) for v in acc_v):
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, [len(v) for v in acc_v]),
+                    "vec_id": np.concatenate(acc_v),
+                    "qscore": np.concatenate(acc_s),
+                }
+            )
+
+    local = ed.mapInPandas(coarse_scan, "qid bigint, vec_id bigint, qscore double")
+    score = local.select("qid", "vec_id", F.round("qscore", 6).alias("qscore"))
     wc = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), F.col("vec_id"))
     cand = (
         score.withColumn("crk", F.row_number().over(wc))
         .where(F.col("crk") <= QUANT_CAND)
         .select("qid", "vec_id")
     )
-    eu = with_unit_vector(ed, "emb", "unit")
-    qe = F.broadcast(
-        eu.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
-        )
-    )
-    rer = (
-        cand.join(qe, "qid")
-        .join(eu.select("vec_id", "unit"), "vec_id")
-        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        rer.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("qid", "rk")
-    )
+    return _rerank_topk(cand, e)
 
 
 def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1827,6 +1882,25 @@ def sim_tfidf_df_ceiling_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Micro fixed-point scale for PSI terms — the dq_psi_distribution_
 # drift / chi-square discipline (aggregates.py CHI2_MICRO parity).
 EMB_PSI_MICRO = 1_000_000
+# Retraining gate on the TOTAL cell-histogram PSI (the classic 0.25
+# "significant shift" threshold, in micro fixed-point): above it the
+# drift-retrain lifecycle retrains the coarse quantizer on the current
+# window and rebuilds the index.
+PSI_RETRAIN_MICRO = 250_000
+
+
+def psi_micro_sql(k: str) -> str:
+    """The per-cell PSI term in micro fixed-point, as ONE shared SQL
+    string (valid in both Spark SQL and DuckDB) so the drift monitor
+    and the retrain lifecycle can't drift apart: add-one smoothing
+    over ``k`` cells, (p-q)*ln(p/q), ROUND(.,9) guard (absorbs sub-ulp
+    ln() differences between java.lang.Math.log and libm before the
+    floor — ADVICE r11), then FLOOR into micro units. Expects columns
+    n_ref, n_cur, t_ref, t_cur in scope; ``k`` is a SQL expression for
+    the cell count."""
+    p = f"(CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k}))"
+    q = f"(CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k}))"
+    return f"CAST(FLOOR(ROUND(({p} - {q}) * ln({p} / {q}), 9) * {EMB_PSI_MICRO}.0) AS BIGINT)"
 
 
 def _emb_drift_oracle() -> str:
@@ -1850,12 +1924,7 @@ m AS (
 ),
 k2 AS (
   SELECT cell, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-         CAST(FLOOR(ROUND(
-           ((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
-            - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))
-           * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
-                / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))), 9)
-           * {EMB_PSI_MICRO}.0) AS BIGINT) AS psi_micro
+         {psi_micro_sql("k")} AS psi_micro
   FROM m
 )
 SELECT CAST(cell AS VARCHAR) AS cell, n_ref, n_cur, psi_micro FROM k2
@@ -1936,17 +2005,9 @@ def dq_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "n_ref",
         "n_cur",
-        # ROUND(term, 9) before the micro-floor absorbs sub-ulp ln()
-        # differences between java.lang.Math.log and libm log that
-        # could otherwise flip FLOOR at an exact integer boundary
-        # (same guard in the oracle; ADVICE r11)
-        F.expr(
-            f"CAST(FLOOR(ROUND(((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
-            f" - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells})))"
-            f" * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + {k_cells}))"
-            f" / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {k_cells}))), 9)"
-            f" * {EMB_PSI_MICRO}.0) AS BIGINT)"
-        ).alias("psi_micro"),
+        # the ONE shared PSI term (psi_micro_sql — valid Spark SQL and
+        # DuckDB alike, ROUND(.,9) ln-ulp guard included)
+        F.expr(psi_micro_sql(str(k_cells))).alias("psi_micro"),
     )
     total = kq.agg(
         F.lit("__ALL__").alias("cell"),

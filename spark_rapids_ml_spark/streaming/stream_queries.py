@@ -2040,6 +2040,86 @@ IVFSTREAM_FILES = 4  # micro-batches the corpus replays as
 IVFSTREAM_ANCHOR_DEN = 4  # bootstrap slice: first 1/4 of ids (floor K_CELLS)
 
 
+def _stream_build_cell_index(spark: SparkSession, df, model, stage: str,
+                             index_dir: str, ck: str) -> None:
+    """The streaming ANN ingest core, shared by stream_ivf_index_ingest
+    and the drift-retrain lifecycle: replay ``df`` (vec_id, emb) as
+    IVFSTREAM_FILES ranged micro-batches; cell-assign each batch by the
+    BROADCAST centroids (stateless pandas-UDF map — no state store);
+    land in the cell-PARTITIONED parquet ``index_dir`` via the native
+    streaming file sink, whose _spark_metadata transaction log makes
+    ingest EXACTLY-ONCE under retry. The per-invocation checkpoint and
+    stage dirs are removed afterwards; the index dir remains (probes
+    and the plan/semantics tests read it)."""
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    df.repartitionByRange(IVFSTREAM_FILES, "vec_id").write.mode("overwrite").parquet(
+        stage
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    assigned = model.transform(stream, "cell")
+    with _state_shuffle(spark):
+        q = (
+            assigned.writeStream.format("parquet")
+            .option("path", index_dir)
+            .option("checkpointLocation", ck)
+            .partitionBy("cell")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _probe_cell_index(spark: SparkSession, qv, model, index_dir: str,
+                      n_probe: int) -> DataFrame:
+    """Probe a cell-partitioned on-disk index: nprobe nearest cells per
+    query (shared ivf_probe rank-and-tiebreak), PARTITION-PRUNED scan
+    of only the probed cell dirs, exact cosine re-rank to TOP_K.
+    ``qv`` carries (qid, qemb). The one driver collect is the probed-
+    cell id set — bounded by Q x nprobe cell ids (the
+    sim_ivf_persisted_probe partition-prune contract)."""
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.similarity import (
+        TOP_K,
+        dot_expr,
+        ivf_centroid_rows,
+        ivf_probe,
+        with_unit_vector,
+    )
+
+    probe = ivf_probe(qv, ivf_centroid_rows(spark, model), n_probe)
+    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
+    idx = spark.read.parquet(index_dir).where(F.col("cell").isin(probed))
+    iu = with_unit_vector(idx, "emb", "unit")
+    qu = F.broadcast(
+        with_unit_vector(qv.withColumnRenamed("qemb", "emb"), "emb", "qunit").select(
+            "qid", "qunit"
+        )
+    )
+    scored = (
+        qu.join(F.broadcast(probe), "qid")
+        .join(
+            iu.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
 def _ivf_ingest_oracle() -> str:
     from spark_rapids_ml_spark.operators.similarity import (
         _SQL_E,
@@ -2118,96 +2198,279 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink manifest makes restarts idempotent. Probes pay nprobe/k of
     the index bytes regardless of how many batches built it.
     """
-    import shutil
-
-    from pyspark.sql import Window
-
     from spark_rapids_ml_spark.ml.kmeans import KMeans
     from spark_rapids_ml_spark.operators.similarity import (
         IVF_ITERS,
         K_CELLS,
         N_QUERIES,
-        TOP_K,
-        dot_expr,
-        ivf_centroid_rows,
         ivf_n_cells,
         ivf_nprobe,
-        ivf_probe,
-        with_unit_vector,
     )
 
     tag = sf_dir.strip("/").replace("/", "_")
     stage = f"/root/repo/.tmp/stream_src_ivf/{tag}"
     index_dir = f"/root/repo/.tmp/sinks/{tag}/ivf_ingest_index"
     ck = f"{_CHECKPOINT_ROOT}/ivf_ingest_{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(index_dir, ignore_errors=True)
 
     e = load(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     n = ed.count()
     anchor = ed.where(F.col("vec_id") < max(K_CELLS, n // IVFSTREAM_ANCHOR_DEN))
     k_cells = ivf_n_cells(anchor.count())
-    n_probe = ivf_nprobe(k_cells)
     model = KMeans(
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(anchor)
 
-    # replay the corpus as ranged micro-batches through the ingest
-    ed.repartitionByRange(IVFSTREAM_FILES, "vec_id").write.mode("overwrite").parquet(
-        stage
-    )
-    schema = spark.read.parquet(stage).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
-    )
-    assigned = model.transform(stream, "cell")
-    with _state_shuffle(spark):
-        q = (
-            assigned.writeStream.format("parquet")
-            .option("path", index_dir)
-            .option("checkpointLocation", ck)
-            .partitionBy("cell")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # the index dir must outlive this call (probe below + the plan and
-    # batch-boundary tests read it), but the checkpoint and the staged
-    # replay source are per-invocation scratch — remove them so
-    # repeated sweeps don't accumulate uuid-suffixed state
-    shutil.rmtree(ck, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
-
-    # probe the finished index (partition-pruned scan, the
+    # replay the corpus as ranged micro-batches through the ingest,
+    # then probe the finished index (partition-pruned scan, the
     # sim_ivf_persisted_probe access path; shared centroid/probe
     # helpers keep the rank-and-tiebreak identical across tiers)
+    _stream_build_cell_index(spark, ed, model, stage, index_dir, ck)
     qv = ed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probe = ivf_probe(qv, ivf_centroid_rows(spark, model), n_probe)
-    # bounded driver state: at most N_QUERIES x nprobe probed cell ids
-    # (<= Q * ceil(sqrt(n))/6 — ~10^5 at n=10^10), the
-    # sim_ivf_persisted_probe partition-prune contract
-    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
-    idx = spark.read.parquet(index_dir).where(F.col("cell").isin(probed))
-    iu = with_unit_vector(idx, "emb", "unit")
-    qu = F.broadcast(
-        with_unit_vector(qv.withColumnRenamed("qemb", "emb"), "emb", "qunit").select(
-            "qid", "qunit"
+    return _probe_cell_index(spark, qv, model, index_dir, ivf_nprobe(k_cells))
+
+
+# ------------------------------- drift-gated retrain lifecycle (ANN)
+
+# The drift simulated by the declared query: the current window is
+# translated by +ANN_DRIFT_SHIFT per dimension (one exact FP add,
+# identical in both engines). Translation preserves all pairwise
+# Euclidean structure — k-means on the shifted window clusters
+# identically to the unshifted one — but moves the cloud far from the
+# reference-trained centroids, so the cell HISTOGRAM collapses and PSI
+# trips the retrain gate, exactly the "new corpus from a different
+# domain" event the lifecycle exists for. tests/test_streaming_
+# semantics.py runs the same lifecycle with shift=0.0 (the natural
+# even/odd split, no drift) and pins that the gate does NOT fire and
+# the v1 quantizer is reused byte-for-byte.
+ANN_DRIFT_SHIFT = 1.0
+
+
+def _ann_lifecycle_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import (
+        _SQL_E,
+        _sql_kmeans_cells,
+        psi_micro_sql,
+        IVF_CELL_FLOOR,
+        IVF_ITERS,
+        IVF_NPROBE,
+        IVF_PROBE_DEN,
+        N_QUERIES,
+        PSI_RETRAIN_MICRO,
+        TOP_K,
+    )
+
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+ref AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 0),
+cur AS MATERIALIZED (
+  SELECT vec_id, list_transform(emb, x -> x + {ANN_DRIFT_SHIFT}) AS emb
+  FROM e WHERE vec_id % 2 = 1),
+refcur AS MATERIALIZED (SELECT * FROM ref UNION ALL SELECT * FROM cur),
+kc1 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ref),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc1)", src="ref", assign_src="refcur", prefix="v1_")},
+w AS (SELECT s.cl AS cell, s.vec_id % 2 AS pop FROM v1_cells s),
+c AS (SELECT pop, cell, COUNT(*) AS n FROM w GROUP BY 1, 2),
+spine AS (SELECT cl AS cell FROM v1_cent{IVF_ITERS}),
+tot AS (SELECT pop, SUM(n) AS t FROM c GROUP BY 1),
+m AS (
+  SELECT spine.cell, COALESCE(p.n, 0) AS n_ref, COALESCE(q2.n, 0) AS n_cur,
+         (SELECT t FROM tot WHERE pop = 0) AS t_ref,
+         (SELECT t FROM tot WHERE pop = 1) AS t_cur,
+         (SELECT k FROM kc1) AS k
+  FROM spine
+  LEFT JOIN c p ON p.cell = spine.cell AND p.pop = 0
+  LEFT JOIN c q2 ON q2.cell = spine.cell AND q2.pop = 1
+),
+gate AS (SELECT CAST(SUM({psi_micro_sql("k")}) AS BIGINT) AS psi FROM m),
+kc2 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM cur),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc2)", src="cur", assign_src="cur", prefix="v2_")},
+serve_cells AS MATERIALIZED (
+  SELECT vec_id, emb, cl FROM v2_cells
+  WHERE (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
+  UNION ALL
+  SELECT vec_id, emb, cl FROM v1_cells
+  WHERE vec_id % 2 = 1 AND (SELECT psi FROM gate) <= {PSI_RETRAIN_MICRO}),
+serve_cent AS (
+  SELECT cl, cemb FROM v2_cent{IVF_ITERS}
+  WHERE (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
+  UNION ALL
+  SELECT cl, cemb FROM v1_cent{IVF_ITERS}
+  WHERE (SELECT psi FROM gate) <= {PSI_RETRAIN_MICRO}),
+np AS (
+  SELECT GREATEST({IVF_NPROBE}, (t.k + {IVF_PROBE_DEN} - 1) // {IVF_PROBE_DEN}) AS np
+  FROM (SELECT CASE WHEN (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
+               THEN (SELECT k FROM kc2) ELSE (SELECT k FROM kc1) END AS k) t),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM cur WHERE vec_id < {2 * N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN serve_cent c
+  ) WHERE prk <= (SELECT np FROM np)
+),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN serve_cells s ON s.cl = p.cl AND s.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk,
+       (SELECT psi FROM gate) AS psi_micro,
+       CASE WHEN (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS retrained
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "stream_ann_drift_retrain_lifecycle",
+    tags=("streaming", "similarity", "ivf", "dq", "ml", "scale"),
+    oracle=_ann_lifecycle_oracle(),
+)
+def stream_ann_drift_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN lifecycle, end to end: drift gate →
+    retrain → streaming re-ingest → probe. The three pieces each exist
+    as declared queries (dq_embedding_drift_psi, the ml/kmeans.py
+    quantizer, stream_ivf_index_ingest); this query wires them into
+    the operational loop a 100 TB embedding corpus actually runs:
+
+    1. v1 quantizer: k-means trained on the REFERENCE window (even
+       ids — the corpus the index was built for).
+    2. Drift gate: PSI between the reference and CURRENT windows over
+       the v1 learned-cell histogram (the dq_embedding_drift_psi
+       monitor; the shared psi_micro_sql term). The current window is
+       the odd ids translated by +ANN_DRIFT_SHIFT per dimension — a
+       deterministic stand-in for "this month's corpus came from a
+       different domain" (see ANN_DRIFT_SHIFT).
+    3. Gate decision: total PSI above PSI_RETRAIN_MICRO (the classic
+       0.25) → RETRAIN the quantizer on the current window; else keep
+       v1. The branch condition is ONE bigint, computed identically
+       in both engines (hash-checked per cell in the dq query), so
+       driver-side control flow on it is cross-engine deterministic.
+    4. Re-ingest: the serving index over the current window is built
+       through the STREAMING ingest path (_stream_build_cell_index —
+       ranged micro-batch replay, broadcast-centroid assignment,
+       cell-partitioned exactly-once file sink).
+    5. Serve: partition-pruned probe of the fresh index, exact
+       re-rank; psi_micro and the retrained flag ride along as proof
+       of which path produced the answer.
+
+    The DuckDB oracle re-runs BOTH trainings unrolled (the
+    _sql_kmeans_cells prefix namespaces v1_/v2_) and takes the SAME
+    gate via scalar-subquery-filtered branch CTEs, so the composed
+    loop — binning, gate value, branch choice, retrained cells, final
+    top-k — is hash-checked end to end.
+
+    tests/test_streaming_semantics.py runs the below-threshold twin
+    (shift=0.0): the gate must NOT fire and the v1 centroids must be
+    reused byte-for-byte (np.array_equal on the serving model).
+
+    Bounded driver state, per site: the PSI gate scalar (ONE bigint);
+    k1/k2 cell counts (one bigint each); the probed-cell id set inside
+    _probe_cell_index (≤ Q x nprobe ids). Scale: both trainings are
+    fixed-iteration k-means over one window each; PSI costs one
+    corpus scan + a ≤2k-row exchange; the rebuild is the bounded
+    streaming ingest; the probe pays nprobe/k of the index bytes."""
+    return _ann_lifecycle(spark, sf_dir, shift=ANN_DRIFT_SHIFT)
+
+
+def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
+    """The lifecycle with an injectable drift amount (shift=0.0 is the
+    no-drift twin the below-threshold pytest pins). Returns the probe
+    DataFrame; the chosen serving model is exposed on the function
+    attribute ``last_serving_model`` for the byte-stability test."""
+    from pyspark.sql import Window  # noqa: F401  (probe helper owns windows)
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.similarity import (
+        IVF_ITERS,
+        N_QUERIES,
+        PSI_RETRAIN_MICRO,
+        ivf_n_cells,
+        ivf_nprobe,
+        psi_micro_sql,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ref = ed.where(F.col("vec_id") % 2 == 0)
+    cur = ed.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.transform("emb", lambda x: x + F.lit(shift)).alias("emb")
+    )
+
+    # 1. v1 quantizer on the reference window
+    k1 = ivf_n_cells(ref.count())
+    m1 = KMeans(k=k1, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0).fit(ref)
+
+    # 2. drift gate: PSI over the v1 cell histogram (dq discipline)
+    w = m1.transform(ref.unionByName(cur), "cell").select(
+        "cell", (F.col("vec_id") % 2).alias("pop")
+    )
+    c = w.groupBy("pop", "cell").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.createDataFrame([(i,) for i in range(k1)], "cell bigint")
+    t_scalar = c.groupBy("pop").agg(F.sum("n").alias("t")).agg(
+        F.max(F.when(F.col("pop") == 0, F.col("t"))).alias("t_ref"),
+        F.max(F.when(F.col("pop") == 1, F.col("t"))).alias("t_cur"),
+    )
+    p = c.where(F.col("pop") == 0).select("cell", F.col("n").alias("n_ref"))
+    q2 = c.where(F.col("pop") == 1).select("cell", F.col("n").alias("n_cur"))
+    m = (
+        spine.join(p, "cell", "left")
+        .join(q2, "cell", "left")
+        .crossJoin(F.broadcast(t_scalar))
+        .select(
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            "t_ref",
+            "t_cur",
         )
     )
-    scored = (
-        qu.join(F.broadcast(probe), "qid")
-        .join(
-            iu.select("vec_id", "unit", "cell"),
-            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
-        )
-        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    # bounded driver state: the gate is ONE bigint (sum of k1 per-cell
+    # micro terms), cross-engine deterministic by the dq discipline
+    psi_total = int(
+        m.agg(F.sum(F.expr(psi_micro_sql(str(k1)))).cast("bigint")).first()[0]
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("qid", "rk")
+    retrained = psi_total > PSI_RETRAIN_MICRO
+
+    # 3. retrain on the current window iff the gate fired
+    if retrained:
+        k2 = ivf_n_cells(cur.count())
+        serve_model = KMeans(
+            k=k2, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
+        ).fit(cur)
+        serve_k = k2
+    else:
+        serve_model, serve_k = m1, k1
+    _ann_lifecycle.last_serving_model = serve_model
+
+    # 4. rebuild the serving index through the streaming ingest path
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}_lifecycle"
+    index_dir = f"/root/repo/.tmp/sinks/{tag}/ann_lifecycle_index"
+    ck = f"{_CHECKPOINT_ROOT}/ann_lifecycle_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, cur, serve_model, stage, index_dir, ck)
+
+    # 5. serve: partition-pruned probe + exact re-rank, with the gate
+    # value and branch flag as output columns
+    qv = cur.where(F.col("vec_id") < 2 * N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
+    out = _probe_cell_index(spark, qv, serve_model, index_dir, ivf_nprobe(serve_k))
+    return out.select(
+        "qid",
+        "vec_id",
+        "cosine",
+        "rk",
+        F.lit(psi_total).cast("bigint").alias("psi_micro"),
+        F.lit(1 if retrained else 0).cast("bigint").alias("retrained"),
+    ).orderBy("qid", "rk")

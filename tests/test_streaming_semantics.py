@@ -401,3 +401,63 @@ def test_ivf_ingest_batch_boundary_invariance(spark, monkeypatch):
     assert len(contents[1]) == 500  # every corpus vector indexed exactly once
     # the 4-batch run genuinely appended across multiple commits
     assert n_files[4] > n_files[1]
+
+
+def test_ann_lifecycle_below_threshold_keeps_v1_quantizer(spark):
+    """The drift-retrain lifecycle's gate must be a real gate: with no
+    injected drift (shift=0.0, the natural even/odd split) total PSI
+    stays below PSI_RETRAIN_MICRO, the retrained flag is 0, and the
+    SERVING quantizer is the v1 reference-trained model byte-for-byte
+    (np.array_equal on the centroid matrix) — retraining must not
+    happen silently."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.similarity import (
+        IVF_ITERS,
+        PSI_RETRAIN_MICRO,
+        ivf_n_cells,
+    )
+    from spark_rapids_ml_spark.sources.catalog import load
+    from spark_rapids_ml_spark.streaming.stream_queries import _ann_lifecycle
+
+    sf = "/root/testdata/sf0.001"
+    rows = _ann_lifecycle(spark, sf, shift=0.0).collect()
+    assert rows, "lifecycle produced no probe results"
+    assert all(r["retrained"] == 0 for r in rows)
+    assert all(r["psi_micro"] <= PSI_RETRAIN_MICRO for r in rows)
+    served = _ann_lifecycle.last_serving_model
+
+    # independent v1 training: identical inputs -> identical centroids
+    ed = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ref = ed.where(F.col("vec_id") % 2 == 0)
+    v1 = KMeans(
+        k=ivf_n_cells(ref.count()), feature_col="emb", id_col="vec_id",
+        max_iter=IVF_ITERS, tol=0.0,
+    ).fit(ref)
+    assert np.array_equal(served.centroids, v1.centroids)
+
+
+def test_ann_lifecycle_above_threshold_retrains(spark):
+    """With the declared drift injected, the gate fires: retrained=1,
+    PSI above the threshold, and the serving quantizer is NOT the v1
+    model (it was retrained on the shifted current window)."""
+    import numpy as np
+
+    from spark_rapids_ml_spark.operators.similarity import PSI_RETRAIN_MICRO
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        _ann_lifecycle,
+        stream_ann_drift_retrain_lifecycle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_ann_drift_retrain_lifecycle(spark, sf).collect()
+    assert rows
+    assert all(r["retrained"] == 1 for r in rows)
+    assert all(r["psi_micro"] > PSI_RETRAIN_MICRO for r in rows)
+    served = _ann_lifecycle.last_serving_model
+    # retrained on the SHIFTED window: centroids live in the shifted
+    # cloud (mean coordinate ~ +1), nothing like the reference model's
+    assert float(np.mean(served.centroids)) > 0.5
