@@ -64,229 +64,70 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 11 rotation head: (a) queries round 11 ADDED or
-    # CHANGED — the new IVF-SQ hybrid (composes the int8 codec with
-    # the learned coarse quantizer) and the flat quantized tier whose
-    # reconstruction now routes through the shared _sq_reconstructed
-    # helper (values unchanged; the fresh driver row proves it). The
-    # rest of the window follows tools/staleness.py least-recently-
-    # sampled order (STALENESS.md is the auditable artifact).
-    "sim_ivf_sq_hybrid_topk",
+    # -- round 12 rotation head: (a) queries round 12 ADDED or
+    # CHANGED — the composed drift-gate -> retrain -> streaming
+    # re-ingest lifecycle (new), the Arrow-batched rewrite of the flat
+    # SQ coarse scan, the PSI monitor (ROUND(.,9) ln-ulp guard moved
+    # the psi_micro values), the IVF-SQ hybrid and streaming ingest
+    # (query-filtered re-rank broadcast / checkpoint-cleanup refactor;
+    # values unchanged — the fresh driver rows prove it). The rest of
+    # the window follows tools/staleness.py least-recently-sampled
+    # order (STALENESS.md is the auditable artifact).
+    "stream_ann_drift_retrain_lifecycle",
     "sim_quantized_topk",
-    # round-11 additions: streaming ANN index ingest (bootstrap-train
-    # + exactly-once partitioned file-sink append) and the mixture
-    # budget apportionment (largest-remainder integer allocation)
-    "stream_ivf_index_ingest",
-    "pipe_mixture_budget_apportionment",
     "dq_embedding_drift_psi",
-    # lineage-cut rewrites (hashes pinned unchanged at three decades
-    # this round; the fresh driver row re-proves it on the new code)
-    "graph_bfs_shortest_path",
-    "graph_label_propagation",
-    "graph_community_modularity",
-    "graph_hits_hubs_authorities",
-    # -- round 11 window tail: the 44 least-recently-sampled queries
-    # (tools/staleness.py order; STALENESS.md is the audit artifact) —
-    # all 23 r03-era survivors plus the oldest 21 of the r04 cohort.
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "salted_skew_aggregation",
-    "scalar_conditional_null",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_regexp_extract_all",
-    "scalar_regexp_funcs",
-    "scalar_string_funcs",
-    "setop_distinct_rows",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sink_dynamic_partition_overwrite",
-    "sort_nulls_ordering",
-    "source_csv_roundtrip",
-    "source_inmemory_createdataframe",
-    "source_json_roundtrip",
-    "source_parquet_roundtrip",
-    "subquery_scalar",
-    "asof_join_latest_order",
-    "dedup_clusters_materialized",
-    "dedup_lsh_skew_guard",
-    "feature_minmax_scale",
-    "feature_standard_scale",
-    "linreg_slope_1d",
-    "mm_audio_frame_sample",
-    "mm_image_decode_features",
-    "mm_image_resize",
-    "pca_covariance_matrix",
-    "pca_covariance_spr",
-    "pca_explained_variance",
-    "pca_mean_vector",
-    "pca_transform_topk",
-    "q13_customer_distribution",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "stream_dedup",
+    "sim_ivf_sq_hybrid_topk",
+    "stream_ivf_index_ingest",
+    # -- round 12 window tail: the 45 least-recently-sampled queries
+    # (STALENESS.md order) — the 30 remaining r04-era rows, then the
+    # oldest 15 of the r05 cohort.
     "stream_foreachbatch_sink",
     "stream_session_window",
     "stream_sliding_window",
-    # -- round 10 rotation: (a) queries round 10 CHANGED — the
-    # adaptive-cell IVF tiers (hashes moved at every sf where the √n
-    # rule unbinds the k=10 floor) and every consumer of the rewritten
-    # two-pass kmeans-oracle argmin, the four advice fixes (serpentine
-    # integer DIV, modularity cached-frame reuse, Holt 1-day guard,
-    # funnel empty-slice NULL), and the HITS pruned distributed rank —
-    # each needs a fresh driver row on the new code; then (b) stalest
-    # surviving driver rows (sampled r01/r02-era, enumerated from the
-    # union of CORRECTNESS_r01..r09). (a)=15 + (b)=41 deliberately
-    # overfills a 50-row driver window by 6: the scalar_* tail of (b)
-    # rides just past the boundary and leads the NEXT rotation (it
-    # stays ahead of the round-9 remainder below), so nothing is
-    # silently dropped — only deferred one round. Names absent from
-    # the registry are skipped, so the list is safe across partial
-    # loads.
-    "sim_ivf_topk",
-    "sim_ivf_persisted_probe",
-    "sim_ivf_pq_hybrid_topk",
-    "kmeans_embedding_clusters",
-    "ml_kmeans_silhouette",
-    "dedup_semantic_clusters",
-    "pipe_shard_bin_packing",
-    "graph_community_modularity",
-    "timeseries_holt_linear_forecast",
-    "events_funnel_time_to_convert",
-    "graph_hits_hubs_authorities",
-    "graph_kcore_peeling",
-    "stream_stateful_ewma",
-    "graph_pagerank_bipartite",
-    "pipe_curate_budget_pack",
-    # (b) stalest surviving driver rows
-    "join_composite_key_argmax",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_basic",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_right_outer",
-    "join_theta_range",
-    "json_extract_events",
-    "json_from_json_agg",
-    "scalar_datetime_extra",
-    "timeseries_gap_fill",
-    "bucketed_join_no_shuffle",
-    "limit_offset_page",
-    "map_funcs",
-    "mm_binary_payload",
-    "mm_struct_bundle",
-    "null_safe_equality",
-    "partitioned_write_pruned_read",
-    "pipe_contamination_overlap",
-    "pipe_deterministic_split",
-    "pipe_stratified_sample",
-    "q14_promotion_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "salted_skew_aggregation",
-    "scalar_conditional_null",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_regexp_extract_all",
-    "scalar_regexp_funcs",
-    # ---- retained pre-round-10 tail (ignored once the 50-slot window
-    # fills; kept so a larger driver budget keeps walking backwards) --
-    "dedup_semantic_clusters",
-    "sim_ivf_pq_hybrid_topk",
-    "agg_mann_whitney_u",
-    "graph_hits_hubs_authorities",
-    "timeseries_holt_linear_forecast",
-    "agg_cramers_v_association",
-    "stream_cusum_monitor",
-    "scale_aqe_skew_join_split",
-    "agg_spearman_rank_corr",
-    "text_rake_keywords",
-    "text_pii_detection_scrub",
-    "sql_identifier_clause",
-    "events_funnel_time_to_convert",
-    "dq_iqr_outlier_audit",
-    "agg_mutual_information",
-    "events_stl_anomaly_flags",
-    "graph_community_modularity",
-    "graph_label_propagation",
-    "agg_ks_two_sample",
-    "text_gopher_quality_filter",
-    "text_zipf_law_fit",
-    "timeseries_stl_decompose",
-    "timeseries_cusum_changepoint",
-    "pipe_shard_bin_packing",
-    "pipe_curriculum_stages",
-    "source_binaryfile_format",
-    # (a) changed by round 9
-    "dq_psi_distribution_drift",
-    "events_rfm_segmentation",
-    "pipe_token_budget_selection",
-    "text_vocab_coverage_curve",
-    "sim_pq_adc_topk",
-    "sim_ivf_topk",
-    "kmeans_embedding_clusters",
-    # (b) stalest surviving driver rows
-    "agg_bitwise",
-    "array_basic_ops",
-    "array_explode_tokens",
-    "array_higher_order_vec",
-    "array_posexplode",
-    "array_set_ops",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine_pairs",
-    "dedup_exact_all_columns",
-    "dedup_exact_by_hash",
-    "dedup_exact_text",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash",
-    "histogram_fixed_buckets",
-    "join_broadcast_dim",
-    "join_composite_key_argmax",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_basic",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_right_outer",
-    "join_theta_range",
-    "json_extract_events",
-    "json_from_json_agg",
-    "scalar_datetime_extra",
-    "timeseries_gap_fill",
-    "bucketed_join_no_shuffle",
-    "limit_offset_page",
-    "map_funcs",
-    "mm_binary_payload",
-    "mm_struct_bundle",
-    "null_safe_equality",
-    "partitioned_write_pruned_read",
-    "pipe_contamination_overlap",
-    "pipe_deterministic_split",
-    "pipe_stratified_sample",
-    "q14_promotion_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_stream_interval_join",
+    "stream_tumbling_append_watermark",
+    "stream_tumbling_window",
+    "subquery_correlated_scalar_agg",
+    "subquery_exists_correlated",
+    "subquery_in",
+    "subquery_not_exists_correlated",
+    "text_corpus_stats",
+    "text_fingerprint",
+    "text_langid_profile",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "timeseries_multi_rollup",
+    "udf_grouped_agg_weighted_avg",
+    "udf_grouped_map_zscore",
+    "udf_udtf_bigrams",
+    "window_distribution_ranks",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_argmax_argmin",
+    "agg_collect_list_sorted",
+    "agg_corr",
+    "agg_count_distinct_multi",
+    "agg_cube",
+    "agg_freq_items_merge",
+    "agg_group_stats",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_hll_sketch_merge",
+    "agg_moments_exact",
+    "agg_percentiles_exact",
+    "agg_pivot",
 ]
+
 
 
 def load_all_modules() -> None:
