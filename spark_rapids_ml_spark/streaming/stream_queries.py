@@ -2096,6 +2096,8 @@ def _probe_cell_index(spark: SparkSession, qv, model, index_dir: str,
     )
 
     probe = ivf_probe(qv, ivf_centroid_rows(spark, model), n_probe)
+    # bounded driver state: at most Q x nprobe probed cell ids — the
+    # sim_ivf_persisted_probe partition-prune contract
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
     idx = spark.read.parquet(index_dir).where(F.col("cell").isin(probed))
     iu = with_unit_vector(idx, "emb", "unit")

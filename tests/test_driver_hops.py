@@ -65,6 +65,7 @@ ALLOWED = {
         ".orderBy(\"pos\")",  # quantizer stats: d=64 rows
         '.select("pcell").distinct().collect()',  # probed cells <= nprobe
         "cb.collect()",  # PQ codebook: M*K rows
+        '< N_QUERIES).orderBy("vec_id").collect()',  # SQ query matrix: Q x d doubles (the query workload itself), shipped as the batched-kernel closure constant
     },
     "ml/kmeans.py": {
         ".limit(self.k).collect()",  # k init rows
