@@ -111,6 +111,14 @@ SAMPLED = [
     "stream_ivf_index_ingest",
     "dq_embedding_drift_psi",
     "pipe_mixture_budget_apportionment",
+    # round 12: the drift-gated retrain lifecycle (gate scalar is an
+    # exact-integer sum of 6dp-guarded terms; both trainings are the
+    # layout-independent kmeans; ingest assignment a pure per-row
+    # map) and the Arrow-batched SQ coarse scan (per-partition local
+    # top-k is a SUBSET-preserving prune — the global window sees a
+    # superset of the global top-QUANT_CAND under ANY layout)
+    "stream_ann_drift_retrain_lifecycle",
+    "sim_quantized_topk",
 ]
 
 
