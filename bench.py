@@ -180,14 +180,18 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE_headline.json")) as f:
-            bq = json.load(f)["baseline_queries"]
-        common = sorted(set(timings) & set(bq))
-        baseline_missing = sorted(set(timings) - set(bq))
-        baseline_common_total = round(sum(bq[n] for n in common), 3)
-        if baseline_common_total:
-            vs_baseline = round(
-                sum(timings[n] for n in common) / baseline_common_total, 3
-            )
+            bdoc = json.load(f)
+        # the table is an sf-specific ledger — a ratio against it only
+        # means something at the sf it was measured at
+        if float(sf) == float(bdoc.get("sf", 0.1)):
+            bq = bdoc["baseline_queries"]
+            common = sorted(set(timings) & set(bq))
+            baseline_missing = sorted(set(timings) - set(bq))
+            baseline_common_total = round(sum(bq[n] for n in common), 3)
+            if baseline_common_total:
+                vs_baseline = round(
+                    sum(timings[n] for n in common) / baseline_common_total, 3
+                )
     except (OSError, KeyError, ValueError, ZeroDivisionError):
         pass
 
