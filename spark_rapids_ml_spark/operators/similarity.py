@@ -827,6 +827,7 @@ def _sq_reconstructed(ed: DataFrame) -> DataFrame:
 @register(
     "sim_quantized_topk",
     tags=("similarity", "quantization"),
+    bench=True,  # joined the headline set in round 12 with the batched coarse scan
     oracle=f"""
 WITH e AS ({_SQL_E}),
 elem AS (
