@@ -18,13 +18,32 @@ Two compare modes:
   60-bit integers taken from md5 of a canonical per-row string — so
   only O(1) crosses to the driver on either side. The canonical string
   keeps the same conventions as the pandas mode (sorted column names,
-  6dp float tolerance, order-insensitive multiset compare via the
-  commutative sum) but avoids cross-engine printf: floats canonicalize
-  through ``floor(x*1e6 + 0.5)`` — IEEE multiply/add/floor are
-  correctly rounded and bit-identical in the JVM and DuckDB, unlike
-  ``%.6f`` which rounds on the exact binary value in Java but on the
-  shortest decimal repr in DuckDB's fmt (observed: 5e-07 formats to
-  0.000001 vs 0.000000). A false PASS needs a 2^-120 md5-sum
+  order-insensitive multiset compare via the commutative sum) but
+  avoids cross-engine printf: floats canonicalize through
+  ``floor(x*scale + 0.5)`` magnitude tiers — IEEE multiply/add/floor
+  are correctly rounded and bit-identical in the JVM and DuckDB,
+  unlike ``%.6f`` which rounds on the exact binary value in Java but
+  on the shortest decimal repr in DuckDB's fmt (observed: 5e-07
+  formats to 0.000001 vs 0.000000).
+
+  Float tolerance is TIERED, not uniformly 6dp (ADVICE r12): the S
+  tier (|x| < 8e12) compares at absolute granularity 1e-6 — same as
+  pandas mode's %.6f — but the M/L/H tiers (|x| >= 8e12) compare at
+  absolute granularity 1e6 / 1e18 / 1e294 respectively, i.e. a
+  RELATIVE tolerance of <= 1.25e-7 of the tier's lower bound (~7
+  significant digits). pandas mode's %.6f is effectively ULP-exact at
+  those magnitudes, so digest mode is strictly LOOSER there; in auto
+  mode a digest PASS is terminal, so a large-magnitude discrepancy
+  below the tier granularity passes silently. This is a deliberate
+  trade (cross-engine float aggregates at revenue scale differ by
+  summation order well past 6 absolute decimals); use
+  ``tools/digest_audit.py`` to sample-audit digest PASSes with the
+  pandas compare on queries whose results carry |float| >= 8e12.
+
+  String cells are escaped before joining (ESC=0x1b: ESC->ESC+E,
+  0x1f->ESC+S, 0x02->ESC+T) so a cell containing the column
+  separator or the null sentinel cannot shift column boundaries or
+  alias NULL (ADVICE r12). A false PASS then needs a 2^-120 md5-sum
   collision; mode-equivalence vs the pandas compare is pinned over the
   full catalog by tools/pin_compare_modes.py.
 * ``auto`` (default) — run digest; on digest PASS, done. On digest
@@ -106,6 +125,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 _SEP = "\x1f"
 _NULL = "\x02N"  # per-column null sentinel (pre-coalesce, can't collide)
+_ESC = "\x1b"  # escape char for string cells; see module docstring
 
 # |x| tier bounds; scaled |value| stays < 8e18 < 2^63 in every tier.
 _TIERS = (("S", 8e12, 1e6, "*"), ("M", 8e18, 1e6, "/"), ("L", 8e30, 1e18, "/"),
@@ -134,6 +154,26 @@ def _classify_duck(typ: str) -> str:
     return "other"
 
 
+def _escape_spark(c):
+    """Injective escape so no encoded cell contains _SEP or _NULL's 0x02.
+
+    Order matters: escape the escape char first. Applied to str (and
+    stringified fallback) cells only — int/float canon emits [-0-9a-z]
+    and can't collide.
+    """
+    c = F.replace(c, F.lit(_ESC), F.lit(_ESC + "E"))
+    c = F.replace(c, F.lit(_SEP), F.lit(_ESC + "S"))
+    return F.replace(c, F.lit("\x02"), F.lit(_ESC + "T"))
+
+
+def _escape_duck(expr: str) -> str:
+    """DuckDB twin of _escape_spark (same order, same codes)."""
+    e = f"chr({ord(_ESC)})"
+    expr = f"replace({expr}, {e}, {e} || 'E')"
+    expr = f"replace({expr}, chr({ord(_SEP)}), {e} || 'S')"
+    return f"replace({expr}, chr(2), {e} || 'T')"
+
+
 def _canon_spark(name: str, cls: str):
     c = F.col(name)
     if cls == "float":
@@ -152,9 +192,14 @@ def _canon_spark(name: str, cls: str):
             )
         return F.coalesce(F.when(c.isNull(), F.lit(None)).otherwise(expr), F.lit(_NULL))
     if cls == "str":
-        return F.coalesce(c, F.lit(_NULL))
-    # int and any fallback: exact decimal string via cast.
-    return F.coalesce(c.cast("string"), F.lit(_NULL))
+        return F.coalesce(_escape_spark(c), F.lit(_NULL))
+    if cls == "int":
+        # exact decimal string via cast; digits can't collide with
+        # the separator/sentinel so no escaping needed.
+        return F.coalesce(c.cast("string"), F.lit(_NULL))
+    # other (bool/date/struct/...): stringify then escape — a nested
+    # string value could carry the separator byte.
+    return F.coalesce(_escape_spark(c.cast("string")), F.lit(_NULL))
 
 
 def _canon_duck(name: str, cls: str) -> str:
@@ -176,8 +221,10 @@ def _canon_duck(name: str, cls: str) -> str:
         case = "CASE " + " ".join(branches) + " END"
         return f"coalesce(CASE WHEN {q} IS NULL THEN NULL ELSE {case} END, '{_NULL}')"
     if cls == "str":
-        return f"coalesce({q}, '{_NULL}')"
-    return f"coalesce(CAST({q} AS VARCHAR), '{_NULL}')"
+        return f"coalesce({_escape_duck(q)}, '{_NULL}')"
+    if cls == "int":
+        return f"coalesce(CAST({q} AS VARCHAR), '{_NULL}')"
+    return f"coalesce({_escape_duck(f'CAST({q} AS VARCHAR)')}, '{_NULL}')"
 
 
 def _digest_spark(sdf: DataFrame) -> tuple[int, int | None, int | None]:
@@ -260,7 +307,12 @@ def compare(
         ok, details = _compare_digest(spark, spec, sf_dir)
         if ok or mode == "digest":
             return ok, details
-        fallback_rows = int(os.environ.get("SPARK_GRAFT_COMPARE_FALLBACK_ROWS", "200000"))
+        try:
+            fallback_rows = int(
+                os.environ.get("SPARK_GRAFT_COMPARE_FALLBACK_ROWS", "200000")
+            )
+        except ValueError:  # malformed env value: use the default (ADVICE r12)
+            fallback_rows = 200000
         if max(details.get("spark_rows", 0), details.get("oracle_rows", 0)) > fallback_rows:
             return ok, details
         # Small result: the pandas compare is authoritative and gives

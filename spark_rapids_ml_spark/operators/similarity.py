@@ -958,8 +958,18 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = np.concatenate([acc_v[j], vid[keep]])
                 raw = np.concatenate([acc_s[j], s[keep, j]])
                 # trim to the running local top by (rounded desc,
-                # vec_id asc) — the candidate window's exact ordering
-                order = np.lexsort((v, -np.round(raw, 6)))[:QUANT_CAND]
+                # vec_id asc) — the candidate window's exact ordering.
+                # The local 6dp key must round half AWAY FROM ZERO like
+                # the global F.round / the oracle's ROUND — np.round is
+                # half-to-even and diverges at exact dyadic ties such
+                # as 0.0078125, which could prune a global top row and
+                # break the subset invariant (ADVICE r12).
+                key = np.where(
+                    raw >= 0,
+                    np.floor(raw * 1e6 + 0.5),
+                    -np.floor(-raw * 1e6 + 0.5),
+                )
+                order = np.lexsort((v, -key))[:QUANT_CAND]
                 acc_v[j], acc_s[j] = v[order], raw[order]
         if sum(len(v) for v in acc_v):
             yield pd.DataFrame(

@@ -148,3 +148,51 @@ def test_digest_nan_vs_null_distinct(spark):
     a = _digest_spark(spark.createDataFrame([(1, float("nan"))], "id bigint, x double"))
     b = _digest_spark(spark.createDataFrame([(1, None)], "id bigint, x double"))
     assert a != b
+
+
+def test_digest_separator_injection_distinct(spark):
+    """ADVICE r12: string cells carrying the 0x1f separator or the
+    0x02N sentinel must NOT canonicalize equal to a different row
+    shape. Pre-escape, ("a\\x1fb","c") and ("a","b\\x1fc") joined to
+    the same canonical string (column-boundary shift), and a literal
+    "\\x02N" cell aliased NULL."""
+    shift_a = _digest_spark(
+        spark.createDataFrame([("a\x1fb", "c")], "s1 string, s2 string")
+    )
+    shift_b = _digest_spark(
+        spark.createDataFrame([("a", "b\x1fc")], "s1 string, s2 string")
+    )
+    assert shift_a != shift_b
+    sentinel = _digest_spark(spark.createDataFrame([("\x02N",)], "s string"))
+    null = _digest_spark(spark.createDataFrame([(None,)], "s string"))
+    assert sentinel != null
+    # escape-char injectivity: a literal ESC+"S" cell must differ from
+    # a separator cell (requires escaping ESC itself first)
+    esc_lit = _digest_spark(spark.createDataFrame([("\x1bS",)], "s string"))
+    sep_lit = _digest_spark(spark.createDataFrame([("\x1f",)], "s string"))
+    assert esc_lit != sep_lit
+
+
+def test_digest_escaping_cross_engine(spark):
+    """Escaped cells still digest identically across engines."""
+    rows = [(1, "a\x1fb"), (2, "\x02N"), (3, "\x1bS"), (4, "x\x1b\x1fy\x02z")]
+    pdf = pd.DataFrame({"id": [r[0] for r in rows], "s": [r[1] for r in rows]})
+    a, b = _both(spark, rows, "id bigint, s string", pdf)
+    assert a == b, (a, b)
+
+
+def test_compare_fallback_rows_env_malformed(spark, monkeypatch):
+    """ADVICE r12: a malformed SPARK_GRAFT_COMPARE_FALLBACK_ROWS must
+    fall back to the default instead of raising mid-sweep."""
+    from spark_rapids_ml_spark.harness import compare
+    from spark_rapids_ml_spark.registry import QuerySpec
+
+    monkeypatch.setenv("SPARK_GRAFT_COMPARE_FALLBACK_ROWS", "not-a-number")
+    spec = QuerySpec(
+        name="__mismatch__",
+        fn=lambda s, _sf: s.createDataFrame([(1,)], "id bigint"),
+        oracle="SELECT CAST(2 AS BIGINT) AS id",
+    )
+    ok, details = compare(spark, spec, "/root/testdata/sf0.001", mode="auto")
+    assert not ok  # genuine mismatch surfaced, no crash
+    assert "digest_details" in details  # pandas fallback actually ran
