@@ -1103,6 +1103,229 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- filtered ANN (metadata predicate inside the probe scan) ----
+# Every production vector query carries a metadata predicate ("top-k
+# where lang='en' and len >= tau"). The index stores the filterable
+# attributes ALONGSIDE the vectors (the FAISS/Milvus attribute-
+# payload layout) so the predicate evaluates inside the same pruned
+# scan as the cell probe — pre-filtering, not post-filtering, which
+# at a fixed shortlist size would lose recall under selective
+# predicates.
+FILTER_LANG = "en"
+FILTER_NCHARS = 300
+
+
+def ivf_meta_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the metadata-enriched IVF index ONCE: the persisted
+    cell-assignment table joined with the filterable document
+    attributes (lang, n_chars; vec_id aligns with doc_id in the
+    corpus), re-partitioned BY cell so a filtered probe reads only
+    the probed cells' files AND pushes the attribute predicate into
+    that same scan. Built FROM ivf_index_tables' cells table — no
+    k-means retraining — so the assignment is provably identical to
+    every other IVF tier's. Returns (meta_cells_table, centroids_
+    table)."""
+    import os
+    import shutil
+
+    cells_tbl, cent_tbl = ivf_index_tables(spark, sf_dir)
+    db = cells_tbl.split(".")[0]
+    meta_tbl = f"{db}.ivf_cells_pm"
+    if spark.catalog.tableExists(meta_tbl):
+        return meta_tbl, cent_tbl
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {meta_tbl}")
+    shutil.rmtree(
+        os.path.join(warehouse, f"{db}.db", "ivf_cells_pm"), ignore_errors=True
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+    )
+    (
+        spark.table(cells_tbl)
+        .join(docs, "vec_id", "left")  # robust to vectors without docs
+        .select("vec_id", "emb", "lang", "n_chars", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(meta_tbl)
+    )
+    return meta_tbl, cent_tbl
+
+
+_FILTERED_IVF_ORACLE = f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+{SQL_IVF_KC},
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)")},
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN cent{IVF_ITERS} c
+  ) WHERE prk <= {SQL_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN cells s ON s.cl = p.cl AND s.vec_id <> q.qid
+  JOIN documents d ON d.doc_id = s.vec_id
+   AND d.lang = '{FILTER_LANG}' AND d.n_chars >= {FILTER_NCHARS}
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "sim_filtered_ivf_topk",
+    tags=("similarity", "ivf", "filtered", "scale"),
+    oracle=_FILTERED_IVF_ORACLE,
+    bench=True,
+)
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-k cosine neighbors restricted to corpus rows
+    satisfying a metadata predicate (lang = 'en' AND n_chars >= 300),
+    with the predicate applied INSIDE the partition-pruned cell-probe
+    scan. The persisted index stores the filterable attributes next
+    to the vectors (ivf_meta_index_tables), so ONE scan carries both
+    PartitionFilters (cell IN probed) and PushedFilters (lang,
+    n_chars) — plan-asserted in tests/test_plans.py. This is
+    PRE-filtering: candidates are filtered before ranking, so a
+    selective predicate cannot starve the top-k the way post-
+    filtering a fixed shortlist would. A query whose probed cells
+    contain zero matching vectors emits no rows for that qid (inner
+    joins; the emptiness corner is pinned in tests).
+
+    The declared oracle replicates the same probe (shared k-means
+    chain, _sql_kmeans_cells) with the predicate as a documents
+    join, so the filtered result is hash-checked end to end at every
+    decade; recall vs FILTERED brute-force cosine is measured
+    separately (tools/recall_probe.py, RECALL_r13.json) — the tier
+    discipline every sim_* query follows. Matches the batch-kernel
+    scan contract of the reference's RapidsRowMatrix.scala:177-199
+    (scan restricted to the selected rows, exact arithmetic on the
+    survivors).
+
+    Scale: at 100 TB the layout is unchanged — attributes ride the
+    cell-partitioned files, the probe reads nprobe/k of the bytes,
+    and the predicate drops non-matching rows AT THE SCAN before any
+    shuffle (the parquet reader evaluates lang/n_chars on row groups;
+    min/max stats skip entire groups). Probed-cell set stays bounded
+    driver state (<= Q x nprobe ids)."""
+    from pyspark.sql import Window
+
+    meta_tbl, cent_tbl = ivf_meta_index_tables(spark, sf_dir)
+    cent = spark.table(cent_tbl)
+    n_probe = ivf_nprobe(cent.count())
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).where(F.col("qid") < N_QUERIES)
+    probe = ivf_probe(q, cent, n_probe)
+    # bounded driver state: at most N_QUERIES x nprobe probed cell ids
+    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
+    # ONE scan: partition prune on cell + attribute predicate pushed
+    # to the parquet reader — the filtered-ANN access path.
+    idx = with_unit_vector(
+        spark.table(meta_tbl).where(
+            F.col("cell").isin(probed)
+            & (F.col("lang") == FILTER_LANG)
+            & (F.col("n_chars") >= FILTER_NCHARS)
+        ),
+        "emb",
+        "unit",
+    )
+    qu = q.withColumn("qnorm", norm_expr("qemb")).select(
+        "qid",
+        F.transform("qemb", lambda x: x.cast("double") / F.col("qnorm")).alias("qunit"),
+    )
+    scored = (
+        qu.join(F.broadcast(probe), "qid")
+        .join(
+            idx.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_filtered_bruteforce_topk",
+    tags=("similarity", "filtered"),
+    oracle=f"""
+WITH e AS ({_SQL_E}),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+c AS (
+  SELECT e.vec_id, e.emb FROM e
+  JOIN documents d ON d.doc_id = e.vec_id
+   AND d.lang = '{FILTER_LANG}' AND d.n_chars >= {FILTER_NCHARS}
+),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, c.emb), 6) AS cosine
+  FROM q JOIN c ON c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+def sim_filtered_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT filtered top-k — the ground truth sim_filtered_ivf_topk's
+    recall is measured against (tools/recall_probe.py). Brute-force
+    cosine restricted to corpus rows matching the metadata predicate:
+    the filter is a broadcast-able dimension semi-join (documents'
+    (doc_id, lang, n_chars) projection) applied BEFORE the Q x N
+    scoring join, so selectivity directly shrinks the scored mass.
+
+    Scale: same linear-scan envelope as sim_bruteforce_topk times the
+    predicate selectivity; the documents projection is 3 narrow
+    columns (pruned at the scan) joined on the id — at 100 TB this is
+    the fact-to-dim semi-join AQE turns into a broadcast or bloom
+    pre-filter."""
+    from pyspark.sql import Window
+
+    e = with_unit_vector(load(spark, sf_dir, "embeddings"), "embedding", "unit")
+    keep = load(spark, sf_dir, "documents").where(
+        (F.col("lang") == FILTER_LANG) & (F.col("n_chars") >= FILTER_NCHARS)
+    ).select(F.col("doc_id").alias("vec_id"))
+    c = e.join(keep, "vec_id", "left_semi")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
+        )
+    )
+    scored = q.join(c, F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", F.round(dot_expr("qunit", "unit"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
 # ---- product quantization (PQ) tier ----
 PQ_M = 16           # subspaces
 PQ_SUB = DIM // PQ_M  # dims per subspace

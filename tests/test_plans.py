@@ -947,3 +947,48 @@ def test_quantized_coarse_scan_is_batched_local_prune(spark):
     # the non-equi coarse join (qrv x rv on vec_id != qid) is gone;
     # the only joins left are the re-rank's equi-joins
     assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_filtered_ivf_scan_prunes_and_pushes_predicate(spark):
+    """sim_filtered_ivf_topk's access path: ONE scan over the
+    metadata-enriched cell-partitioned index must carry BOTH a
+    partition filter on the probed cells AND the pushed attribute
+    predicate (lang / n_chars) — pre-filtering inside the pruned
+    probe scan, the filtered-ANN layout claim (round 13)."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import (
+        FILTER_LANG,
+        FILTER_NCHARS,
+        ivf_meta_index_tables,
+    )
+
+    meta_tbl, _cent = ivf_meta_index_tables(spark, SF)
+    idx = spark.table(meta_tbl)
+    probed = [r["cell"] for r in idx.select("cell").distinct().limit(3).collect()]
+    scan = idx.where(
+        F.col("cell").isin(probed)
+        & (F.col("lang") == FILTER_LANG)
+        & (F.col("n_chars") >= FILTER_NCHARS)
+    )
+    txt = formatted(scan)
+    assert "PartitionFilters" in txt, txt
+    part = txt.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part, part
+    pushed = txt.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed and "n_chars" in pushed, pushed
+    # pruned scan reads fewer partition dirs than the full table
+    assert len(scan.inputFiles()) < len(idx.inputFiles())
+
+
+def test_filtered_ivf_empty_predicate_emits_nothing(spark, monkeypatch):
+    """The emptiness corner (round-13 item 1): a predicate matching
+    zero corpus rows must yield an EMPTY result, not an error — the
+    probe path's joins and window must tolerate an empty filtered
+    scan."""
+    from spark_rapids_ml_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "FILTER_LANG", "zz-no-such-lang")
+    out = sim.sim_filtered_ivf_topk(spark, SF)
+    assert out.count() == 0
+    assert out.columns == ["qid", "vec_id", "cosine", "rk"]

@@ -38,7 +38,10 @@ def main() -> None:
         "quantized": sim.sim_quantized_topk,
         "ivf_pq": sim.sim_ivf_pq_hybrid_topk,
         "ivf_sq": sim.sim_ivf_sq_hybrid_topk,
+        "filtered_ivf": sim.sim_filtered_ivf_topk,
     }
+    # filtered tiers are measured against the FILTERED exact baseline
+    truth_for = {"filtered_ivf": sim.sim_filtered_bruteforce_topk}
     wanted = sys.argv[1:] or list(tiers)
 
     n_corpus = load(spark, sf_dir, "embeddings").count()
@@ -53,9 +56,16 @@ def main() -> None:
         return out, dt
 
     truth, exact_wall = topk_sets(sim.sim_bruteforce_topk)
+    truths = {sim.sim_bruteforce_topk: truth}
     recall: dict[str, float] = {}
     wall: dict[str, float] = {"bruteforce": exact_wall}
     for name in wanted:
+        tfn = truth_for.get(name, sim.sim_bruteforce_topk)
+        if tfn not in truths:
+            tsets, tdt = topk_sets(tfn)
+            truths[tfn] = tsets
+            wall[f"truth:{name}"] = tdt
+        truth = truths[tfn]
         got, dt = topk_sets(tiers[name])
         rs = [
             len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
