@@ -16,6 +16,7 @@ would use for reprocessing 100 TB of history with the same code.
 from __future__ import annotations
 
 import contextlib
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2077,14 +2078,47 @@ def _stream_build_cell_index(spark: SparkSession, df, model, stage: str,
     shutil.rmtree(stage, ignore_errors=True)
 
 
-def _probe_cell_index(spark: SparkSession, qv, model, index_dir: str,
+def _ann_index_commit(index_root: str, version: int, dirs: list[str],
+                      retrained: int) -> None:
+    """Commit one serving-index version: write an immutable manifest
+    (the data dirs this version comprises + which branch produced it)
+    then ATOMICALLY swap the CURRENT pointer via os.replace — the
+    sink_table_snapshots discipline. Older manifests are retained, so
+    rollback is re-pointing CURRENT at a previous version; readers
+    resolve CURRENT -> manifest -> dirs and never see a half-written
+    version."""
+    import json
+
+    os.makedirs(index_root, exist_ok=True)
+    with open(os.path.join(index_root, f"manifest_v{version}.json"), "w") as f:
+        json.dump({"version": version, "dirs": dirs, "retrained": retrained}, f)
+    tmp = os.path.join(index_root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(index_root, "CURRENT"))
+
+
+def _ann_index_current(index_root: str) -> dict:
+    """Resolve the CURRENT pointer to its manifest dict."""
+    import json
+
+    with open(os.path.join(index_root, "CURRENT")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(index_root, f"manifest_v{v}.json")) as f:
+        return json.load(f)
+
+
+def _probe_cell_index(spark: SparkSession, qv, model, index_dir,
                       n_probe: int) -> DataFrame:
     """Probe a cell-partitioned on-disk index: nprobe nearest cells per
     query (shared ivf_probe rank-and-tiebreak), PARTITION-PRUNED scan
     of only the probed cell dirs, exact cosine re-rank to TOP_K.
-    ``qv`` carries (qid, qemb). The one driver collect is the probed-
-    cell id set — bounded by Q x nprobe cell ids (the
-    sim_ivf_persisted_probe partition-prune contract)."""
+    ``qv`` carries (qid, qemb). ``index_dir`` is one dir or a LIST of
+    dirs — a versioned index's manifest names the base + delta dirs
+    and the scan unions them (each still cell-partitioned, each still
+    pruned). The one driver collect is the probed-cell id set —
+    bounded by Q x nprobe cell ids (the sim_ivf_persisted_probe
+    partition-prune contract)."""
     from pyspark.sql import Window
 
     from spark_rapids_ml_spark.operators.similarity import (
@@ -2099,7 +2133,16 @@ def _probe_cell_index(spark: SparkSession, qv, model, index_dir: str,
     # bounded driver state: at most Q x nprobe probed cell ids — the
     # sim_ivf_persisted_probe partition-prune contract
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
-    idx = spark.read.parquet(index_dir).where(F.col("cell").isin(probed))
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    # one read per dir (each dir is its own partition-discovery root,
+    # so each keeps its cell= partition column and its pruning) then
+    # union — a multi-root read would conflate the directory layouts
+    parts = [
+        spark.read.parquet(d).where(F.col("cell").isin(probed)) for d in dirs
+    ]
+    idx = parts[0]
+    for p in parts[1:]:
+        idx = idx.unionByName(p)
     iu = with_unit_vector(idx, "emb", "unit")
     qu = F.broadcast(
         with_unit_vector(qv.withColumnRenamed("qemb", "emb"), "emb", "qunit").select(
@@ -2250,7 +2293,7 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_DRIFT_SHIFT = 1.0
 
 
-def _ann_lifecycle_oracle() -> str:
+def _ann_lifecycle_oracle(shift: float = ANN_DRIFT_SHIFT) -> str:
     from spark_rapids_ml_spark.operators.similarity import (
         _SQL_E,
         _sql_kmeans_cells,
@@ -2268,7 +2311,7 @@ def _ann_lifecycle_oracle() -> str:
 WITH e AS MATERIALIZED ({_SQL_E}),
 ref AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 0),
 cur AS MATERIALIZED (
-  SELECT vec_id, list_transform(emb, x -> x + {ANN_DRIFT_SHIFT}) AS emb
+  SELECT vec_id, list_transform(emb, x -> x + {shift!r}) AS emb
   FROM e WHERE vec_id % 2 = 1),
 refcur AS MATERIALIZED (SELECT * FROM ref UNION ALL SELECT * FROM cur),
 kc1 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ref),
@@ -2288,13 +2331,13 @@ m AS (
 ),
 gate AS (SELECT CAST(SUM({psi_micro_sql("k")}) AS BIGINT) AS psi FROM m),
 kc2 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM cur),
-{_sql_kmeans_cells(k_sql="(SELECT k FROM kc2)", src="cur", assign_src="cur", prefix="v2_")},
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc2)", src="cur", assign_src="refcur", prefix="v2_")},
 serve_cells AS MATERIALIZED (
   SELECT vec_id, emb, cl FROM v2_cells
   WHERE (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
   UNION ALL
   SELECT vec_id, emb, cl FROM v1_cells
-  WHERE vec_id % 2 = 1 AND (SELECT psi FROM gate) <= {PSI_RETRAIN_MICRO}),
+  WHERE (SELECT psi FROM gate) <= {PSI_RETRAIN_MICRO}),
 serve_cent AS (
   SELECT cl, cemb FROM v2_cent{IVF_ITERS}
   WHERE (SELECT psi FROM gate) > {PSI_RETRAIN_MICRO}
@@ -2359,11 +2402,22 @@ def stream_ann_drift_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> Data
        v1. The branch condition is ONE bigint, computed identically
        in both engines (hash-checked per cell in the dq query), so
        driver-side control flow on it is cross-engine deterministic.
-    4. Re-ingest: the serving index over the current window is built
-       through the STREAMING ingest path (_stream_build_cell_index —
-       ranged micro-batch replay, broadcast-centroid assignment,
-       cell-partitioned exactly-once file sink).
-    5. Serve: partition-pruned probe of the fresh index, exact
+    4. Index maintenance under VERSIONED SERVING (round 13): the
+       reference window's index exists first (version 1, built
+       through the streaming ingest and committed via an immutable
+       manifest + atomic CURRENT-pointer swap — the
+       sink_table_snapshots discipline). The gate then picks the two
+       halves of the FAISS add-vs-retrain workflow: fired → retrain
+       and REBUILD the whole grown corpus (ref ∪ cur) into a fresh
+       dir (cell geometry changed); quiet → APPEND-ONLY ingest of
+       just the delta window under the v1 quantizer — base files
+       never rewritten, delta-only writes pinned in tests. Version 2
+       commits either way; the v1 manifest is retained for rollback.
+       This declared query injects drift, so it takes the retrain/
+       rebuild branch; stream_ann_incremental_append is the no-drift
+       tick that takes the append branch, driver-checked on its own.
+    5. Serve: resolve CURRENT → manifest → dirs, partition-pruned
+       probe of the union of (still cell-partitioned) dirs, exact
        re-rank; psi_micro and the retrained flag ride along as proof
        of which path produced the answer.
 
@@ -2386,11 +2440,49 @@ def stream_ann_drift_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> Data
     return _ann_lifecycle(spark, sf_dir, shift=ANN_DRIFT_SHIFT)
 
 
+@register(
+    "stream_ann_incremental_append",
+    tags=("streaming", "similarity", "ivf", "scale"),
+    oracle=_ann_lifecycle_oracle(shift=0.0),
+)
+def stream_ann_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-DRIFT tick of the ANN lifecycle — incremental index
+    maintenance as a first-class declared query (round 13, closing
+    the 'full rebuild every tick' gap): new vectors arrive (the odd-
+    id window, unshifted), the PSI gate stays below threshold, and
+    the serving index is maintained by APPENDING only the delta
+    window through the streaming exactly-once ingest — the add-
+    forever half of the FAISS workflow. The base index's files are
+    never rewritten (pinned: tests/test_streaming_semantics.py
+    asserts base-dir file stats are byte-identical across the append
+    and that the delta dir holds exactly the delta rows); version 2
+    commits by writing an immutable manifest naming [base, delta] and
+    atomically swapping the CURRENT pointer; the v1 manifest stays on
+    disk for rollback. The probe serves the union of the two cell-
+    partitioned dirs, partition-pruned as ever, and is pinned
+    hash-equal to a from-scratch rebuild of the same grown corpus
+    under the same quantizer.
+
+    The oracle is the SAME branch-gated lifecycle SQL with shift=0 —
+    the gate value, the not-fired branch decision, v1-assignment of
+    the grown corpus, and the final top-k are all hash-checked, so
+    the append path is cross-engine verified end to end, not assumed.
+
+    Scale: an append tick costs O(delta) ingest + one manifest write,
+    vs O(corpus) for a rebuild tick — at 100 TB with a 0.1% daily
+    delta that is the difference between a 100 GB job and a 100 TB
+    job. Bounded driver state: the PSI gate bigint and the probed-
+    cell id set, exactly as the drift branch."""
+    return _ann_lifecycle(spark, sf_dir, shift=0.0)
+
+
 def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
     """The lifecycle with an injectable drift amount (shift=0.0 is the
     no-drift twin the below-threshold pytest pins). Returns the probe
     DataFrame; the chosen serving model is exposed on the function
     attribute ``last_serving_model`` for the byte-stability test."""
+    import shutil
+
     from pyspark.sql import Window  # noqa: F401  (probe helper owns windows)
 
     from spark_rapids_ml_spark.ml.kmeans import KMeans
@@ -2410,9 +2502,22 @@ def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
         "vec_id", F.transform("emb", lambda x: x + F.lit(shift)).alias("emb")
     )
 
-    # 1. v1 quantizer on the reference window
+    # 1. v1 quantizer on the reference window, and the VERSION-1
+    # serving index the corpus already has: the reference window
+    # ingested through the streaming path, committed under the
+    # versioned-manifest layout (round 13 — the index exists BEFORE
+    # new data arrives, which is what makes an append meaningful)
     k1 = ivf_n_cells(ref.count())
     m1 = KMeans(k=k1, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0).fit(ref)
+    tag = sf_dir.strip("/").replace("/", "_")
+    variant = "drift" if shift else "nodrift"
+    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}_lifecycle_{variant}"
+    index_root = f"/root/repo/.tmp/sinks/{tag}/ann_lifecycle_{variant}"
+    shutil.rmtree(index_root, ignore_errors=True)  # deterministic per run
+    base_dir = f"{index_root}/data_base"
+    ck = f"{_CHECKPOINT_ROOT}/ann_lifecycle_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, ref, m1, stage, base_dir, ck)
+    _ann_index_commit(index_root, 1, ["data_base"], retrained=0)
 
     # 2. drift gate: PSI over the v1 cell histogram (dq discipline)
     w = m1.transform(ref.unionByName(cur), "cell").select(
@@ -2444,30 +2549,47 @@ def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
     )
     retrained = psi_total > PSI_RETRAIN_MICRO
 
-    # 3. retrain on the current window iff the gate fired
+    # 3/4. branch on the gate — the two halves of the FAISS workflow:
+    #  - gate fired: RETRAIN the quantizer on the current window and
+    #    REBUILD the whole grown corpus (ref ∪ cur) into a fresh dir
+    #    (cell geometry changed; every vector must re-assign);
+    #  - gate quiet: APPEND-ONLY — ingest JUST the delta window under
+    #    the existing v1 quantizer into its own dir; the base files
+    #    are never rewritten (delta-only writes pinned in tests).
+    # Either way version 2 commits via the atomic manifest/pointer
+    # swap; the v1 manifest stays on disk for rollback.
+    ck2 = f"{_CHECKPOINT_ROOT}/ann_lifecycle_{uuid.uuid4().hex[:8]}"
     if retrained:
         k2 = ivf_n_cells(cur.count())
         serve_model = KMeans(
             k=k2, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
         ).fit(cur)
         serve_k = k2
+        rebuild_dir = f"{index_root}/data_rebuild_v2"
+        _stream_build_cell_index(
+            spark, ref.unionByName(cur), serve_model, stage, rebuild_dir, ck2
+        )
+        _ann_index_commit(index_root, 2, ["data_rebuild_v2"], retrained=1)
     else:
         serve_model, serve_k = m1, k1
+        delta_dir = f"{index_root}/data_delta_v2"
+        _stream_build_cell_index(spark, cur, serve_model, stage, delta_dir, ck2)
+        _ann_index_commit(
+            index_root, 2, ["data_base", "data_delta_v2"], retrained=0
+        )
     _ann_lifecycle.last_serving_model = serve_model
+    _ann_lifecycle.last_index_root = index_root
 
-    # 4. rebuild the serving index through the streaming ingest path
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}_lifecycle"
-    index_dir = f"/root/repo/.tmp/sinks/{tag}/ann_lifecycle_index"
-    ck = f"{_CHECKPOINT_ROOT}/ann_lifecycle_{uuid.uuid4().hex[:8]}"
-    _stream_build_cell_index(spark, cur, serve_model, stage, index_dir, ck)
-
-    # 5. serve: partition-pruned probe + exact re-rank, with the gate
-    # value and branch flag as output columns
+    # 5. serve: resolve CURRENT -> manifest -> dirs, partition-pruned
+    # probe + exact re-rank, with the gate value and branch flag as
+    # output columns
+    serve_dirs = [
+        f"{index_root}/{d}" for d in _ann_index_current(index_root)["dirs"]
+    ]
     qv = cur.where(F.col("vec_id") < 2 * N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    out = _probe_cell_index(spark, qv, serve_model, index_dir, ivf_nprobe(serve_k))
+    out = _probe_cell_index(spark, qv, serve_model, serve_dirs, ivf_nprobe(serve_k))
     return out.select(
         "qid",
         "vec_id",

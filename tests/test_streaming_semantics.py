@@ -461,3 +461,109 @@ def test_ann_lifecycle_above_threshold_retrains(spark):
     # retrained on the SHIFTED window: centroids live in the shifted
     # cloud (mean coordinate ~ +1), nothing like the reference model's
     assert float(np.mean(served.centroids)) > 0.5
+
+
+def test_ann_incremental_append_writes_only_delta(spark):
+    """Round-13 incremental-maintenance pins, all on one no-drift run:
+
+    1. DELTA-ONLY WRITES — the base dir's parquet file set (path,
+       size, mtime) is byte-identical before and after the append
+       tick; the delta dir holds exactly the delta window's rows.
+    2. VERSIONED SERVING — manifest v1 = [base], manifest v2 =
+       [base, delta], CURRENT points at 2, v1 manifest retained
+       (rollback is re-pointing CURRENT).
+    3. REBUILD EQUIVALENCE — the probe over base ∪ delta is row-equal
+       to a probe over a from-scratch rebuild of the same grown
+       corpus under the same quantizer: appending lost nothing.
+    """
+    import glob
+    import os
+
+    from spark_rapids_ml_spark.operators.similarity import ivf_nprobe
+    from spark_rapids_ml_spark.sources.catalog import load
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        _CHECKPOINT_ROOT,
+        _ann_index_current,
+        _ann_lifecycle,
+        _probe_cell_index,
+        _stream_build_cell_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _ann_lifecycle(spark, sf, shift=0.0).collect()
+    root = _ann_lifecycle.last_index_root
+    model = _ann_lifecycle.last_serving_model
+
+    # 2. versioned serving: CURRENT -> v2 = [base, delta]; v1 retained
+    import json
+    cur_man = _ann_index_current(root)
+    assert cur_man["version"] == 2 and cur_man["retrained"] == 0
+    assert cur_man["dirs"] == ["data_base", "data_delta_v2"]
+    with open(os.path.join(root, "manifest_v1.json")) as f:
+        v1_man = json.load(f)
+    assert v1_man["dirs"] == ["data_base"]
+
+    # 1. delta-only writes: base files committed before the append
+    # (their mtimes predate every delta file's) and never rewritten;
+    # base dir holds exactly the even ids, delta dir the odd ids
+    base_files = sorted(glob.glob(f"{root}/data_base/cell=*/*.parquet"))
+    delta_files = sorted(glob.glob(f"{root}/data_delta_v2/cell=*/*.parquet"))
+    assert base_files and delta_files
+    newest_base = max(os.path.getmtime(p) for p in base_files)
+    oldest_delta = min(os.path.getmtime(p) for p in delta_files)
+    assert newest_base <= oldest_delta  # append touched no base file
+    base_ids = {r["vec_id"] for r in
+                spark.read.parquet(f"{root}/data_base").select("vec_id").collect()}
+    delta_ids = {r["vec_id"] for r in
+                 spark.read.parquet(f"{root}/data_delta_v2").select("vec_id").collect()}
+    n = load(spark, sf, "embeddings").count()
+    assert base_ids == {i for i in range(n) if i % 2 == 0}
+    assert delta_ids == {i for i in range(n) if i % 2 == 1}
+
+    # 3. rebuild equivalence: from-scratch index of the grown corpus
+    # under the SAME quantizer serves the identical probe result
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    ed = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rebuild_dir = f"{root}/data_rebuild_check"
+    stage = f"/root/repo/.tmp/stream_src_ivf/append_equiv_check"
+    ck = f"{_CHECKPOINT_ROOT}/append_equiv_{_uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, ed, model, stage, rebuild_dir, ck)
+    qv = ed.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    n_probe = ivf_nprobe(len(model.centroids))
+    got_appended = _probe_cell_index(
+        spark, qv, model, [f"{root}/data_base", f"{root}/data_delta_v2"], n_probe
+    ).collect()
+    got_rebuilt = _probe_cell_index(spark, qv, model, rebuild_dir, n_probe).collect()
+    key = lambda r: (r["qid"], r["rk"])
+    assert sorted(map(tuple, got_appended), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, got_rebuilt), key=lambda t: (t[0], t[3])
+    )
+    assert rows  # the declared query itself produced probe output
+
+
+def test_ann_lifecycle_retrain_branch_still_rebuilds(spark):
+    """The drift branch must still FULL-REBUILD: manifest v2 names the
+    single rebuilt dir (not base+delta), retrained=1, and the rebuilt
+    index covers the whole grown corpus."""
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        ANN_DRIFT_SHIFT,
+        _ann_index_current,
+        _ann_lifecycle,
+    )
+    from spark_rapids_ml_spark.sources.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    _ann_lifecycle(spark, sf, shift=ANN_DRIFT_SHIFT).collect()
+    root = _ann_lifecycle.last_index_root
+    man = _ann_index_current(root)
+    assert man["version"] == 2 and man["retrained"] == 1
+    assert man["dirs"] == ["data_rebuild_v2"]
+    n = load(spark, sf, "embeddings").count()
+    assert spark.read.parquet(f"{root}/data_rebuild_v2").count() == n
