@@ -2254,3 +2254,185 @@ def dq_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(total)
         .orderBy("cell")
     )
+
+
+# ---- hybrid lexical+vector retrieval: reciprocal-rank fusion ----
+# The retrieval shape LLM data curation actually runs: a lexical
+# (TF-IDF sparse) ranking and a dense (embedding cosine) ranking over
+# the same corpus, fused by RRF (Cormack/Clarke/Buettcher, SIGIR'09):
+# score(d) = sum over lists of 1/(K + rank_d). Fusion arithmetic is
+# INTEGER (micro-units, floor division), so the hash oracle is exact:
+# the only float anywhere is the dense 6dp-rounded cosine, used solely
+# as a rank key under the established brute-force discipline.
+RRF_K = 60          # the canonical RRF damping constant
+RRF_DEPTH = 20      # candidates taken from each ranking
+RRF_TOP = 10        # fused results returned per query
+RRF_SCALE = 1_000_000  # 1/(K+r) in micro-units via floor division
+
+_RRF_ORACLE = f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+srcdocs AS (SELECT doc_id, text FROM documents
+            WHERE doc_id <= (SELECT cap FROM capv)),
+sh AS MATERIALIZED ({sql_shingle_rows(table='srcdocs')}),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+w AS MATERIALIZED (SELECT sh.doc_id, sh.shingle,
+             ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
+      FROM sh JOIN df USING (shingle)
+      WHERE df.df <= (SELECT n_docs FROM n) // {SPARSE_DF_CEIL_DEN}),
+ldot AS (
+  SELECT a.doc_id AS qid, b.doc_id AS doc_id, SUM(a.w * b.w) AS dp
+  FROM w a JOIN w b ON a.shingle = b.shingle AND b.doc_id <> a.doc_id
+  WHERE a.doc_id < {N_QUERIES}
+  GROUP BY 1, 2),
+lex AS (
+  SELECT qid, doc_id, lex_rk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, doc_id) AS lex_rk
+    FROM ldot
+  ) WHERE lex_rk <= {RRF_DEPTH}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id <= (SELECT cap FROM capv)),
+qv AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+dscore AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(q.qemb, e.emb), 6) AS cosine
+  FROM qv q JOIN e ON e.vec_id <> q.qid),
+den AS (
+  SELECT qid, doc_id, dense_rk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS dense_rk
+    FROM dscore
+  ) WHERE dense_rk <= {RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS qid,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rk), 0)
+       + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rk), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN den d ON l.qid = d.qid AND l.doc_id = d.doc_id),
+ranked AS (
+  SELECT qid, doc_id, rrf_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rk
+  FROM fused)
+SELECT qid, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rk
+FROM ranked WHERE rk <= {RRF_TOP}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    tags=("similarity", "text", "sparse", "retrieval"),
+    bench=True,
+    oracle=_RRF_ORACLE,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval by reciprocal-rank fusion — the
+    two-tower shape LLM data curation runs in production: a TF-IDF
+    sparse ranking (this module's idf-weighted shingle postings, the
+    sim_sparse_tfidf_cosine_pairs machinery re-pointed query→corpus)
+    and a dense embedding-cosine ranking over the SAME corpus slice,
+    each truncated at RRF_DEPTH, fused per candidate as
+
+        rrf_micro = Σ_lists  RRF_SCALE // (RRF_K + rank)
+
+    — floor division on integers, so fusion is EXACT cross-engine and
+    the whole result hash-checks (no float ever leaves a rank key).
+    Candidates in only one list contribute one term (COALESCE 0 twin
+    in both engines); the fused top-RRF_TOP per query is returned.
+
+    Lexical ranks order by the INTEGER idf-weighted dot product (dp
+    DESC, doc_id) — no float in the lexical tower at all; dense ranks
+    order by the 6dp-rounded cosine (the brute-force tier's
+    established deterministic key).
+
+    Scale: the lexical tower is the posting-list equi-join bounded by
+    sum(df²) with the df ceiling (SPARSE_DF_CEIL_DEN) guarding
+    boilerplate keys; the dense tower is a Q-row broadcast against the
+    corpus (or any sim_* ANN tier when Q·N bites — fusion only needs
+    (qid, doc_id, rank) from each tower, so towers swap freely);
+    fusion itself joins two ≤ Q·RRF_DEPTH-row lists — driver-free,
+    shuffle-light, and independent of corpus size."""
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    d = alldocs.where(F.col("doc_id") <= cap).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # lexical tower: idf-weighted shingle postings, query->corpus
+    # integer dots (the sparse-pairs pipeline with a query-side slice
+    # instead of the doc_a < doc_b self-join)
+    sh = _cache(d.select("doc_id", F.explode(shingles("toks")).alias("shingle")))
+    n_docs = sh.select("doc_id").distinct().count()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        sh.join(dfreq, "shingle")
+        .where(F.col("df") <= F.lit(n_docs // SPARSE_DF_CEIL_DEN))
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("w"),
+        )
+    )
+    wq = w.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"), "shingle", F.col("w").alias("wgt_q")
+    )
+    ldot = (
+        wq.join(w.withColumnRenamed("w", "wgt_c"), "shingle")
+        .where(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("wgt_q") * F.col("wgt_c")).alias("dp"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("dp").desc(), F.col("doc_id"))
+    lex = (
+        ldot.withColumn("lex_rk", F.row_number().over(wl))
+        .where(F.col("lex_rk") <= RRF_DEPTH)
+        .select("qid", "doc_id", "lex_rk")
+    )
+    # dense tower: exact cosine over the same slice, brute discipline
+    eu = with_unit_vector(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") <= cap),
+        "embedding",
+        "unit",
+    )
+    q = F.broadcast(
+        eu.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
+        )
+    )
+    dscore = q.join(eu, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.round(dot_expr("qunit", "unit"), 6).alias("cosine"),
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    den = (
+        dscore.withColumn("dense_rk", F.row_number().over(wd))
+        .where(F.col("dense_rk") <= RRF_DEPTH)
+        .select("qid", "doc_id", "dense_rk")
+    )
+    # fusion: integer micro-contributions over the union of the lists
+    fused = lex.join(den, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + lex_rk)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + dense_rk)"),
+                F.lit(0),
+            )
+        ).alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rk") <= RRF_TOP)
+        .select("qid", "doc_id", F.col("rrf_micro").cast("bigint").alias("rrf_micro"), "rk")
+        .orderBy("qid", "rk")
+    )
