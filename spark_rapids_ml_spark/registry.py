@@ -64,68 +64,69 @@ def register(
 # Names absent from the registry are skipped, so the list is safe
 # across partial loads.
 SWEEP_PRIORITY: list[str] = [
-    # -- round 12 rotation head: (a) queries round 12 ADDED or
-    # CHANGED — the composed drift-gate -> retrain -> streaming
-    # re-ingest lifecycle (new), the Arrow-batched rewrite of the flat
-    # SQ coarse scan, the PSI monitor (ROUND(.,9) ln-ulp guard moved
-    # the psi_micro values), the IVF-SQ hybrid and streaming ingest
-    # (query-filtered re-rank broadcast / checkpoint-cleanup refactor;
-    # values unchanged — the fresh driver rows prove it). The rest of
-    # the window follows tools/staleness.py least-recently-sampled
-    # order (STALENESS.md is the auditable artifact).
+    # -- round 13 rotation head: (a) queries round 13 ADDED — the
+    # filtered-ANN pair (predicate inside the partition-pruned probe
+    # scan + its exact filtered-brute baseline), the incremental
+    # append tick of the versioned serving index, and the RRF
+    # lexical+vector fusion; (b) queries round 13 CHANGED — the drift
+    # lifecycle (both branches now serve the grown corpus ref ∪ cur
+    # under versioned manifests; oracle changed in lockstep) and the
+    # flat SQ tier (local prune key now half-away-from-zero, ADVICE
+    # r12; values unchanged — the fresh driver row proves it). The
+    # tail follows tools/staleness.py least-recently-sampled order
+    # (STALENESS.md is the auditable artifact): the rest of the r05
+    # cohort, then the oldest of r06.
+    "stream_ann_incremental_append",
+    "sim_filtered_ivf_topk",
+    "sim_filtered_bruteforce_topk",
+    "retrieval_rrf_fusion",
     "stream_ann_drift_retrain_lifecycle",
     "sim_quantized_topk",
-    "dq_embedding_drift_psi",
-    "sim_ivf_sq_hybrid_topk",
-    "stream_ivf_index_ingest",
-    # -- round 12 window tail: the 45 least-recently-sampled queries
-    # (STALENESS.md order) — the 30 remaining r04-era rows, then the
-    # oldest 15 of the r05 cohort.
-    "stream_foreachbatch_sink",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "stream_stream_interval_join",
-    "stream_tumbling_append_watermark",
-    "stream_tumbling_window",
-    "subquery_correlated_scalar_agg",
-    "subquery_exists_correlated",
-    "subquery_in",
-    "subquery_not_exists_correlated",
-    "text_corpus_stats",
-    "text_fingerprint",
-    "text_langid_profile",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "text_winnow_fingerprint",
-    "timeseries_multi_rollup",
-    "udf_grouped_agg_weighted_avg",
-    "udf_grouped_map_zscore",
-    "udf_udtf_bigrams",
-    "window_distribution_ranks",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_sum",
-    "window_topk_per_group",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "agg_argmax_argmin",
-    "agg_collect_list_sorted",
-    "agg_corr",
-    "agg_count_distinct_multi",
-    "agg_cube",
-    "agg_freq_items_merge",
-    "agg_group_stats",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_hll_sketch_merge",
-    "agg_moments_exact",
-    "agg_percentiles_exact",
-    "agg_pivot",
+    # -- round 13 window tail: the 44 least-recently-sampled
+    "agg_quantile_sketch_merge",
+    "agg_rollup",
+    "agg_unpivot_measures",
+    "dedup_embedding_lsh_pairs",
+    "dedup_simhash_hamming_pairs",
+    "graph_triangle_count",
+    "join_range_binned_count",
+    "json_variant_extract",
+    "layout_compaction_rewrite",
+    "layout_zorder_buckets",
+    "ml_naive_bayes_langid",
+    "pipe_group_reservoir_sample",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "scalar_xml_roundtrip",
+    "sim_bruteforce_topk",
+    "sink_merge_upsert",
+    "skew_join_hot_key_isolation",
+    "source_orc_roundtrip",
+    "source_python_datasource",
+    "sql_recursive_cte_hierarchy",
+    "stream_rocksdb_state_window",
+    "stream_stream_left_outer_join",
+    "subquery_lateral_topn",
+    "text_bigram_lm_score",
+    "text_repetition_stats",
+    "text_term_redaction",
+    "udf_map_in_arrow_textstats",
+    "window_sessionize_gaps",
+    "agg_count_min_sketch",
+    "agg_distinct_overlap_bitmap",
+    "agg_kmv_theta_sketch_ops",
+    "agg_listagg_ordered",
+    "agg_pivot_dynamic",
+    "agg_skewness_kurtosis",
+    "api_dataframe_transpose",
+    "dq_dp_noisy_counts",
+    "events_rolling_median",
+    "events_sequence_pattern_match",
+    "events_transition_matrix",
+    "feature_hashing_trick",
+    "join_asof_nearest_tolerance",
+    "join_fuzzy_blocked_levenshtein",
 ]
 
 
