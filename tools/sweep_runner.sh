@@ -67,3 +67,10 @@ while [ -s "$TODO" ]; do
   fi
 done
 echo "SWEEP DONE $(wc -l < "$LOG") log lines" >> "$LOG"
+# post-sweep vacuum (round 13): drop regenerable run artifacts so
+# .tmp stays bounded across rounds/sfs. Skippable for concurrent
+# sweeps via SWEEP_NO_VACUUM=1 (vacuum only when the LAST worker
+# finishes; see tools/vacuum_artifacts.py for what goes and why).
+if [ -z "${SWEEP_NO_VACUUM:-}" ]; then
+  python tools/vacuum_artifacts.py >> "$LOG" 2>&1 || true
+fi
