@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,6 +24,7 @@ def main() -> None:
     names = sys.argv[1:] or list(specs)
     bad = 0
     for name in names:
+        t0 = time.perf_counter()
         try:
             ok, details = compare(spark, specs[name], sf_dir)
         except Exception as exc:  # noqa: BLE001 — one query must not kill the sweep
@@ -30,8 +32,11 @@ def main() -> None:
             print(f"ERR  {name}: {str(details)[:500]}", flush=True)
             bad += 1
             continue
+        dt = time.perf_counter() - t0
         status = "OK " if ok else "FAIL"
-        print(f"{status} {name}: {details}", flush=True)
+        # the wall= suffix makes every sweep log a per-query time
+        # profile (tools/sweep_profile.py aggregates them)
+        print(f"{status} {name}: {details} wall={dt:.1f}s", flush=True)
         bad += 0 if ok else 1
     sys.exit(1 if bad else 0)
 
