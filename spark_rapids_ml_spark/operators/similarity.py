@@ -1130,23 +1130,26 @@ def ivf_meta_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     cells_tbl, cent_tbl = ivf_index_tables(spark, sf_dir)
     db = cells_tbl.split(".")[0]
-    meta_tbl = f"{db}.ivf_cells_pm"
+    # _pm2 = layout v2 (round 13): the UNIT vector is materialized at
+    # build time, so probes dot pre-normalized rows straight off the
+    # pruned scan — no per-query normalization pass or cache barrier
+    # (the production layout: an ANN index stores normalized vectors)
+    meta_tbl = f"{db}.ivf_cells_pm2"
     if spark.catalog.tableExists(meta_tbl):
         return meta_tbl, cent_tbl
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
         "file:", ""
     )
-    spark.sql(f"DROP TABLE IF EXISTS {meta_tbl}")
-    shutil.rmtree(
-        os.path.join(warehouse, f"{db}.db", "ivf_cells_pm"), ignore_errors=True
-    )
+    for t in ("ivf_cells_pm", "ivf_cells_pm2"):  # _pm = stale round-13a layout
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db", t), ignore_errors=True)
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang", "n_chars"
     )
     (
-        spark.table(cells_tbl)
+        with_unit_vector(spark.table(cells_tbl), "emb", "unit")
         .join(docs, "vec_id", "left")  # robust to vectors without docs
-        .select("vec_id", "emb", "lang", "n_chars", "cell")
+        .select("vec_id", "emb", "unit", "lang", "n_chars", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .saveAsTable(meta_tbl)
@@ -1254,17 +1257,29 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores, paid in scan (pushed-down, row-group-skippable) rather
     # than shuffle. n and m are exact counts, integer ceil-div —
     # cross-engine identical (the oracle's sel/npf CTEs).
-    n_corpus = spark.table(meta_tbl).count()
+    # counts come from the single-file base tables (count-star on one
+    # parquet footer / one narrow projection), not the 448-dir
+    # partitioned index — same exact integers as the oracle's
+    # COUNT(*) FROM e and e-JOIN-documents sel CTE, at a fraction of
+    # the task-dispatch cost on local mode's many small partitions
+    e = load(spark, sf_dir, "embeddings")
+    n_corpus = e.count()
     n_match = max(
         1,
-        spark.table(meta_tbl)
-        .where(
-            (F.col("lang") == FILTER_LANG) & (F.col("n_chars") >= FILTER_NCHARS)
+        e.select("vec_id")
+        .join(
+            load(spark, sf_dir, "documents")
+            .where(
+                (F.col("lang") == FILTER_LANG)
+                & (F.col("n_chars") >= FILTER_NCHARS)
+            )
+            .select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
         )
         .count(),
     )
     n_probe = min(k, (ivf_nprobe(k) * n_corpus + n_match - 1) // n_match)
-    e = load(spark, sf_dir, "embeddings")
     q = e.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qemb"),
@@ -1273,15 +1288,13 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver state: at most N_QUERIES x nprobe probed cell ids
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
     # ONE scan: partition prune on cell + attribute predicate pushed
-    # to the parquet reader — the filtered-ANN access path.
-    idx = with_unit_vector(
-        spark.table(meta_tbl).where(
-            F.col("cell").isin(probed)
-            & (F.col("lang") == FILTER_LANG)
-            & (F.col("n_chars") >= FILTER_NCHARS)
-        ),
-        "emb",
-        "unit",
+    # to the parquet reader — the filtered-ANN access path. The unit
+    # vector is already materialized in the index (layout v2), so the
+    # scan feeds the dot directly: no normalization, no cache barrier.
+    idx = spark.table(meta_tbl).where(
+        F.col("cell").isin(probed)
+        & (F.col("lang") == FILTER_LANG)
+        & (F.col("n_chars") >= FILTER_NCHARS)
     )
     qu = q.withColumn("qnorm", norm_expr("qemb")).select(
         "qid",

@@ -119,6 +119,16 @@ SAMPLED = [
     # superset of the global top-QUANT_CAND under ANY layout)
     "stream_ann_drift_retrain_lifecycle",
     "sim_quantized_topk",
+    # round 13: the filtered probe (selectivity counts are exact
+    # bigints; the widened probe set and the pushed predicate are
+    # layout-free; scoring is the 6dp-rounded dot with id tie-break),
+    # the append tick (manifest branch decided by the same exact gate
+    # scalar; the unioned dirs' content is set-equal under any
+    # micro-batch layout), and RRF (integer idf dots, integer
+    # floor-div fusion — no float rank key anywhere)
+    "sim_filtered_ivf_topk",
+    "stream_ann_incremental_append",
+    "retrieval_rrf_fusion",
 ]
 
 
