@@ -40,6 +40,25 @@ from spark_rapids_ml_spark.registry import all_queries
 from spark_rapids_ml_spark.session import get_spark
 
 
+def _cpu_canary() -> float:
+    """Fixed-work CPU canary (seconds, best of 3): a 2000x2000 float64
+    matmul. The VM reports a constant nominal frequency, but the
+    underlying host measurably varies (observed round 13: the same
+    canary swung 0.16s -> 0.24s within 20 minutes, and the whole
+    31-row headline rose uniformly ~30% with it) — embedding the
+    canary lets a vs_baseline swing be attributed to host state
+    instead of being read as a code regression."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((2000, 2000))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _host_identity() -> dict:
     import platform
     import socket
@@ -216,6 +235,7 @@ def main() -> None:
                 "n_runs": n_runs,
                 "n_warmup_discarded": n_warmup,
                 "host": _host_identity(),
+                "cpu_canary_matmul_s": _cpu_canary(),
             }
         )
     )
