@@ -67,7 +67,8 @@ SWEEP_PRIORITY: list[str] = [
     # -- round 13 rotation head: (a) queries round 13 ADDED — the
     # filtered-ANN pair (predicate inside the partition-pruned probe
     # scan + its exact filtered-brute baseline), the incremental
-    # append tick of the versioned serving index, and the RRF
+    # append tick of the versioned serving index, the tombstone-delete
+    # + compaction tick that completes it, and the RRF
     # lexical+vector fusion; (b) queries round 13 CHANGED — the drift
     # lifecycle (both branches now serve the grown corpus ref ∪ cur
     # under versioned manifests; oracle changed in lockstep) and the
@@ -76,6 +77,7 @@ SWEEP_PRIORITY: list[str] = [
     # tail follows tools/staleness.py least-recently-sampled order
     # (STALENESS.md is the auditable artifact): the rest of the r05
     # cohort, then the oldest of r06.
+    "stream_ann_compaction_tick",
     "stream_ann_incremental_append",
     "sim_filtered_ivf_topk",
     "sim_filtered_bruteforce_topk",
@@ -126,7 +128,9 @@ SWEEP_PRIORITY: list[str] = [
     "events_transition_matrix",
     "feature_hashing_trick",
     "join_asof_nearest_tolerance",
-    "join_fuzzy_blocked_levenshtein",
+    # join_fuzzy_blocked_levenshtein rotated out to keep the window at
+    # 50 when the late-round compaction tick joined the head; it is
+    # next in staleness order for round 14.
 ]
 
 

@@ -2079,19 +2079,24 @@ def _stream_build_cell_index(spark: SparkSession, df, model, stage: str,
 
 
 def _ann_index_commit(index_root: str, version: int, dirs: list[str],
-                      retrained: int) -> None:
+                      retrained: int, extra: dict | None = None) -> None:
     """Commit one serving-index version: write an immutable manifest
     (the data dirs this version comprises + which branch produced it)
     then ATOMICALLY swap the CURRENT pointer via os.replace — the
     sink_table_snapshots discipline. Older manifests are retained, so
     rollback is re-pointing CURRENT at a previous version; readers
     resolve CURRENT -> manifest -> dirs and never see a half-written
-    version."""
+    version. ``extra`` merges additional manifest keys (e.g. the
+    tombstone dir a delete tick attaches, or the source version a
+    compaction collapsed)."""
     import json
 
     os.makedirs(index_root, exist_ok=True)
+    manifest = {"version": version, "dirs": dirs, "retrained": retrained}
+    if extra:
+        manifest.update(extra)
     with open(os.path.join(index_root, f"manifest_v{version}.json"), "w") as f:
-        json.dump({"version": version, "dirs": dirs, "retrained": retrained}, f)
+        json.dump(manifest, f)
     tmp = os.path.join(index_root, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -2597,4 +2602,216 @@ def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
         "rk",
         F.lit(psi_total).cast("bigint").alias("psi_micro"),
         F.lit(1 if retrained else 0).cast("bigint").alias("retrained"),
+    ).orderBy("qid", "rk")
+
+
+def _ann_compaction_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import (
+        _SQL_E,
+        _sql_kmeans_cells,
+        IVF_CELL_FLOOR,
+        IVF_ITERS,
+        IVF_NPROBE,
+        IVF_PROBE_DEN,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+ref AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 0),
+cur AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 1),
+kc1 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ref),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc1)", src="ref", assign_src="e", prefix="v1_")},
+tomb AS (SELECT vec_id FROM e WHERE vec_id % 7 = 3),
+live AS MATERIALIZED (SELECT vec_id, emb, cl FROM v1_cells WHERE vec_id % 7 <> 3),
+nb AS (SELECT COUNT(*) AS n FROM e),
+nt AS (SELECT COUNT(*) AS n FROM tomb),
+np AS (SELECT GREATEST({IVF_NPROBE}, ((SELECT k FROM kc1) + {IVF_PROBE_DEN} - 1) // {IVF_PROBE_DEN}) AS np),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM cur WHERE vec_id < {2 * N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN v1_cent{IVF_ITERS} c
+  ) WHERE prk <= (SELECT np FROM np)
+),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN live s ON s.cl = p.cl AND s.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk,
+       (SELECT n FROM nb) AS n_before,
+       (SELECT n FROM nt) AS n_tombstoned,
+       (SELECT n FROM nb) - (SELECT n FROM nt) AS n_after
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "stream_ann_compaction_tick",
+    tags=("streaming", "similarity", "ivf", "scale"),
+    oracle=_ann_compaction_oracle(),
+)
+def stream_ann_compaction_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONED DELETES + COMPACTION — the remaining half of index
+    maintenance (round 13; completes the CRUD story the append tick
+    started). A production vector index must support deletes (the
+    right-to-be-forgotten requirement a 100 TB training corpus
+    actually carries) and must periodically fold its accumulated
+    append deltas back into large base files (the FAISS/Lucene merge
+    step) — both WITHOUT a from-scratch retrain.
+
+    The tick sequence, every version an immutable manifest + atomic
+    CURRENT-pointer swap (the sink_table_snapshots discipline):
+
+      v1  base index: the reference window (even ids) ingested through
+          the streaming exactly-once path under the v1 quantizer.
+      v2  append tick: the delta window (odd ids) ingested into its
+          own dir — stream_ann_incremental_append's no-drift half.
+      v3  deletes arrive as TOMBSTONES: the doomed ids (vec_id%7==3,
+          spanning base AND delta) written as a parquet id set and
+          attached to the manifest — an O(deletes) metadata commit;
+          no data file is touched, readers anti-join the tombstones.
+      v4  COMPACTION: one batch job reads base ∪ delta, anti-joins the
+          tombstone ids, and rewrites the survivors into a single
+          cell-partitioned dir REUSING the STORED cell column — pure
+          IO, no model evaluation, no retrain; the quantizer is
+          untouched. CURRENT swaps to v4; v1–v3 manifests and their
+          data dirs stay on disk, so rollback to the pre-delete or
+          pre-compaction view is re-pointing CURRENT.
+
+    The probe then serves v4: partition-pruned cell scan + exact
+    re-rank, with (n_before, n_tombstoned, n_after) as output columns
+    so the delete arithmetic itself is hash-checked. The oracle
+    re-runs the v1 training unrolled (the _sql_kmeans_cells chain,
+    assign over the full corpus), drops the tombstoned ids, and
+    probes the surviving cells — so "compacted index ≡ logical view
+    minus deletes" is cross-engine verified end to end, not assumed.
+    tests/test_streaming_semantics.py additionally pins: the physical
+    v4 dir holds exactly n_after rows and NO tombstoned id; probe
+    over v4 row-equals probe over the v3 view (base ∪ delta with the
+    tombstone anti-join); and the base/delta file stats are
+    byte-identical across the compaction (rollback stays viable).
+
+    Scale: the tombstone commit is O(deletes) metadata; the compaction
+    is ONE shuffle of the surviving corpus (repartition by cell so
+    each cell lands as one large file — that file-merge IS the point),
+    amortized over the many O(delta) append ticks it absorbs; probes
+    pay the tombstone anti-join only BETWEEN compactions (v3 reads),
+    never after. Bounded driver state: three scalar counts and the
+    probed-cell id set (the sim_ivf_persisted_probe contract).
+
+    Reference contract: the write-once/maintain-forever index shape of
+    RapidsRowMatrix.scala:177-199's batched scan discipline, extended
+    with the FAISS remove_ids/merge workflow the ingest docstring
+    cites."""
+    import shutil
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.similarity import (
+        IVF_ITERS,
+        N_QUERIES,
+        ivf_n_cells,
+        ivf_nprobe,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ref = ed.where(F.col("vec_id") % 2 == 0)
+    cur = ed.where(F.col("vec_id") % 2 == 1)
+
+    n_ref = ref.count()
+    k1 = ivf_n_cells(n_ref)
+    m1 = KMeans(k=k1, feature_col="emb", id_col="vec_id",
+                max_iter=IVF_ITERS, tol=0.0).fit(ref)
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}_compaction"
+    index_root = f"/root/repo/.tmp/sinks/{tag}/ann_compaction"
+    shutil.rmtree(index_root, ignore_errors=True)  # deterministic per run
+    base_dir = f"{index_root}/data_base"
+    delta_dir = f"{index_root}/data_delta_v2"
+
+    # v1: the base index the corpus already has
+    ck = f"{_CHECKPOINT_ROOT}/ann_compact_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, ref, m1, stage, base_dir, ck)
+    _ann_index_commit(index_root, 1, ["data_base"], retrained=0)
+
+    # v2: the append tick (no retrain — the add-forever half)
+    ck2 = f"{_CHECKPOINT_ROOT}/ann_compact_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, cur, m1, stage, delta_dir, ck2)
+    _ann_index_commit(index_root, 2, ["data_base", "data_delta_v2"], retrained=0)
+
+    # v3: deletes arrive — an O(deletes) tombstone commit, zero data
+    # files rewritten
+    tomb = ed.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    tomb.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_root}/tombstones_v3"
+    )
+    _ann_index_commit(index_root, 3, ["data_base", "data_delta_v2"],
+                      retrained=0, extra={"tombstones": "tombstones_v3"})
+
+    # pre-compaction file stats: the rollback-viability pin's witness
+    # (base/delta must be byte-identical after the compaction)
+    pre_stats = {}
+    for d in ("data_base", "data_delta_v2"):
+        droot = os.path.join(index_root, d)
+        for dirpath, _dirs, files in os.walk(droot):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                pre_stats[os.path.relpath(p, index_root)] = os.path.getsize(p)
+    stream_ann_compaction_tick.last_pre_compaction_stats = pre_stats
+
+    # v4: compaction — pure IO over the STORED assignments (the
+    # quantizer is never evaluated): read base ∪ delta (each dir its
+    # own partition-discovery root), anti-join the tombstone ids, one
+    # shuffle by cell so each cell compacts into large files
+    man3 = _ann_index_current(index_root)
+    live = None
+    for d in man3["dirs"]:
+        part = spark.read.parquet(f"{index_root}/{d}")
+        live = part if live is None else live.unionByName(part)
+    tomb_ids = spark.read.parquet(f"{index_root}/{man3['tombstones']}")
+    survivors = live.join(tomb_ids, "vec_id", "left_anti")
+    compact_dir = f"{index_root}/data_compact_v4"
+    (
+        survivors.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(compact_dir)
+    )
+    _ann_index_commit(index_root, 4, ["data_compact_v4"], retrained=0,
+                      extra={"compacted_from": 3})
+    stream_ann_compaction_tick.last_index_root = index_root
+    stream_ann_compaction_tick.last_serving_model = m1
+
+    n_before = ed.count()
+    n_tomb = tomb.count()
+
+    # serve v4: resolve CURRENT -> manifest -> dirs, pruned probe
+    serve_dirs = [
+        f"{index_root}/{d}" for d in _ann_index_current(index_root)["dirs"]
+    ]
+    qv = cur.where(F.col("vec_id") < 2 * N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    out = _probe_cell_index(spark, qv, m1, serve_dirs, ivf_nprobe(k1))
+    return out.select(
+        "qid",
+        "vec_id",
+        "cosine",
+        "rk",
+        F.lit(n_before).cast("bigint").alias("n_before"),
+        F.lit(n_tomb).cast("bigint").alias("n_tombstoned"),
+        F.lit(n_before - n_tomb).cast("bigint").alias("n_after"),
     ).orderBy("qid", "rk")

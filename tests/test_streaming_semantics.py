@@ -567,3 +567,102 @@ def test_ann_lifecycle_retrain_branch_still_rebuilds(spark):
     assert man["dirs"] == ["data_rebuild_v2"]
     n = load(spark, sf, "embeddings").count()
     assert spark.read.parquet(f"{root}/data_rebuild_v2").count() == n
+
+
+def test_ann_compaction_tick_pins(spark):
+    """Round-13 delete/compaction pins, all on one run of
+    stream_ann_compaction_tick at sf0.001:
+
+    1. PHYSICAL COMPACTION — the v4 dir holds exactly the surviving
+       corpus (every base ∪ delta id except the tombstoned ones, each
+       exactly once), and each cell compacted into ONE data file (the
+       repartition-by-cell file merge IS the point of the tick).
+    2. VIEW EQUIVALENCE — the query's served output (from its internal
+       v4) row-equals a probe over an independently materialized
+       base ∪ delta MINUS tombstones view under the same quantizer:
+       compaction lost nothing and dropped exactly the deletes.
+    3. ROLLBACK VIABILITY — base and delta file sets are byte-identical
+       (path + size) to the pre-compaction witness the query captured;
+       manifests v1..v4 all on disk; CURRENT -> 4; the v3 manifest
+       carries the tombstone dir; v4 records compacted_from=3.
+    """
+    import glob
+    import json
+    import os
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import ivf_nprobe
+    from spark_rapids_ml_spark.sources.catalog import load
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        _ann_index_current,
+        _probe_cell_index,
+        stream_ann_compaction_tick,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_ann_compaction_tick(spark, sf).collect()
+    assert rows, "compaction tick produced no probe results"
+    root = stream_ann_compaction_tick.last_index_root
+    model = stream_ann_compaction_tick.last_serving_model
+
+    n = load(spark, sf, "embeddings").count()
+    tomb_ids = {i for i in range(n) if i % 7 == 3}
+    surviving = set(range(n)) - tomb_ids
+    assert all(r["n_before"] == n for r in rows)
+    assert all(r["n_tombstoned"] == len(tomb_ids) for r in rows)
+    assert all(r["n_after"] == len(surviving) for r in rows)
+
+    # 1. physical compaction: exact surviving id set, once each; and
+    # one data file per cell (small files merged)
+    v4 = spark.read.parquet(f"{root}/data_compact_v4")
+    v4_ids = [r["vec_id"] for r in v4.select("vec_id").collect()]
+    assert len(v4_ids) == len(surviving)
+    assert set(v4_ids) == surviving
+    cell_dirs = glob.glob(f"{root}/data_compact_v4/cell=*")
+    assert cell_dirs
+    for d in cell_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+    # 3. rollback viability: old dirs untouched, every version present
+    post_stats = {}
+    for d in ("data_base", "data_delta_v2"):
+        droot = os.path.join(root, d)
+        for dirpath, _dirs, files in os.walk(droot):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                post_stats[os.path.relpath(p, root)] = os.path.getsize(p)
+    assert post_stats == stream_ann_compaction_tick.last_pre_compaction_stats
+    cur_man = _ann_index_current(root)
+    assert cur_man["version"] == 4
+    assert cur_man["dirs"] == ["data_compact_v4"]
+    assert cur_man["compacted_from"] == 3
+    with open(os.path.join(root, "manifest_v3.json")) as f:
+        v3_man = json.load(f)
+    assert v3_man["tombstones"] == "tombstones_v3"
+    assert v3_man["dirs"] == ["data_base", "data_delta_v2"]
+    for v in (1, 2, 3, 4):
+        assert os.path.exists(os.path.join(root, f"manifest_v{v}.json"))
+
+    # 2. view equivalence: independent materialization of the v3 view
+    # minus tombstones, probed under the same quantizer
+    base = spark.read.parquet(f"{root}/data_base")
+    delta = spark.read.parquet(f"{root}/data_delta_v2")
+    tset = spark.read.parquet(f"{root}/tombstones_v3")
+    view = base.unionByName(delta).join(tset, "vec_id", "left_anti")
+    check_dir = f"{root}/data_view_check_{_uuid.uuid4().hex[:6]}"
+    (view.repartition("cell").write.mode("overwrite")
+         .partitionBy("cell").parquet(check_dir))
+    ed = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = ed.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    got_view = _probe_cell_index(
+        spark, qv, model, check_dir, ivf_nprobe(len(model.centroids))
+    ).collect()
+    served = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in rows]
+    viewed = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in got_view]
+    assert served == viewed
