@@ -129,6 +129,11 @@ SAMPLED = [
     "sim_filtered_ivf_topk",
     "stream_ann_incremental_append",
     "retrieval_rrf_fusion",
+    # the compaction tick: the surviving-row set is a layout-free
+    # anti-join of exact id sets; the compacted dir's CONTENT (not
+    # file layout) feeds the probe, whose ranking is the 6dp dot with
+    # id tie-break; the count columns are exact bigints
+    "stream_ann_compaction_tick",
 ]
 
 
