@@ -11,6 +11,12 @@ set -u
 TODO=$1
 LOG=$2
 CHUNK=${3:-8}
+# stream_session_window materializes a corpus-sized result in its
+# complete-mode memory sink; at sf10 the default 8g driver heap can
+# OOM the task-result-getter and WEDGE the JVM (round 13). 12g is the
+# measured-safe default; -Xmx is a cap, not committed memory, so this
+# costs nothing at small sfs.
+export SPARK_GRAFT_DRIVER_MEM=${SPARK_GRAFT_DRIVER_MEM:-12g}
 cd "$(dirname "$0")/.."
 
 # startup purge: drop names whose verdict already landed in LOG, so a
