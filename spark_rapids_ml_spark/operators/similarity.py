@@ -2487,3 +2487,253 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", F.col("rrf_micro").cast("bigint").alias("rrf_micro"), "rk")
         .orderBy("qid", "rk")
     )
+
+
+_RRF_FILTERED_ORACLE = f"""
+WITH capv AS (SELECT {_SQL_DOC_SLICE_CAP} AS cap),
+fdocs AS (SELECT doc_id, text FROM documents
+          WHERE doc_id <= (SELECT cap FROM capv)
+            AND lang = '{FILTER_LANG}' AND n_chars >= {FILTER_NCHARS}),
+sh AS MATERIALIZED ({sql_shingle_rows(table='fdocs')}),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+w AS MATERIALIZED (SELECT sh.doc_id, sh.shingle,
+             ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
+      FROM sh JOIN df USING (shingle)
+      WHERE df.df <= (SELECT n_docs FROM n) // {SPARSE_DF_CEIL_DEN}),
+qdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < {N_QUERIES}),
+shq AS MATERIALIZED ({sql_shingle_rows(table='qdocs')}),
+wq AS (SELECT shq.doc_id AS qid, shq.shingle,
+              ({IDF_SCALE} * (SELECT n_docs FROM n)) // df.df AS w
+       FROM shq JOIN df USING (shingle)
+       WHERE df.df <= (SELECT n_docs FROM n) // {SPARSE_DF_CEIL_DEN}),
+ldot AS (
+  SELECT a.qid, b.doc_id, SUM(a.w * b.w) AS dp
+  FROM wq a JOIN w b ON a.shingle = b.shingle AND b.doc_id <> a.qid
+  GROUP BY 1, 2),
+lex AS (
+  SELECT qid, doc_id, lex_rk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, doc_id) AS lex_rk
+    FROM ldot
+  ) WHERE lex_rk <= {RRF_DEPTH}),
+e AS MATERIALIZED ({_SQL_E}),
+{SQL_IVF_KC},
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc)")},
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+sel AS (SELECT GREATEST(1, COUNT(*)) AS m FROM e
+        JOIN documents d ON d.doc_id = e.vec_id
+         AND d.lang = '{FILTER_LANG}' AND d.n_chars >= {FILTER_NCHARS}),
+npf AS (SELECT LEAST((SELECT k FROM kc),
+                     (({SQL_IVF_NPROBE}) * (SELECT COUNT(*) FROM e) + (SELECT m FROM sel) - 1)
+                       // (SELECT m FROM sel)) AS np),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN cent{IVF_ITERS} c
+  ) WHERE prk <= (SELECT np FROM npf)
+),
+dscore AS (
+  SELECT q.qid, s.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN cells s ON s.cl = p.cl AND s.vec_id <> q.qid
+               AND s.vec_id <= (SELECT cap FROM capv)
+  JOIN documents d ON d.doc_id = s.vec_id
+   AND d.lang = '{FILTER_LANG}' AND d.n_chars >= {FILTER_NCHARS}
+),
+den AS (
+  SELECT qid, doc_id, dense_rk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS dense_rk
+    FROM dscore
+  ) WHERE dense_rk <= {RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS qid,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rk), 0)
+       + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rk), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN den d ON l.qid = d.qid AND l.doc_id = d.doc_id),
+ranked AS (
+  SELECT qid, doc_id, rrf_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rk
+  FROM fused)
+SELECT qid, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rk
+FROM ranked WHERE rk <= {RRF_TOP}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "retrieval_rrf_filtered_fusion",
+    tags=("similarity", "text", "sparse", "retrieval", "filtered", "ivf", "scale"),
+    oracle=_RRF_FILTERED_ORACLE,
+)
+def retrieval_rrf_filtered_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED hybrid retrieval — retrieval_rrf_fusion with BOTH
+    towers restricted to the metadata-matching collection (lang='en'
+    AND n_chars >= 300, the filtered-ANN predicate), and the dense
+    tower SWAPPED from brute force to the filtered IVF probe. This
+    substantiates, as a declared hash-checked query, the two claims
+    the round-13 retrieval work made in prose: (a) RRF towers swap
+    freely because fusion consumes only (qid, doc_id, rank), and
+    (b) the filtered index's access path composes — the probe scan
+    here carries THREE pushed predicates (cell IN probed, the
+    lang/n_chars attributes, and the evaluation-slice id cap)
+    on top of its partition pruning.
+
+    Semantics: the filtered collection IS the corpus. The lexical
+    tower builds df/idf over ONLY the matching docs (collection
+    statistics follow the collection — a df ceiling computed on the
+    unfiltered corpus would mis-weight rare-in-collection shingles),
+    and query docs (qid < N_QUERIES, queries regardless of their own
+    predicate status) weight their shingles by the FILTERED
+    collection's idf. The dense tower is the sim_filtered_ivf_topk
+    access path — selectivity-widened nprobe from the same exact
+    integer arithmetic, predicate inside the partition-pruned scan —
+    truncated at RRF_DEPTH instead of TOP_K. Fusion is the identical
+    integer micro-unit floor-division sum; the whole result remains
+    exact cross-engine.
+
+    Scale: the lexical tower is a query→corpus posting join — cost
+    Σ_q df(shingle) bounded by the df ceiling, NOT the pairs
+    machinery's Σdf² self-join; the dense tower reads
+    widened-nprobe/k of the index bytes with the predicate dropping
+    rows at the parquet reader; fusion joins two ≤ Q·RRF_DEPTH-row
+    lists. The probe-widening counts (n, m) are the index-wide exact
+    integers the filtered tier already uses; the id cap is an
+    evaluation-slice artifact applied as one more pushed scan
+    predicate in both engines."""
+    from pyspark.sql import Window
+
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    alldocs = load(spark, sf_dir, "documents")
+    cap = _doc_slice_cap(alldocs.count())
+    pred = (F.col("lang") == FILTER_LANG) & (F.col("n_chars") >= FILTER_NCHARS)
+
+    # lexical tower over the FILTERED collection: df/idf computed on
+    # matching docs only; query docs weight by the collection's idf
+    fd = alldocs.where((F.col("doc_id") <= cap) & pred).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = _cache(fd.select("doc_id", F.explode(shingles("toks")).alias("shingle")))
+    n_docs = sh.select("doc_id").distinct().count()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ceil_df = F.lit(n_docs // SPARSE_DF_CEIL_DEN)
+    w = (
+        sh.join(dfreq, "shingle")
+        .where(F.col("df") <= ceil_df)
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("wgt_c"),
+        )
+    )
+    qd = alldocs.where(F.col("doc_id") < N_QUERIES).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    shq = qd.select(
+        F.col("doc_id").alias("qid"), F.explode(shingles("toks")).alias("shingle")
+    ).distinct()
+    wq = (
+        shq.join(dfreq, "shingle")
+        .where(F.col("df") <= ceil_df)
+        .select(
+            "qid",
+            "shingle",
+            F.expr(f"CAST({IDF_SCALE} * {n_docs} AS BIGINT) div df").alias("wgt_q"),
+        )
+    )
+    ldot = (
+        wq.join(w, "shingle")
+        .where(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("wgt_q") * F.col("wgt_c")).alias("dp"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("dp").desc(), F.col("doc_id"))
+    lex = (
+        ldot.withColumn("lex_rk", F.row_number().over(wl))
+        .where(F.col("lex_rk") <= RRF_DEPTH)
+        .select("qid", "doc_id", "lex_rk")
+    )
+
+    # dense tower: the filtered IVF access path at RRF_DEPTH
+    meta_tbl, cent_tbl = ivf_meta_index_tables(spark, sf_dir)
+    cent = spark.table(cent_tbl)
+    k = cent.count()
+    e = load(spark, sf_dir, "embeddings")
+    n_corpus = e.count()
+    n_match = max(
+        1,
+        e.select("vec_id")
+        .join(
+            alldocs.where(pred).select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        .count(),
+    )
+    n_probe = min(k, (ivf_nprobe(k) * n_corpus + n_match - 1) // n_match)
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).where(F.col("qid") < N_QUERIES)
+    probe = ivf_probe(q, cent, n_probe)
+    # bounded driver state: at most N_QUERIES x widened-nprobe ids —
+    # the same '.select("pcell").distinct().collect()' contract as
+    # every other persisted-index probe
+    probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})
+    idx = spark.table(meta_tbl).where(
+        F.col("cell").isin(probed)
+        & (F.col("lang") == FILTER_LANG)
+        & (F.col("n_chars") >= FILTER_NCHARS)
+        & (F.col("vec_id") <= cap)
+    )
+    qu = q.withColumn("qnorm", norm_expr("qemb")).select(
+        "qid",
+        F.transform("qemb", lambda x: x.cast("double") / F.col("qnorm")).alias("qunit"),
+    )
+    dscore = (
+        qu.join(F.broadcast(probe), "qid")
+        .join(
+            idx.select("vec_id", "unit", "cell"),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot_expr("qunit", "unit"), 6).alias("cosine"),
+        )
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    den = (
+        dscore.withColumn("dense_rk", F.row_number().over(wd))
+        .where(F.col("dense_rk") <= RRF_DEPTH)
+        .select("qid", "doc_id", "dense_rk")
+    )
+
+    # fusion: identical integer micro-unit arithmetic
+    fused = lex.join(den, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + lex_rk)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + dense_rk)"),
+                F.lit(0),
+            )
+        ).alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rk") <= RRF_TOP)
+        .select("qid", "doc_id", F.col("rrf_micro").cast("bigint").alias("rrf_micro"), "rk")
+        .orderBy("qid", "rk")
+    )

@@ -134,6 +134,12 @@ SAMPLED = [
     # file layout) feeds the probe, whose ranking is the 6dp dot with
     # id tie-break; the count columns are exact bigints
     "stream_ann_compaction_tick",
+    # filtered RRF: both towers' ranks are deterministic keys
+    # (integer idf dots / 6dp cosine with id tie-break) over
+    # layout-free candidate sets (collection-stat posting join; the
+    # widened probe's exact-integer cell set); fusion is integer
+    # floor-division
+    "retrieval_rrf_filtered_fusion",
 ]
 
 

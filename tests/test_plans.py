@@ -992,3 +992,35 @@ def test_filtered_ivf_empty_predicate_emits_nothing(spark, monkeypatch):
     out = sim.sim_filtered_ivf_topk(spark, SF)
     assert out.count() == 0
     assert out.columns == ["qid", "vec_id", "cosine", "rk"]
+
+
+def test_filtered_rrf_dense_scan_pushes_three_predicates(spark):
+    """retrieval_rrf_filtered_fusion's dense tower adds the
+    evaluation-slice id cap as a THIRD pushed predicate on the same
+    pruned probe scan (cell partition filter + lang/n_chars + vec_id
+    range) — the composable-predicates claim: the filtered index's
+    access path keeps its shape as predicates stack."""
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import (
+        FILTER_LANG,
+        FILTER_NCHARS,
+        ivf_meta_index_tables,
+    )
+
+    meta_tbl, _cent = ivf_meta_index_tables(spark, SF)
+    idx = spark.table(meta_tbl)
+    probed = [r["cell"] for r in idx.select("cell").distinct().limit(3).collect()]
+    scan = idx.where(
+        F.col("cell").isin(probed)
+        & (F.col("lang") == FILTER_LANG)
+        & (F.col("n_chars") >= FILTER_NCHARS)
+        & (F.col("vec_id") <= 400)
+    )
+    txt = formatted(scan)
+    assert "PartitionFilters" in txt, txt
+    part = txt.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part, part
+    pushed = txt.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed and "n_chars" in pushed and "vec_id" in pushed, pushed
+    assert len(scan.inputFiles()) < len(idx.inputFiles())
