@@ -2815,3 +2815,149 @@ def stream_ann_compaction_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_tomb).cast("bigint").alias("n_tombstoned"),
         F.lit(n_before - n_tomb).cast("bigint").alias("n_after"),
     ).orderBy("qid", "rk")
+
+
+def _ann_index_rollback(index_root: str, version: int) -> None:
+    """ROLLBACK = re-point CURRENT at a retained older manifest — a
+    pointer-only atomic swap (os.replace), NO manifest written and NO
+    data dir touched: the operation the retained-manifest discipline
+    exists for. Rolling FORWARD again is the same call with a newer
+    retained version."""
+    if not os.path.exists(os.path.join(index_root, f"manifest_v{version}.json")):
+        raise ValueError(f"no retained manifest_v{version} under {index_root}")
+    tmp = os.path.join(index_root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(index_root, "CURRENT"))
+
+
+def _ann_rollback_oracle() -> str:
+    from spark_rapids_ml_spark.operators.similarity import (
+        _SQL_E,
+        _sql_kmeans_cells,
+        IVF_CELL_FLOOR,
+        IVF_ITERS,
+        IVF_NPROBE,
+        IVF_PROBE_DEN,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+ref AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 0),
+cur AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 2 = 1),
+kc1 AS (SELECT GREATEST({IVF_CELL_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM ref),
+{_sql_kmeans_cells(k_sql="(SELECT k FROM kc1)", src="ref", assign_src="ref", prefix="v1_")},
+ni AS (SELECT COUNT(*) AS n FROM ref),
+np AS (SELECT GREATEST({IVF_NPROBE}, ((SELECT k FROM kc1) + {IVF_PROBE_DEN} - 1) // {IVF_PROBE_DEN}) AS np),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM cur WHERE vec_id < {2 * N_QUERIES}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6) DESC, c.cl) AS prk
+    FROM q CROSS JOIN v1_cent{IVF_ITERS} c
+  ) WHERE prk <= (SELECT np FROM np)
+),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         ROUND(list_cosine_similarity(q.qemb, s.emb), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN v1_cells s ON s.cl = p.cl AND s.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rk,
+       CAST(1 AS BIGINT) AS served_version,
+       (SELECT n FROM ni) AS n_index
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "stream_ann_rollback_probe",
+    tags=("streaming", "similarity", "ivf", "scale"),
+    oracle=_ann_rollback_oracle(),
+)
+def stream_ann_rollback_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATIONAL ROLLBACK — the incident-response half of versioned
+    serving (round 13, completing the story the retained manifests
+    exist for): after a v2 append tick, quality monitoring rejects
+    the new data, and serving is rolled back to version 1 by an
+    ATOMIC pointer-only re-point (os.replace of CURRENT) — no
+    manifest written, no data dir touched, O(1) regardless of corpus
+    size. New-data queries (the delta window's own vectors, the
+    realistic incident shape: fresh traffic probing the restored old
+    index) then serve against the v1 base view. The v2 manifest and
+    delta dir REMAIN on disk, so rolling forward is the same O(1)
+    re-point — pinned in tests/test_streaming_semantics.py: the
+    roll-forward probe is row-equal to the pre-rollback v2 probe.
+
+    (served_version, n_index) ride as output columns so the oracle
+    hash-checks WHICH version served and how many vectors the
+    restored view holds — the rollback decision itself is
+    cross-engine verified, not assumed. The oracle re-runs the v1
+    training unrolled over the reference window only (src=ref,
+    assign_src=ref — the base index's exact content).
+
+    Scale: the rollback is two filesystem metadata ops on the
+    manifest dir; the probe is the standard partition-pruned cell
+    scan + exact re-rank. Bounded driver state: the probed-cell id
+    set (the sim_ivf_persisted_probe contract)."""
+    import shutil
+
+    from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.similarity import (
+        IVF_ITERS,
+        N_QUERIES,
+        ivf_n_cells,
+        ivf_nprobe,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ref = ed.where(F.col("vec_id") % 2 == 0)
+    cur = ed.where(F.col("vec_id") % 2 == 1)
+
+    n_ref = ref.count()
+    k1 = ivf_n_cells(n_ref)
+    m1 = KMeans(k=k1, feature_col="emb", id_col="vec_id",
+                max_iter=IVF_ITERS, tol=0.0).fit(ref)
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/root/repo/.tmp/stream_src_ivf/{tag}_rollback"
+    index_root = f"/root/repo/.tmp/sinks/{tag}/ann_rollback"
+    shutil.rmtree(index_root, ignore_errors=True)  # deterministic per run
+
+    # v1 base, v2 append — the history the incident interrupts
+    ck = f"{_CHECKPOINT_ROOT}/ann_rollback_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, ref, m1, stage, f"{index_root}/data_base", ck)
+    _ann_index_commit(index_root, 1, ["data_base"], retrained=0)
+    ck2 = f"{_CHECKPOINT_ROOT}/ann_rollback_{uuid.uuid4().hex[:8]}"
+    _stream_build_cell_index(spark, cur, m1, stage, f"{index_root}/data_delta_v2", ck2)
+    _ann_index_commit(index_root, 2, ["data_base", "data_delta_v2"], retrained=0)
+
+    # the incident: serving rolls back to v1 — pointer-only, atomic
+    _ann_index_rollback(index_root, 1)
+    stream_ann_rollback_probe.last_index_root = index_root
+    stream_ann_rollback_probe.last_serving_model = m1
+
+    man = _ann_index_current(index_root)
+    serve_dirs = [f"{index_root}/{d}" for d in man["dirs"]]
+    qv = cur.where(F.col("vec_id") < 2 * N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    out = _probe_cell_index(spark, qv, m1, serve_dirs, ivf_nprobe(k1))
+    return out.select(
+        "qid",
+        "vec_id",
+        "cosine",
+        "rk",
+        F.lit(man["version"]).cast("bigint").alias("served_version"),
+        F.lit(n_ref).cast("bigint").alias("n_index"),
+    ).orderBy("qid", "rk")

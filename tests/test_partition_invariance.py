@@ -140,6 +140,10 @@ SAMPLED = [
     # widened probe's exact-integer cell set); fusion is integer
     # floor-division
     "retrieval_rrf_filtered_fusion",
+    # rollback probe: the pointer re-point is filesystem metadata;
+    # the served view's CONTENT and the probe ranking are the same
+    # layout-free machinery as every IVF tier
+    "stream_ann_rollback_probe",
 ]
 
 

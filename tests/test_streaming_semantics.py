@@ -666,3 +666,72 @@ def test_ann_compaction_tick_pins(spark):
     served = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in rows]
     viewed = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in got_view]
     assert served == viewed
+
+
+def test_ann_rollback_is_pointer_only_and_reversible(spark):
+    """Rollback pins (round 13): after stream_ann_rollback_probe,
+
+    1. CURRENT points at v1 but the v2 manifest AND delta dir remain
+       on disk (rollback destroyed nothing);
+    2. the rollback wrote no new manifest (exactly v1 and v2 exist);
+    3. ROLL-FORWARD is the same O(1) re-point: re-pointing CURRENT at
+       v2 and probing serves the base ∪ delta view — row-equal to a
+       probe over those dirs taken directly — and rolling back again
+       reproduces the declared query's own v1 output.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    from spark_rapids_ml_spark.operators.similarity import ivf_nprobe
+    from spark_rapids_ml_spark.sources.catalog import load
+    from spark_rapids_ml_spark.streaming.stream_queries import (
+        _ann_index_current,
+        _ann_index_rollback,
+        _probe_cell_index,
+        stream_ann_rollback_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_ann_rollback_probe(spark, sf).collect()
+    assert rows and all(r["served_version"] == 1 for r in rows)
+    root = stream_ann_rollback_probe.last_index_root
+    model = stream_ann_rollback_probe.last_serving_model
+
+    # 1 + 2: pointer-only, nothing destroyed, no extra manifest
+    assert _ann_index_current(root)["version"] == 1
+    assert os.path.exists(os.path.join(root, "manifest_v2.json"))
+    assert os.path.isdir(os.path.join(root, "data_delta_v2"))
+    manifests = sorted(
+        f for f in os.listdir(root) if f.startswith("manifest_v")
+    )
+    assert manifests == ["manifest_v1.json", "manifest_v2.json"]
+
+    # 3: roll forward -> v2 view serves base + delta
+    _ann_index_rollback(root, 2)
+    man2 = _ann_index_current(root)
+    assert man2["version"] == 2
+    ed = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = ed.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    n_probe = ivf_nprobe(len(model.centroids))
+    via_pointer = _probe_cell_index(
+        spark, qv, model, [f"{root}/{d}" for d in man2["dirs"]], n_probe
+    ).collect()
+    direct = _probe_cell_index(
+        spark, qv, model, [f"{root}/data_base", f"{root}/data_delta_v2"], n_probe
+    ).collect()
+    assert [tuple(r) for r in via_pointer] == [tuple(r) for r in direct]
+
+    # ...and back: the v1 view again, identical to the query's output
+    _ann_index_rollback(root, 1)
+    again = _probe_cell_index(
+        spark, qv, model,
+        [f"{root}/{d}" for d in _ann_index_current(root)["dirs"]], n_probe,
+    ).collect()
+    served = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in rows]
+    got = [(r["qid"], r["vec_id"], r["cosine"], r["rk"]) for r in again]
+    assert served == got
