@@ -2737,3 +2737,172 @@ def retrieval_rrf_filtered_fusion(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("qid", "doc_id", F.col("rrf_micro").cast("bigint").alias("rrf_micro"), "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---- MMR diversification: the greedy re-rank after retrieval ----
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): from a
+# top-MMR_CAND candidate list, greedily pick MMR_K items maximizing
+# lambda*relevance - (1-lambda)*max-similarity-to-already-picked — the
+# standard diversification pass a production retrieval stack runs on
+# every result page. lambda = 0.7 is carried as INTEGER weights (7, 3)
+# over micro-unit scores, and the score is the raw integer
+# 7*rel_micro - 3*maxsim_micro (no division anywhere), so the greedy
+# trajectory and the hash are exact cross-engine.
+MMR_CAND = 20   # candidate depth entering the greedy loop
+MMR_K = 5       # diversified picks returned per query
+MMR_NUM = 7     # lambda = MMR_NUM / (MMR_NUM + MMR_DEN_C) = 0.7
+MMR_DEN_C = 3
+
+
+def _mmr_oracle() -> str:
+    stages = []
+    prev = "sel1"
+    for k in range(2, MMR_K + 1):
+        stages.append(f"""
+st{k} AS (
+  SELECT c.qid, c.doc_id, c.rel_micro, MAX(s.sm) AS ms
+  FROM cand c
+  JOIN {prev}all p ON p.qid = c.qid
+  JOIN sim s ON s.qid = c.qid AND s.d1 = c.doc_id AND s.d2 = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev}all x
+                    WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+  GROUP BY 1, 2, 3),
+pick{k} AS (
+  SELECT qid, doc_id, {MMR_NUM}*rel_micro - {MMR_DEN_C}*ms AS mmr_micro,
+         CAST({k} AS BIGINT) AS pick_rk
+  FROM (SELECT qid, doc_id, rel_micro, ms,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY {MMR_NUM}*rel_micro - {MMR_DEN_C}*ms DESC, doc_id) AS rn
+        FROM st{k}) WHERE rn = 1),
+sel{k}all AS (SELECT qid, doc_id FROM {prev}all
+              UNION ALL SELECT qid, doc_id FROM pick{k})""")
+        prev = f"sel{k}"
+    picks_union = "\nUNION ALL ".join(
+        ["SELECT qid, doc_id, mmr_micro, pick_rk FROM sel1"]
+        + [f"SELECT qid, doc_id, mmr_micro, pick_rk FROM pick{k}"
+           for k in range(2, MMR_K + 1)]
+    )
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_E}),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS doc_id, e.emb,
+         CAST(ROUND(list_cosine_similarity(q.qemb, e.emb) * 1000000, 0) AS BIGINT) AS rel_micro
+  FROM q JOIN e ON e.vec_id <> q.qid),
+cand AS MATERIALIZED (
+  SELECT qid, doc_id, emb, rel_micro FROM (
+    SELECT qid, doc_id, emb, rel_micro,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel_micro DESC, doc_id) AS crk
+    FROM scored
+  ) WHERE crk <= {MMR_CAND}),
+sim AS MATERIALIZED (
+  SELECT a.qid, a.doc_id AS d1, b.doc_id AS d2,
+         CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 1000000, 0) AS BIGINT) AS sm
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id),
+sel1 AS (
+  SELECT qid, doc_id, {MMR_NUM}*rel_micro AS mmr_micro, CAST(1 AS BIGINT) AS pick_rk
+  FROM cand QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel_micro DESC, doc_id) = 1),
+sel1all AS (SELECT qid, doc_id FROM sel1),{",".join(stages)}
+SELECT qid, doc_id, mmr_micro, pick_rk FROM ({picks_union})
+ORDER BY qid, pick_rk
+"""
+
+
+@register(
+    "retrieval_mmr_diversified",
+    tags=("similarity", "retrieval", "udf"),
+    oracle=_mmr_oracle(),
+)
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR DIVERSIFICATION — the greedy re-rank a production retrieval
+    stack applies to every result page (Carbonell & Goldstein,
+    SIGIR'98): from the dense top-MMR_CAND candidates per query,
+    greedily select MMR_K items maximizing
+
+        mmr_micro = 7*rel_micro - 3*maxsim_micro      (lambda = 0.7)
+
+    where rel_micro is the query-candidate cosine and maxsim_micro
+    the candidate's max cosine to the already-selected set, BOTH in
+    half-away-from-zero micro-units, weights integer, no division —
+    so the greedy trajectory (argmax with smallest-doc_id tie-break,
+    maxsim over an empty set = 0) is EXACT cross-engine and the whole
+    result hash-checks. The oracle unrolls the loop as MMR_K CTE
+    stages (pick argmax -> extend selected set -> recompute max-sim),
+    so the sequential semantics are verified, not approximated.
+
+    The candidate stage is the declared brute tier (any sim_* ANN
+    tier substitutes — the greedy loop only consumes (doc_id,
+    rel_micro, emb)); the greedy stage is a grouped applyInPandas:
+    each group is ONE query's MMR_CAND candidates (a 20-row matrix),
+    so the UDF is Arrow-batched, bounded, and embarrassingly parallel
+    across queries — the per-query sequential dependence that SQL
+    cannot express without the unroll is numpy inside one group.
+
+    Scale: candidate generation is the chosen tier's cost; the greedy
+    loop is O(Q * MMR_CAND^2 * MMR_K) total FLOPs on MMR_CAND-row
+    groups — independent of corpus size. No driver hop anywhere."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = F.broadcast(
+        ed.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    scored = q.join(ed, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        "emb",
+        F.expr("CAST(ROUND((" + "aggregate(zip_with(qemb, emb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+               " / (sqrt(aggregate(transform(qemb, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+               " * sqrt(aggregate(transform(emb, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)))"
+               ") * 1000000, 0) AS BIGINT)").alias("rel_micro"),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
+    cand = (
+        scored.withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= MMR_CAND)
+        .select("qid", "doc_id", "emb", "rel_micro")
+    )
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel_micro", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        embs = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        norms = np.sqrt((embs * embs).sum(axis=1))
+        raw = (embs @ embs.T) / np.outer(norms, norms)
+        # half-away-from-zero micro rounding, matching SQL ROUND(x*1e6, 0)
+        sm = (np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5)).astype(np.int64)
+        rel = pdf["rel_micro"].to_numpy(dtype=np.int64)
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        for pick_rk in range(1, MMR_K + 1):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                ms = max((int(sm[i, j]) for j in selected), default=0)
+                score = MMR_NUM * int(rel[i]) - MMR_DEN_C * ms
+                # argmax with smallest-doc_id tie-break: rows are
+                # pre-sorted by (rel desc, doc asc) but the SCORE
+                # order can differ, so compare (score, -doc) strictly
+                if best_score is None or score > best_score or (
+                    score == best_score and docs[i] < docs[best_i]
+                ):
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            out.append((int(pdf["qid"].iloc[0]), int(docs[best_i]),
+                        int(best_score), pick_rk))
+        return pd.DataFrame(out, columns=["qid", "doc_id", "mmr_micro", "pick_rk"])
+
+    res = cand.groupBy("qid").applyInPandas(
+        mmr_group, "qid bigint, doc_id bigint, mmr_micro bigint, pick_rk bigint"
+    )
+    return res.orderBy("qid", "pick_rk")

@@ -77,6 +77,7 @@ SWEEP_PRIORITY: list[str] = [
     # tail follows tools/staleness.py least-recently-sampled order
     # (STALENESS.md is the auditable artifact): the rest of the r05
     # cohort, then the oldest of r06.
+    "retrieval_mmr_diversified",
     "stream_ann_rollback_probe",
     "retrieval_rrf_filtered_fusion",
     "stream_ann_compaction_tick",
@@ -127,12 +128,12 @@ SWEEP_PRIORITY: list[str] = [
     "dq_dp_noisy_counts",
     "events_rolling_median",
     "events_sequence_pattern_match",
-    "events_transition_matrix",
-    # feature_hashing_trick, join_asof_nearest_tolerance and
-    # join_fuzzy_blocked_levenshtein rotated out to keep the window at
-    # 50 as the late-round additions (compaction tick, filtered RRF
-    # fusion, rollback probe) joined the head; they are next in
-    # staleness order for round 14.
+    # events_transition_matrix, feature_hashing_trick,
+    # join_asof_nearest_tolerance and join_fuzzy_blocked_levenshtein
+    # rotated out to keep the window at 50 as the late-round additions
+    # (compaction tick, filtered RRF fusion, rollback probe, MMR
+    # diversification) joined the head; they are next in staleness
+    # order for round 14.
 ]
 
 

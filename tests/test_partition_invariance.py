@@ -144,6 +144,11 @@ SAMPLED = [
     # the served view's CONTENT and the probe ranking are the same
     # layout-free machinery as every IVF tier
     "stream_ann_rollback_probe",
+    # MMR: candidate sets are exact-integer rank cuts; the greedy
+    # loop runs on ONE complete per-query group (applyInPandas
+    # repartitions by qid regardless of input layout) with integer
+    # scores and id tie-breaks
+    "retrieval_mmr_diversified",
 ]
 
 
