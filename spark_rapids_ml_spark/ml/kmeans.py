@@ -63,7 +63,22 @@ class KMeans:
         )
         centroids = np.vstack([np.asarray(r[feat], dtype=np.float64) for r in seed_rows])
 
-        data = df.select(F.col(feat).cast("array<double>").alias("v"))
+        # Cache the projected training column for the duration of the
+        # fit: every Lloyd iteration is a full pass, and without the
+        # cache each pass re-reads and re-decodes the source (parquet
+        # scan + cast) — the standard MLlib discipline (KMeans.run warns
+        # when its input is uncached). Freed in the finally below, so
+        # no storage outlives the fit.
+        data = df.select(F.col(feat).cast("array<double>").alias("v")).persist()
+        try:
+            centroids = self._lloyd(data, centroids)
+        finally:
+            data.unpersist()
+        return KMeansModel(centroids, feat)
+
+    def _lloyd(self, data: DataFrame, centroids: np.ndarray) -> np.ndarray:
+        """max_iter Lloyd iterations over the cached projection; returns
+        the final centroid matrix."""
         for _ in range(self.max_iter):
             c = centroids.copy()
 
@@ -118,7 +133,7 @@ class KMeans:
             centroids = new_c
             if shift < self.tol:
                 break
-        return KMeansModel(centroids, feat)
+        return centroids
 
     # -------- estimator persistence (params-only metadata, mirrors
     # DefaultParamsWriter; see ml/schema.py) --------

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import davg, dsum, hash60, sql_hash60
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -1837,8 +1838,8 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     tot = obs.agg(F.sum("n").alias("total"))
-    e = spark.createDataFrame(
-        [(d, _BENFORD[d]) for d in range(1, 10)], "digit bigint, expected double"
+    e = local_df(
+        spark, [(d, _BENFORD[d]) for d in range(1, 10)], "digit bigint, expected double"
     )
     freq = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
     return (
@@ -1908,7 +1909,7 @@ def agg_exact_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = v.count()
     targets = [(p, max(1, (n * p + 99) // 100)) for p in EXACT_QUANTILE_PCTS]
     rn = ranged_row_number(v, [F.col("cents")], rn_col="rn")
-    tgt = spark.createDataFrame(targets, "pct int, rn bigint")
+    tgt = local_df(spark, targets, "pct int, rn bigint")
     return (
         rn.join(F.broadcast(tgt), "rn")
         .select(F.col("pct").cast("bigint").alias("pct"), F.col("cents").alias("value_cents"))
@@ -1970,8 +1971,8 @@ def agg_weighted_quantiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = h.agg(F.sum("w").alias("tot")).collect()[0]["tot"]
     c = ranged_cumsum(h, "w", [F.col("cents")], cum_col="cw")
-    tgt = spark.createDataFrame(
-        [(p, (tot * p + 99) // 100) for p in EXACT_QUANTILE_PCTS], "pct int, tgt bigint"
+    tgt = local_df(
+        spark, [(p, (tot * p + 99) // 100) for p in EXACT_QUANTILE_PCTS], "pct int, tgt bigint"
     )
     return (
         c.join(F.broadcast(tgt), F.col("cw") >= F.col("tgt"))
@@ -2046,8 +2047,8 @@ def agg_pareto_share_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("cents").desc(), F.col("custkey")]
     rn = ranged_row_number(pc, order, rn_col="rn").select("custkey", "rn")
     cs = ranged_cumsum(pc, "cents", order, cum_col="cum").select("custkey", "cum")
-    tgt = spark.createDataFrame(
-        [(p, max(1, (n * p + 99) // 100)) for p in PARETO_PCTS], "pct int, rn bigint"
+    tgt = local_df(
+        spark, [(p, max(1, (n * p + 99) // 100)) for p in PARETO_PCTS], "pct int, rn bigint"
     )
     return (
         rn.join(cs, "custkey")
@@ -2137,7 +2138,7 @@ def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     c = v.groupBy("pop", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    b = spark.createDataFrame([(i,) for i in range(PSI_N_BUCKETS)], "bucket bigint")
+    b = local_df(spark, [(i,) for i in range(PSI_N_BUCKETS)], "bucket bigint")
     # Scalar totals as ONE unconditional aggregate row (NULL for an empty
     # population) so a degenerate empty slice degrades exactly like the
     # oracle's scalar subqueries: 0-row filtered frames would wipe out the

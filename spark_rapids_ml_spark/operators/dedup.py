@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
@@ -868,7 +869,8 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = pairs.limit(CLUSTER_LOCAL_EDGE_CAP + 1).collect()
     if len(head) <= CLUSTER_LOCAL_EDGE_CAP:
         comp = _components_local((r["doc_a"], r["doc_b"]) for r in head)
-        labels = spark.createDataFrame(
+        labels = local_df(
+            spark,
             comp,
             StructType(
                 [StructField("doc_id", LongType()), StructField("label", LongType())]

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
 
@@ -440,8 +441,8 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.partitionBy("qid").orderBy(F.col("n").desc(), "label")
     truth = F.broadcast(
-        spark.createDataFrame(
-            [(int(q), qlabels[int(q)]) for q in qids], "qid long, true_label long"
+        local_df(
+            spark, [(int(q), qlabels[int(q)]) for q in qids], "qid long, true_label long"
         )
     )
     return (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load
 
 _ITERS = 5
@@ -525,8 +526,8 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
             prev_deg = deg
-    return spark.createDataFrame(
-        traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
+    return local_df(
+        spark, traj, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
 
 
@@ -732,7 +733,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()  # bounded: top-25 communities
     cleanup()
-    return spark.createDataFrame(rows, "community bigint, n_members bigint").orderBy(
+    return local_df(spark, rows, "community bigint, n_members bigint").orderBy(
         F.col("n_members").desc(), "community"
     )
 
@@ -1152,6 +1153,6 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()  # 1-row verdict
     cleanup()
-    return spark.createDataFrame(
-        rows, "n_communities bigint, n_edges bigint, q_scaled bigint, modularity double"
+    return local_df(
+        spark, rows, "n_communities bigint, n_edges bigint, q_scaled bigint, modularity double"
     )

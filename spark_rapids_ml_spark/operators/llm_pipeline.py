@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import SQL_TOKENS, shingles, sql_shingle_rows
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
@@ -500,8 +501,8 @@ def pipe_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     word_counts = [(r["word"], r["cnt"]) for r in vocab.collect()]
     merges = bpe_train_merges(word_counts)
-    return spark.createDataFrame(
-        merges, "merge_rank bigint, left string, right string, pair_count bigint"
+    return local_df(
+        spark, merges, "merge_rank bigint, left string, right string, pair_count bigint"
     ).orderBy("merge_rank")
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load
 
 N_SALTS = 16
@@ -647,7 +648,7 @@ def scale_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFra
         # materialize INSIDE the scope so the injected plan executes
         # under the intended confs; return a stable local relation
         rows = res.collect()
-    return spark.createDataFrame(rows, res.schema)
+    return local_df(spark, rows, res.schema)
 
 
 @register(
@@ -748,7 +749,8 @@ def scale_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.where(kept).count()  # the one pass; metrics accumulate alongside
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(m["n_scanned"]), int(m["n_kept"]), float(m["rev"]))],
         "n_scanned bigint, n_kept bigint, kept_revenue double",
     )
@@ -808,7 +810,8 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(fact_path)
         )
     fact = spark.read.parquet(fact_path)
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [(p, int(p[0])) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]],
         "prio STRING, priority_class INT",
     )
@@ -973,7 +976,7 @@ def scale_footer_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = [
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     ]
-    fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
+    fdf = local_df(spark, [(f,) for f in sorted(files)], "path string")
 
     stat_schema = StructType(
         [
@@ -1109,4 +1112,4 @@ def scale_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize INSIDE the scope so the adaptive re-plan runs
         # under the intended thresholds; return a stable local relation
         rows = res.collect()
-    return spark.createDataFrame(rows, res.schema)
+    return local_df(spark, rows, res.schema)

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
@@ -132,9 +133,22 @@ def ivf_centroid_rows(spark: SparkSession, model) -> DataFrame:
     """The k-row (cl, cemb) centroid frame every IVF tier broadcasts —
     one shared constructor so the schema and float64 materialization
     stay provably identical across tiers (round-11 review)."""
+    import pandas as pd
+
     k = len(model.centroids)
+    # pandas + Arrow conversion plans as LocalTableScan (vs the plain
+    # list path's 32-slice parallelized ExistingRDD scan), so the
+    # BroadcastExchange every consumer wraps around this k-row frame
+    # materializes driver-side with ZERO Spark jobs — measured 0.5-0.6s
+    # of tiny-task scheduling per IVF tier at sf0.1 (guide §1/§5: the
+    # driver should not launch a 32-task job to ship k×d literals).
     return spark.createDataFrame(
-        [(j, [float(v) for v in model.centroids[j]]) for j in range(k)],
+        pd.DataFrame(
+            {
+                "cl": pd.array(range(k), dtype="int64"),
+                "cemb": [[float(v) for v in model.centroids[j]] for j in range(k)],
+            }
+        ),
         schema="cl bigint, cemb array<double>",
     )
 
@@ -2266,7 +2280,7 @@ def dq_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("pop"),
     )
     c = w.groupBy("pop", "cell").agg(F.count(F.lit(1)).alias("n"))
-    spine = spark.createDataFrame([(i,) for i in range(k_cells)], "cell bigint")
+    spine = local_df(spark, [(i,) for i in range(k_cells)], "cell bigint")
     # unconditional scalar totals (the dq_psi degenerate-slice shape)
     t_scalar = c.groupBy("pop").agg(F.sum("n").alias("t")).agg(
         F.max(F.when(F.col("pop") == 0, F.col("t"))).alias("t_ref"),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load
 
 SINK_ROOT = "/root/repo/.tmp/sinks"
@@ -563,7 +564,7 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap.write.mode("overwrite").parquet(vdir)
         manifest.append((version, vdir))
     (
-        spark.createDataFrame(manifest, "version INT, dir STRING")
+        local_df(spark, manifest, "version INT, dir STRING")
         .write.mode("overwrite")
         .json(os.path.join(root, "_manifest"))
     )
@@ -1157,7 +1158,7 @@ def sink_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shutil.rmtree(d)
     (
-        spark.createDataFrame(live, "version INT, dir STRING")
+        local_df(spark, live, "version INT, dir STRING")
         .write.mode("overwrite")
         .json(os.path.join(root, "_manifest"))
     )

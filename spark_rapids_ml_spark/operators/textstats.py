@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import SQL_TOKENS
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.sources.catalog import load
@@ -748,7 +749,7 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rk"),
         F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
     ).where(F.col("rk") <= k_max)
-    sizes = spark.createDataFrame([(k,) for k in VOCAB_CURVE_SIZES], "k int")
+    sizes = local_df(spark, [(k,) for k in VOCAB_CURVE_SIZES], "k int")
     return (
         sizes.join(ranked, ranked["rk"] <= sizes["k"])
         .groupBy("k")

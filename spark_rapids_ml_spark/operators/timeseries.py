@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load
 
 
@@ -1810,7 +1811,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.expr(f"CAST(SUM(v * p_nano) div {_MK_NANO} AS BIGINT)").alias("v"))
                 .select(F.col("st2").alias("st"), "v")
             )
-        pi = spark.createDataFrame(pi.collect(), "st string, v bigint")
+        pi = local_df(spark, pi.collect(), "st string, v bigint")
     incoming = c.groupBy(F.col("nxt").alias("st")).agg(F.sum("n").alias("n_incoming"))
     return (
         pi.join(incoming, "st")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
+from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.sources.catalog import load, normalize_event_ts, table_path
 
 _CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
@@ -2529,7 +2530,7 @@ def _ann_lifecycle(spark: SparkSession, sf_dir: str, shift: float):
         "cell", (F.col("vec_id") % 2).alias("pop")
     )
     c = w.groupBy("pop", "cell").agg(F.count(F.lit(1)).alias("n"))
-    spine = spark.createDataFrame([(i,) for i in range(k1)], "cell bigint")
+    spine = local_df(spark, [(i,) for i in range(k1)], "cell bigint")
     t_scalar = c.groupBy("pop").agg(F.sum("n").alias("t")).agg(
         F.max(F.when(F.col("pop") == 0, F.col("t"))).alias("t_ref"),
         F.max(F.when(F.col("pop") == 1, F.col("t"))).alias("t_cur"),

@@ -26,9 +26,10 @@ LOG_DIR = "/tmp/spark-job-profile-events"
 
 
 def main() -> None:
+    import shutil
+
+    shutil.rmtree(LOG_DIR, ignore_errors=True)
     os.makedirs(LOG_DIR, exist_ok=True)
-    for f in os.listdir(LOG_DIR):
-        os.unlink(os.path.join(LOG_DIR, f))
 
     from spark_rapids_ml_spark.registry import all_queries
     from spark_rapids_ml_spark.session import get_spark
@@ -40,6 +41,9 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{LOG_DIR}",
+            # single uncompressed file so the parser below can stream it
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,15 +89,35 @@ def main() -> None:
     jobs = []  # (submit_ms, end_ms, desc, n_stages)
     stage_tasks: dict[int, int] = {}
     job_stages: dict[int, list[int]] = {}
+    # Spark 4 defaults to the rolling v2 layout: a directory
+    # eventlog_v2_<appid>/ holding events_N_<appid> part files.
     path = os.path.join(LOG_DIR, app_id)
     if not os.path.exists(path):
         path = next(
-            (os.path.join(LOG_DIR, f) for f in os.listdir(LOG_DIR) if f.startswith(app_id)),
+            (
+                os.path.join(LOG_DIR, f)
+                for f in os.listdir(LOG_DIR)
+                if app_id in f
+            ),
             path,
         )
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+    else:
+        parts = [path]
+
+    def _lines():
+        for p in parts:
+            with open(p) as f:
+                yield from f
+
     starts: dict[int, tuple[float, str, list[int]]] = {}
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
