@@ -30,7 +30,7 @@ from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
 from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import shingles, sql_shingle_rows
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load
+from spark_rapids_ml_spark.sources.catalog import load, load_wide
 
 # Cached frames registered here so consumers can free executor storage
 # once results are materialized (a long-lived session otherwise
@@ -353,7 +353,9 @@ def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_pairs_of(load(spark, sf_dir, "documents"))
+    # widen: the shingle+16-minhash projection is the expensive map
+    # side and the single-row-group scan pins it to one core (§2.5)
+    return _lsh_pairs_of(load_wide(spark, sf_dir, "documents", min_bytes=1 << 18))
 
 
 @register(

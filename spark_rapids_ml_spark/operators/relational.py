@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.functions.portable import davg, dsum, sql_davg, sql_dsum
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load
+from spark_rapids_ml_spark.sources.catalog import load, load_wide
 
 Q1_CUTOFF = "1998-09-01"
 
@@ -402,8 +402,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lineitem serves as the part↔supplier price/volume link) ----
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    # load_wide: fact tables get the gated §2.5 repartition so a
+    # single-row-group input cannot serialize the whole map side of a
+    # join/agg pipeline onto one core (no-op at real-scale layouts)
     for n in names:
-        load(spark, sf_dir, n).createOrReplaceTempView(n)
+        load_wide(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
 _Q2_SQL = """

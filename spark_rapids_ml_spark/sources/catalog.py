@@ -140,6 +140,62 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+# ------------------------------------------------ gated scan widening
+
+# Hash-repartition keys for fact tables (unique or near-unique, so the
+# spread is even at any scale); dimension tables broadcast instead.
+WIDEN_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+# Below this source size the exchange costs more than the single-task
+# scan it parallelizes. Callers whose per-row work is expression-heavy
+# (shingling, per-token hashing) pass a lower floor.
+WIDEN_MIN_BYTES = 4 << 20
+
+
+def load_wide(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_bytes: int = WIDEN_MIN_BYTES,
+) -> DataFrame:
+    """``load()`` + repartition to the session's core count when the
+    scan is under-parallelized.
+
+    The optimization-guide §2.5 "unsplittable input" fix: this
+    testdata ships each table as ONE parquet file with ONE row group,
+    so every scan stage is a single task and all map-side work (joins
+    against broadcast dims, partial aggregation, shingling/hashing)
+    runs on one core regardless of the session's size — measured 1.5s
+    single-task stages at sf0.1 on local[32]. One hash exchange on the
+    table's key spreads that work across the session.
+
+    Scale-adaptive by construction, not tuned for local mode: when the
+    source already provides at least half the session's parallelism
+    (many files / row groups — the 100 TB layout), or is too small for
+    the exchange to pay for itself, this is exactly ``load()``.
+    """
+    df = load(spark, sf_dir, name)
+    key = WIDEN_KEYS.get(name)
+    if key is None:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_parts = df.rdd.getNumPartitions()
+        size = os.path.getsize(table_path(sf_dir, name))
+    except Exception:  # path/planner oddity — widening is optional
+        return df
+    if n_parts * 2 >= target or size < min_bytes:
+        return df
+    return df.repartition(target, df[key])
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:

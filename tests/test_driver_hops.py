@@ -36,7 +36,7 @@ ALLOWED = {
         'pc.agg(F.count(F.lit(1)).alias("n"), F.sum("cents")',  # pareto scalar (n, total): ONE row
     },
     "operators/timeseries.py": {
-        "pi = spark.createDataFrame(pi.collect()",  # Markov state vector: |event types| rows, materialized inside the scoped shuffle width
+        "pi = local_df(spark, pi.collect()",  # Markov state vector: |event types| rows, materialized inside the scoped shuffle width
     },
     "operators/scale_patterns.py": {
         ".limit(N_HOT_KEYS)",  # skew isolation: top-N hot keys only
