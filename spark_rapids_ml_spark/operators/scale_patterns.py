@@ -810,8 +810,12 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(fact_path)
         )
     fact = spark.read.parquet(fact_path)
-    dim = local_df(
-        spark,
+    # NOT local_df: as a LocalRelation the dim's selective filter is
+    # constant-folded away at optimization time and the DPP rule no
+    # longer inserts DynamicPruningExpression on the fact scan — this
+    # query exists to demonstrate DPP, so the dim stays a parallelized
+    # relation (plan pinned in tests/test_plans.py).
+    dim = spark.createDataFrame(
         [(p, int(p[0])) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]],
         "prio STRING, priority_class INT",
     )
