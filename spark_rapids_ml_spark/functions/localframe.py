@@ -17,6 +17,16 @@ are unchanged — only the physical plan shape differs. Any payload the
 Arrow conversion cannot coerce falls back to the plain path (Spark
 itself also falls back internally), so this is never a correctness
 risk.
+
+Value fidelity: columns are materialized as object-dtype pandas Series
+built directly from the caller's values — no pandas dtype inference —
+so a ``None`` stays SQL NULL and nullable ints never round-trip
+through float64. A literal ``float('nan')`` payload CANNOT survive the
+Arrow hop (``pyarrow.Array.from_pandas`` converts NaN to null at every
+nesting level, by design), so any frame carrying a NaN falls back to
+the plain ``createDataFrame`` path, which preserves it — NaN and NULL
+have different SQL semantics and must never be conflated silently
+(ADVICE r13; the previous blanket NaN→None scrub did exactly that).
 """
 
 from __future__ import annotations
@@ -24,29 +34,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _carries_nan(value) -> bool:
+    """True if a cell (scalar or one-level list/tuple) holds a float
+    NaN — the payload the Arrow hop would silently rewrite to null."""
+    if isinstance(value, float):
+        return value != value
+    if isinstance(value, (list, tuple)):
+        return any(isinstance(x, float) and x != x for x in value)
+    return False
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` that plans as
     LocalTableScan for small driver-resident row lists.
 
-    ``rows``: list of tuples (or anything pandas accepts row-wise).
+    ``rows``: list of tuples (or dicts keyed by field name).
     ``schema``: DDL string or StructType — required, so the pandas hop
     can never change the declared column types.
     """
     import pandas as pd
-    from pyspark.sql.types import StructType
 
     rows = list(rows)
-    if isinstance(schema, StructType):
-        names = schema.fieldNames()
-    else:
-        from pyspark.sql.types import _parse_datatype_string
-
-        names = _parse_datatype_string(schema).fieldNames()
     try:
-        pdf = pd.DataFrame.from_records(rows, columns=names).astype(object)
-        # NaN (pandas' missing marker for numeric cells) must reach
-        # Arrow as None or nullable ints round-trip as floats
-        pdf = pdf.where(pdf.notna(), None)
+        from pyspark.sql.types import StructType
+
+        if isinstance(schema, StructType):
+            names = schema.fieldNames()
+        else:
+            # private API: inside the try so a future rename degrades
+            # to the plain createDataFrame path instead of ImportError
+            from pyspark.sql.types import _parse_datatype_string
+
+            names = _parse_datatype_string(schema).fieldNames()
+        cols = {n: [] for n in names}
+        for r in rows:
+            if isinstance(r, dict):
+                for n in names:
+                    cols[n].append(r.get(n))
+            else:
+                for n, v in zip(names, r):
+                    cols[n].append(v)
+        if any(_carries_nan(v) for vs in cols.values() for v in vs):
+            return spark.createDataFrame(rows, schema)
+        pdf = pd.DataFrame(
+            {n: pd.Series(v, dtype=object) for n, v in cols.items()},
+            columns=names,
+        )
         return spark.createDataFrame(pdf, schema=schema)
     except Exception:  # noqa: BLE001 — payload Arrow can't coerce
         return spark.createDataFrame(rows, schema)

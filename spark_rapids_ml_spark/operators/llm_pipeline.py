@@ -27,7 +27,7 @@ from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
 from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import SQL_TOKENS, shingles, sql_shingle_rows
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load, load_wide
+from spark_rapids_ml_spark.sources.catalog import load
 
 # hash-bucket boundaries of the 3-way split (train < 80, val < 90)
 SPLIT_BUCKETS = 100

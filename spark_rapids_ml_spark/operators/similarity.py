@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.functions.localframe import local_df
-from spark_rapids_ml_spark.sources.catalog import load, load_wide
+from spark_rapids_ml_spark.sources.catalog import load
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
 TOP_K = 5

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load, load_wide
+from spark_rapids_ml_spark.sources.catalog import load
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:

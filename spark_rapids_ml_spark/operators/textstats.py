@@ -22,7 +22,7 @@ from spark_rapids_ml_spark.functions.portable import hash60, sql_hash60
 from spark_rapids_ml_spark.functions.localframe import local_df
 from spark_rapids_ml_spark.functions.text import SQL_TOKENS
 from spark_rapids_ml_spark.registry import register
-from spark_rapids_ml_spark.sources.catalog import load, load_wide
+from spark_rapids_ml_spark.sources.catalog import load
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

@@ -159,6 +159,21 @@ WIDEN_KEYS = {
 WIDEN_MIN_BYTES = 4 << 20
 
 
+def _source_bytes(path: str) -> int:
+    """Data bytes behind a table path: the file's size, or — for a
+    directory layout — the sum of its data files' sizes.
+    ``os.path.getsize`` on a directory returns the inode size (~4 KiB),
+    which would silently veto widening for exactly the multi-file
+    layouts the module docstring promises to handle."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path)
+    total = 0
+    for entry in os.scandir(path):
+        if entry.is_file() and not entry.name.startswith(("_", ".")):
+            total += entry.stat().st_size
+    return total
+
+
 def load_wide(
     spark: SparkSession,
     sf_dir: str,
@@ -188,7 +203,7 @@ def load_wide(
     target = spark.sparkContext.defaultParallelism
     try:
         n_parts = df.rdd.getNumPartitions()
-        size = os.path.getsize(table_path(sf_dir, name))
+        size = _source_bytes(table_path(sf_dir, name))
     except Exception:  # path/planner oddity — widening is optional
         return df
     if n_parts * 2 >= target or size < min_bytes:

@@ -88,7 +88,6 @@ def main() -> None:
     # parse the event log
     jobs = []  # (submit_ms, end_ms, desc, n_stages)
     stage_tasks: dict[int, int] = {}
-    job_stages: dict[int, list[int]] = {}
     # Spark 4 defaults to the rolling v2 layout: a directory
     # eventlog_v2_<appid>/ holding events_N_<appid> part files.
     path = os.path.join(LOG_DIR, app_id)
