@@ -104,21 +104,34 @@ def ranged_cumsum(
     order_by: list,
     cum_col: str = "cum",
     num_partitions: int | None = None,
+    totals_out: dict | None = None,
 ) -> DataFrame:
     """``df`` + inclusive running sum of ``value_col`` over the total
     order ``order_by`` — the distributed equivalent of
-    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    ``totals_out``: optional dict the scan fills with the exact grand
+    total (``"sum"``) and row count (``"count"``) it already computes
+    for the offsets — a caller needing SUM(v)/COUNT(*) over the same
+    frame (e.g. a token-budget threshold) reads them here instead of
+    paying a second full aggregation pass over the input lineage.
+    """
     t = _pin_ranged(df, order_by, num_partitions)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    per_pid = {
-        r[_PID]: r["_s"]
-        for r in t.groupBy(_PID).agg(F.sum(value_col).alias("_s")).collect()
-    }
-    off, _total = _offset_expr(per_pid)
+    rows = (
+        t.groupBy(_PID)
+        .agg(F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    per_pid = {r[_PID]: r["_s"] for r in rows}
+    off, total = _offset_expr(per_pid)
+    if totals_out is not None:
+        totals_out["sum"] = total
+        totals_out["count"] = sum(r["_c"] for r in rows)
     return t.withColumn(cum_col, F.sum(value_col).over(w) + off).drop(_PID)
 
 

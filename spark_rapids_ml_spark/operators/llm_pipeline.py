@@ -966,29 +966,36 @@ def pipe_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.expr(f"(n_dis * {TB_SCORE_SCALE}) div n_tok").alias("score"),
     )
-    budget = scored.agg(
-        F.expr(f"(SUM(n_tok) * {TB_BUDGET_NUM}) div {TB_BUDGET_DEN}").alias("b")
-    )
+    # budget and n_docs ride the admission scan's own per-partition
+    # totals (guide §1/§2: the scan already aggregates SUM(n_tok) and
+    # COUNT per range for its offsets — a separate budget aggregate
+    # re-ran the whole tokenize+score lineage a second time). Exact
+    # integer arithmetic, so the threshold is bit-identical to the
+    # oracle's (SUM(n_tok) * NUM) // DEN scalar subquery.
+    totals: dict = {}
     ranked = ranged_cumsum(
         scored.select("doc_id", "n_tok", "score"),
         "n_tok",
         [F.col("score").desc(), F.col("doc_id")],
         cum_col="cum",
+        totals_out=totals,
     )
-    sel = ranked.crossJoin(F.broadcast(budget)).where(F.col("cum") <= F.col("b"))
-    # budget comes from the budget AGGREGATE, never from the selection:
-    # max('b') over an empty selection (one doc exceeding the whole
+    b = (totals["sum"] * TB_BUDGET_NUM) // TB_BUDGET_DEN
+    sel = ranked.where(F.col("cum") <= F.lit(b))
+    # budget comes from the corpus total, never from the selection:
+    # max('cum') over an empty selection (one doc exceeding the whole
     # budget) would be NULL where the oracle emits the computed budget
     summary = sel.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected"),
         F.max("cum").cast("bigint").alias("tokens_selected"),
         F.min("score").cast("bigint").alias("cut_score"),
     )
-    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    return (
-        n_docs.crossJoin(summary)
-        .crossJoin(F.broadcast(budget.select(F.col("b").cast("bigint").alias("budget_tokens"))))
-        .select("n_docs", "n_selected", "budget_tokens", "tokens_selected", "cut_score")
+    return summary.select(
+        F.lit(totals["count"]).cast("bigint").alias("n_docs"),
+        "n_selected",
+        F.lit(b).cast("bigint").alias("budget_tokens"),
+        "tokens_selected",
+        "cut_score",
     )
 
 
@@ -1081,20 +1088,22 @@ def pipe_curate_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").alias("n_tok"),
         F.min("score").alias("score"),
     ).drop("text")
-    budget = dedup.agg(
-        F.expr(f"(SUM(n_tok) * {TB_BUDGET_NUM}) div {TB_BUDGET_DEN}").alias("b")
-    )
+    # budget rides the admission scan's own per-partition totals: the
+    # previous separate budget aggregate re-ran the whole tokenize +
+    # filter + dedup lineage a second time just for SUM(n_tok) (the
+    # multi-consumer shape that defeated scan widening in r13). Exact
+    # bigint arithmetic — the threshold is bit-identical to the
+    # oracle's (SUM(n_tok) * NUM) // DEN scalar subquery.
+    totals: dict = {}
     ranked = ranged_cumsum(
         dedup.select("doc_id", "n_tok", "score"),
         "n_tok",
         [F.col("score").desc(), F.col("doc_id")],
         cum_col="cum",
+        totals_out=totals,
     )
-    adm = (
-        ranked.crossJoin(F.broadcast(budget))
-        .where(F.col("cum") <= F.col("b"))
-        .select("doc_id", "n_tok")
-    )
+    b = (totals["sum"] * TB_BUDGET_NUM) // TB_BUDGET_DEN
+    adm = ranked.where(F.col("cum") <= F.lit(b)).select("doc_id", "n_tok")
     packed = ranged_cumsum(adm, "n_tok", [F.col("doc_id")], cum_col="cum_incl")
     return (
         packed.select(
