@@ -57,21 +57,27 @@ class KMeans:
 
         validate_vector_col(df.schema, self.feature_col)  # fail fast, zero jobs
         feat = self.feature_col
-        # deterministic init: rows with the k smallest ids
-        seed_rows = (
-            df.select(self.id_col, feat).orderBy(self.id_col).limit(self.k).collect()
-        )
-        centroids = np.vstack([np.asarray(r[feat], dtype=np.float64) for r in seed_rows])
-
-        # Cache the projected training column for the duration of the
+        # Cache the projected training data for the duration of the
         # fit: every Lloyd iteration is a full pass, and without the
         # cache each pass re-reads and re-decodes the source (parquet
         # scan + cast) — the standard MLlib discipline (KMeans.run warns
-        # when its input is uncached). Freed in the finally below, so
-        # no storage outlives the fit.
-        data = df.select(F.col(feat).cast("array<double>").alias("v")).persist()
+        # when its input is uncached). The id column rides along so the
+        # deterministic seed collect below materializes the SAME cached
+        # pass the iterations read — previously the seed scan was a
+        # separate uncached read of the source. Freed in the finally,
+        # so no storage outlives the fit.
+        data = df.select(
+            self.id_col, F.col(feat).cast("array<double>").alias("v")
+        ).persist()
         try:
-            centroids = self._lloyd(data, centroids)
+            # deterministic init: rows with the k smallest ids. The cast
+            # to double is exact (float32 widens losslessly), so seeds
+            # are bit-identical to reading the raw feature column.
+            seed_rows = data.orderBy(self.id_col).limit(self.k).collect()
+            centroids = np.vstack(
+                [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
+            )
+            centroids = self._lloyd(data.select("v"), centroids)
         finally:
             data.unpersist()
         return KMeansModel(centroids, feat)

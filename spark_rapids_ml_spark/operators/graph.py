@@ -487,7 +487,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-round shuffles are pure scheduler overhead at the session
     # default width; 8 partitions is plenty and cuts the round latency
     # (cached plans don't get AQE partition coalescing by default).
-    # Scoped + restored, the _scoped_conf convention.
+    # AQE is also switched OFF for the peel loop: with the width
+    # already pinned to 8 it has nothing to re-optimize, and its
+    # per-exchange re-planning turns each round's one logical action
+    # into 3-4 separate Spark jobs (measured r14: 33 jobs / 1.2 s of
+    # inter-job driver gap for 5 rounds; the fixed plan runs the same
+    # rows). Scoped + restored, the _scoped_conf convention.
     from spark_rapids_ml_spark.operators.dedup import _checkpoint_rdd
 
     k = None
@@ -496,7 +501,11 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ck = None
     from spark_rapids_ml_spark.plans.profiling import span
 
-    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+    with _scoped_conf(
+        spark,
+        spark__sql__shuffle__partitions="8",
+        spark__sql__adaptive__enabled="false",
+    ):
         for r in range(_KCORE_ROUNDS + 1):
             with span(spark, f"kcore_round_{r}"):
                 deg = _deg(e).cache()

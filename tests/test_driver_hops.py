@@ -62,6 +62,7 @@ ALLOWED = {
         "t.groupBy(_PID)",  # distributed scan's middle step: ONE row per range partition (the classic scan's broadcast offsets)
     },
     "operators/similarity.py": {
+        "# bounded: cap (<= 36) rows",  # _corpus_head fused count+query/codebook slice: cap rows of d doubles
         ".orderBy(\"pos\")",  # quantizer stats: d=64 rows
         '.select("pcell").distinct().collect()',  # probed cells <= nprobe
         "cb.collect()",  # PQ codebook: M*K rows
