@@ -204,15 +204,22 @@ class KMeansModel:
         c = np.array(row["centroids"]).reshape(meta["k"], meta["dim"])
         return cls(c, meta["feature_col"])
 
+    def assign_batch(self, x: np.ndarray) -> np.ndarray:
+        """Nearest-centroid labels for a (rows, d) float64 matrix — THE
+        assignment arithmetic (Gram-trick distances + numpy argmin
+        tiebreak), shared by transform() and callers that fuse the
+        assignment into their own batch kernel so one pass emits both
+        their codes and the coarse cell (no self-join of two
+        projections of the same frame)."""
+        c = self.centroids
+        d2 = (x * x).sum(axis=1)[:, None] - 2 * x @ c.T + (c * c).sum(axis=1)[None, :]
+        return d2.argmin(axis=1).astype(np.int64)
+
     def transform(self, df: DataFrame, output_col: str = "cluster") -> DataFrame:
-        c = self.centroids.copy()
+        model = self
 
         @F.pandas_udf(LongType())
         def assign(series: pd.Series) -> pd.Series:
-            x = _as_matrix(series)
-            d2 = (
-                (x * x).sum(axis=1)[:, None] - 2 * x @ c.T + (c * c).sum(axis=1)[None, :]
-            )
-            return pd.Series(d2.argmin(axis=1).astype(np.int64))
+            return pd.Series(model.assign_batch(_as_matrix(series)))
 
         return df.withColumn(output_col, assign(F.col(self.feature_col)))

@@ -785,10 +785,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from spark_rapids_ml_spark.ml.kmeans import KMeans
+    from spark_rapids_ml_spark.operators.dedup import _cache
 
     e = load(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    k_cells = ivf_n_cells(ed.count())
+    # one cached corpus projection serves the fused head aggregate, the
+    # fit's first pass and the normalized index build (previously the
+    # count, fit and unit-vector passes each re-scanned the parquet)
+    ed = _cache(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    n_corpus, head = _corpus_head(ed, N_QUERIES)
+    k_cells = ivf_n_cells(n_corpus)
     n_probe = ivf_nprobe(k_cells)
     model = KMeans(
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
@@ -799,15 +806,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's list_cosine_similarity is the established precedent)
     eu = with_unit_vector(ed, "emb", "unit")
     cells = model.transform(eu, "cell")  # (vec_id, emb, unit, cell)
-    q = eu.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("emb").alias("qemb"),
-        F.col("unit").alias("qunit"),
-    )
+    # query side: the head slice as LocalTableScans (probe's broadcast
+    # build runs no corpus-side cluster work; unit vectors from the
+    # same expressions over the same doubles)
+    q = _head_query_df(spark, head, "qid bigint, qemb array<double>")
     probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe)
+    qu = with_unit_vector(
+        _head_query_df(spark, head, "qid bigint, qemb array<double>"),
+        "qemb",
+        "qunit",
+        barrier=False,  # 20-row LocalTableScan: skip the cache job
+    ).select("qid", "qunit")
     scored = (
-        q.drop("qemb")
-        .join(probe, "qid")
+        qu.join(probe, "qid")
         .join(
             cells.select("vec_id", "unit", "cell"),
             (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
@@ -1675,8 +1686,8 @@ def _pq_lut_local(spark: SparkSession, head: list) -> DataFrame:
     )
 
 
-def _pq_encode_df(ed: DataFrame, head: list) -> DataFrame:
-    """enc (vec_id, m, code): the corpus encoded against the
+def _pq_encode_df(ed: DataFrame, head: list, cell_model=None) -> DataFrame:
+    """enc (vec_id, m, code[, cell]): the corpus encoded against the
     deterministic head-sampled codebook — a VECTORIZED mapInPandas
     pass (one numpy batch kernel instead of an N*M*K exploded join:
     6x faster at sf1, same plan shape as a production PQ index build).
@@ -1684,7 +1695,13 @@ def _pq_encode_df(ed: DataFrame, head: list) -> DataFrame:
     in float64 (matching both the SQL fold order and DuckDB's
     left-assoc sum), then round to nano ints half-away — bit-identical
     codes to the oracle's window argmin, with np.argmin's first-min =
-    smallest-code tiebreak."""
+    smallest-code tiebreak.
+
+    ``cell_model`` (a fitted KMeansModel) fuses the coarse-cell
+    assignment into the SAME batch kernel via assign_batch — the exact
+    transform() arithmetic on the exact same float64 matrix — so the
+    hybrid tier's enc ⋈ cells self-join of two projections of one
+    frame disappears (one pass emits codes AND cell)."""
     _, cb_rows = _pq_head_subrows(head)
     cents = np.asarray([r[2] for r in cb_rows], dtype=np.float64).reshape(
         PQ_M, PQ_CODES, PQ_SUB
@@ -1697,7 +1714,10 @@ def _pq_encode_df(ed: DataFrame, head: list) -> DataFrame:
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
             )
-            out_vid, out_m, out_code = [], [], []
+            cells = (
+                cell_model.assign_batch(mat) if cell_model is not None else None
+            )
+            out_vid, out_m, out_code, out_cell = [], [], [], []
             for m in range(PQ_M):
                 subm = mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
                 dists = np.empty((len(mat), PQ_CODES))
@@ -1712,17 +1732,21 @@ def _pq_encode_df(ed: DataFrame, head: list) -> DataFrame:
                 out_vid.append(pdf["vec_id"].to_numpy())
                 out_m.append(np.full(len(mat), m, dtype=np.int64))
                 out_code.append(codes.astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_vid),
-                    "m": np.concatenate(out_m),
-                    "code": np.concatenate(out_code),
-                }
-            )
+                if cells is not None:
+                    out_cell.append(cells)
+            cols = {
+                "vec_id": np.concatenate(out_vid),
+                "m": np.concatenate(out_m),
+                "code": np.concatenate(out_code),
+            }
+            if cells is not None:
+                cols["cell"] = np.concatenate(out_cell)
+            yield pd.DataFrame(cols)
 
-    return ed.select("vec_id", "emb").mapInPandas(
-        encode, "vec_id long, m int, code long"
-    )
+    schema = "vec_id long, m int, code long"
+    if cell_model is not None:
+        schema += ", cell long"
+    return ed.select("vec_id", "emb").mapInPandas(encode, schema)
 
 
 # The hybrid shares the flat tier's corpus-adaptive coarse quantizer
@@ -1851,22 +1875,24 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = KMeans(
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
-    cells = model.transform(ed, "cell").select("vec_id", "cell")
     # probe list: LocalTableScan queries × LocalTableScan centroids —
     # the broadcast build below runs no corpus-side cluster work
     q = _head_query_df(spark, head, "qid bigint, qemb array<double>")
     probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe).select(
         F.col("qid").alias("pqid"), "pcell"
     )
-    # fine quantizer: PQ codes (same encoder as sim_pq_adc_topk); the
-    # query LUT pairing is driver-side, its distances the same Spark
+    # fine quantizer: PQ codes (same encoder as sim_pq_adc_topk) with
+    # the coarse-cell assignment FUSED into the same batch kernel
+    # (assign_batch = transform()'s exact arithmetic on the same
+    # float64 matrix) — one pass emits codes AND cell, removing the
+    # enc ⋈ cells self-join of two projections of one frame. The query
+    # LUT pairing is driver-side, its distances the same Spark
     # expression (_pq_dist_nano) over the same doubles
-    enc = _pq_encode_df(ed, head)
+    enc = _pq_encode_df(ed, head, cell_model=model)
     lut = _pq_lut_local(spark, head)
-    # ADC restricted to probed cells: code table ⋈ cell id ⋈ probe list
+    # ADC restricted to probed cells: code table ⋈ probe list
     adc = (
-        enc.join(cells, "vec_id")
-        .join(F.broadcast(probe), F.col("cell") == F.col("pcell"))
+        enc.join(F.broadcast(probe), F.col("cell") == F.col("pcell"))
         .join(
             F.broadcast(lut),
             (F.col("qid") == F.col("pqid"))
@@ -2025,7 +2051,6 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = KMeans(
         k=k_cells, feature_col="emb", id_col="vec_id", max_iter=IVF_ITERS, tol=0.0
     ).fit(ed)
-    cells = model.transform(ed, "cell").select("vec_id", "cell")
     q = _head_query_df(spark, head, "qid bigint, qemb array<double>")
     probe = ivf_probe(q, ivf_centroid_rows(spark, model), n_probe).select(
         F.col("qid").alias("pqid"), "pcell"
@@ -2034,9 +2059,14 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim_quantized_topk); query reconstructions apply the SAME recon
     # expression to the LocalTableScan query slice (bit-identical
     # doubles), riding the probe list (Q × nprobe rows) as one
-    # broadcast side with no corpus-side cluster work in its build
+    # broadcast side with no corpus-side cluster work in its build.
+    # Reconstruction and coarse-cell assignment ride ONE projection of
+    # the cached corpus (previously rv ⋈ cells equi-joined two
+    # projections of the same frame — a pure-overhead self-join).
     recon = _sq_recon_expr(ed)
-    rv = ed.select("vec_id", recon(F.col("emb")).alias("rv"))
+    rvc = model.transform(ed, "cell").select(
+        "vec_id", recon(F.col("emb")).alias("rv"), "cell"
+    )
     qprobe = F.broadcast(
         q.select("qid", recon(F.col("qemb")).alias("qrv"))
         .join(probe, F.col("qid") == F.col("pqid"))
@@ -2044,7 +2074,7 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = (
         qprobe.join(
-            rv.join(cells, "vec_id"),
+            rvc,
             (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
         )
         .select("qid", "vec_id", F.round(dot_expr("qrv", "rv"), 6).alias("qscore"))

@@ -57,6 +57,9 @@ ALLOWED = {
     "operators/textstats.py": {
         'F.collect_list(F.struct("pos", "tok"))',  # RAKE phrase runs: group is (doc_id, run) — bounded by a SINGLE document's token count, never cross-document
     },
+    "operators/similarity.py": {
+        'F.collect_list( F.when(F.col("vec_id") < cap',  # _corpus_head: when() emits NULL for non-head rows and collect_list skips NULLs — buffer bounded at cap (<= 36) rows regardless of corpus size
+    },
 }
 
 
