@@ -1342,29 +1342,39 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet footer / one narrow projection), not the 448-dir
     # partitioned index — same exact integers as the oracle's
     # COUNT(*) FROM e and e-JOIN-documents sel CTE, at a fraction of
-    # the task-dispatch cost on local mode's many small partitions
+    # the task-dispatch cost on local mode's many small partitions.
+    # n, m and the query slice come from ONE aggregate job: doc_id is
+    # unique, so a left join against the filtered documents keeps
+    # exactly one row per corpus vector (n = COUNT(*) unchanged) and
+    # COUNT(_m) counts the matches — the same exact integer the
+    # previous separate left-semi count computed; the head slice is
+    # the bounded collect_list-over-when pattern (_corpus_head).
     e = load(spark, sf_dir, "embeddings")
-    n_corpus = e.count()
-    n_match = max(
-        1,
-        e.select("vec_id")
-        .join(
-            load(spark, sf_dir, "documents")
-            .where(
-                (F.col("lang") == FILTER_LANG)
-                & (F.col("n_chars") >= FILTER_NCHARS)
-            )
-            .select(F.col("doc_id").alias("vec_id")),
-            "vec_id",
-            "left_semi",
-        )
-        .count(),
+    ed = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    docs_f = (
+        load(spark, sf_dir, "documents")
+        .where(
+            (F.col("lang") == FILTER_LANG) & (F.col("n_chars") >= FILTER_NCHARS)
+        )
+        .select(F.col("doc_id").alias("vec_id"), F.lit(1).alias("_m"))
+    )
+    row = (
+        ed.join(docs_f, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_m").alias("m"),
+            F.collect_list(
+                F.when(F.col("vec_id") < N_QUERIES, F.struct("vec_id", "emb"))
+            ).alias("head"),
+        )
+        .collect()[0]  # bounded: two scalars + N_QUERIES rows of d doubles
+    )
+    n_corpus, n_match = row["n"], max(1, row["m"])
+    head = sorted((r["vec_id"], list(r["emb"])) for r in row["head"])
     n_probe = min(k, (ivf_nprobe(k) * n_corpus + n_match - 1) // n_match)
-    q = e.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qemb"),
-    ).where(F.col("qid") < N_QUERIES)
+    q = _head_query_df(spark, head, "qid bigint, qemb array<double>")
     probe = ivf_probe(q, cent, n_probe)
     # bounded driver state: at most N_QUERIES x nprobe probed cell ids
     probed = sorted({r["pcell"] for r in probe.select("pcell").distinct().collect()})

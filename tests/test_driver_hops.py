@@ -63,6 +63,7 @@ ALLOWED = {
     },
     "operators/similarity.py": {
         "# bounded: cap (<= 36) rows",  # _corpus_head fused count+query/codebook slice: cap rows of d doubles
+        "# bounded: two scalars + N_QUERIES rows",  # filtered-IVF fused n/m/query-slice aggregate
         ".orderBy(\"pos\")",  # quantizer stats: d=64 rows
         '.select("pcell").distinct().collect()',  # probed cells <= nprobe
         "cb.collect()",  # PQ codebook: M*K rows
