@@ -334,10 +334,15 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING subquery, planned as a semi-join against the aggregate."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    # widened: lineitem feeds both the HAVING aggregate and the main
-    # join, but the widening exchange is identical in both subtrees so
-    # ReusedExchange pays it once (A/B: 1.27s -> 1.16s at sf0.1)
-    l = load_wide(spark, sf_dir, "lineitem")
+    # NOT widened (r14): the r13 claim that ReusedExchange dedupes the
+    # two lineitem widening exchanges is false — the AQE FINAL plan
+    # (executedPlan after a noop action) shows two separate
+    # REPARTITION_BY_NUM exchanges and zero ReusedExchange nodes, one
+    # of them feeding a BroadcastExchange (shuffling 600k rows that are
+    # then collected anyway). The r13 A/B delta (1.27->1.16s) was
+    # inside the host-noise band; multi-consumer scans stay unwidened
+    # (the r13 negative result: widening is per-consumer-count).
+    l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
