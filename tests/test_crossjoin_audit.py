@@ -49,9 +49,6 @@ ALLOWED = {
     "operators/graph.py": {
         "n_edges.crossJoin(wedges)",  # clustering-coefficient verdict: 1-row scalar aggregates (edge/wedge/triangle counts; matches inner and chained outer)
     },
-    "operators/llm_pipeline.py": {
-        "n_docs.crossJoin(summary)",  # token-budget verdict: both sides 1-row global aggregates (the chained budget attach is already broadcast)
-    },
     "operators/joins.py": {
         "r.crossJoin(n)",  # declared CROSS JOIN demo over the region x nation dims (25x5), docstring says never fact-sized
     },
