@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from spark_rapids_ml_spark.registry import register
 from spark_rapids_ml_spark.functions.localframe import local_df
-from spark_rapids_ml_spark.sources.catalog import load
+from spark_rapids_ml_spark.sources.catalog import load, load_wide
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors in declared queries
 TOP_K = 5
@@ -293,8 +293,15 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The rank key is the *rounded* cosine (+vec_id tiebreak) so ranking
     is deterministic and cross-engine stable.
+
+    Corpus side gate-widened (default floor): the Q x N dot scan over
+    a single-row-group corpus ran on ONE core — the top serial row of
+    the sf1 8-vs-32-core probe (4.2 s, ratio 1.04); the gate is off at
+    the small SFs where the exchange would cost more than it buys.
     """
-    e = with_unit_vector(load(spark, sf_dir, "embeddings"), "embedding", "unit")
+    e = with_unit_vector(
+        load_wide(spark, sf_dir, "embeddings"), "embedding", "unit"
+    )
     q = F.broadcast(
         e.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("unit").alias("qunit")
@@ -791,8 +798,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached corpus projection serves the fused head aggregate, the
     # fit's first pass and the normalized index build (previously the
     # count, fit and unit-vector passes each re-scanned the parquet)
+    # gate-widened BEFORE the cache (DEFAULT 4 MiB floor): at the bench
+    # SF the gate is off and this is exactly load() — an r14 A/B with a
+    # lower floor measured 32-way tiny-batch dispatch ~2x SLOWER at
+    # 2k vectors. At sf1+ (8 MiB single-row-group corpus) the scan pins
+    # every cached pass (Lloyd iterations, assignment, coarse scan) to
+    # ONE core — the sf1 8-vs-32-core ratio sat at ~1.0 (serial) — and
+    # the exchange is paid once at cache materialization (guide §2.5).
     ed = _cache(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        load_wide(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     n_corpus, head = _corpus_head(ed, N_QUERIES)
     k_cells = ivf_n_cells(n_corpus)
@@ -1589,8 +1605,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached corpus projection serves the head aggregate, the
     # encoder pass and the re-rank side (previously each was its own
     # parquet scan); released by harness/bench release_caches()
+    # gate-widened BEFORE the cache (DEFAULT 4 MiB floor): at the bench
+    # SF the gate is off and this is exactly load() — an r14 A/B with a
+    # lower floor measured 32-way tiny-batch dispatch ~2x SLOWER at
+    # 2k vectors. At sf1+ (8 MiB single-row-group corpus) the scan pins
+    # every cached pass (Lloyd iterations, assignment, coarse scan) to
+    # ONE core — the sf1 8-vs-32-core ratio sat at ~1.0 (serial) — and
+    # the exchange is paid once at cache materialization (guide §2.5).
     ed = _cache(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        load_wide(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     # ADC shortlist scales with the corpus (5%, floored at PQ_CAND):
     # a FIXED shortlist shrinks to a vanishing corpus fraction as N
@@ -1873,8 +1898,17 @@ def sim_ivf_pq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoder and the re-rank corpus side — previously each consumer
     # re-scanned the parquet. Released by release_caches() after the
     # caller materializes (the dedup-module contract bench/harness use).
+    # gate-widened BEFORE the cache (DEFAULT 4 MiB floor): at the bench
+    # SF the gate is off and this is exactly load() — an r14 A/B with a
+    # lower floor measured 32-way tiny-batch dispatch ~2x SLOWER at
+    # 2k vectors. At sf1+ (8 MiB single-row-group corpus) the scan pins
+    # every cached pass (Lloyd iterations, assignment, coarse scan) to
+    # ONE core — the sf1 8-vs-32-core ratio sat at ~1.0 (serial) — and
+    # the exchange is paid once at cache materialization (guide §2.5).
     ed = _cache(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        load_wide(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     # corpus count + query vectors + codebook sample in ONE job
     n_corpus, head = _corpus_head(ed, PQ_ANCHOR_LO + PQ_CODES)
@@ -2050,8 +2084,17 @@ def sim_ivf_sq_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer stats, the fit's first pass, the cell assignment, the
     # coarse-scan corpus side and the re-rank side (previously each was
     # its own parquet scan); released by release_caches() post-run.
+    # gate-widened BEFORE the cache (DEFAULT 4 MiB floor): at the bench
+    # SF the gate is off and this is exactly load() — an r14 A/B with a
+    # lower floor measured 32-way tiny-batch dispatch ~2x SLOWER at
+    # 2k vectors. At sf1+ (8 MiB single-row-group corpus) the scan pins
+    # every cached pass (Lloyd iterations, assignment, coarse scan) to
+    # ONE core — the sf1 8-vs-32-core ratio sat at ~1.0 (serial) — and
+    # the exchange is paid once at cache materialization (guide §2.5).
     ed = _cache(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        load_wide(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     # corpus count + query vectors in ONE job
     n_corpus, head = _corpus_head(ed, N_QUERIES)
