@@ -1949,7 +1949,21 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_all = e_all.where(
             F.shiftright(F.col("vec_id") % SEM_TWIN_BASE, 1) % m == 0
         )
-    ed = _cache(e_all.select("vec_id", F.col("embedding").alias("emb")))
+    # gate-widened before the cache (default floor: off at sf<=0.1,
+    # where 32-way tiny-batch dispatch costs more than it buys; on at
+    # sf1+, where the single-row-group source pins every cached fit /
+    # assignment / GEMM pass to one core — sf1 8-vs-32-core ratio 1.00,
+    # i.e. serial). ONE exchange after the union, paid once at cache
+    # materialization.
+    from spark_rapids_ml_spark.sources.catalog import table_path, widen_frame
+
+    ed = _cache(
+        widen_frame(
+            e_all.select("vec_id", F.col("embedding").alias("emb")),
+            "vec_id",
+            table_path(sf_dir, "embeddings"),
+        )
+    )
     model = KMeans(
         k=SEMDEDUP_K, feature_col="emb", id_col="vec_id",
         max_iter=SEMDEDUP_ITERS, tol=0.0,

@@ -506,6 +506,10 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spark_rapids_ml_spark.operators.dedup import _cache
 
+    # NOT widened (r14 negative result): widening the signature/rerank
+    # side measured 1.6x WORSE at sf1 — the (tbl, bucket) candidate
+    # equi-join over two 32-partition cached sides loses more than the
+    # parallel matmul gains at this volume.
     e = load(spark, sf_dir, "embeddings")
     k = lsh_n_planes(e.count())
     # cached: the signature projection (one Arrow-batched matmul)
@@ -1012,8 +1016,18 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank)."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from spark_rapids_ml_spark.operators.dedup import _cache
+
+    # one cached (gate-widened, default floor) projection serves the
+    # stats aggregate, the query collect, the coarse scan and the
+    # re-rank side — previously four separate single-task parquet
+    # scans; at sf1+ the widening also unpins the batched coarse
+    # kernel from one core (released by release_caches post-run)
+    ed = _cache(
+        load_wide(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
     # per-dimension min/max stats: d rows of bounded driver state,
     # op-order-identical to the oracle's stats CTE (_sq_reconstructed)
     stats = (
@@ -1085,7 +1099,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crk") <= QUANT_CAND)
         .select("qid", "vec_id")
     )
-    return _rerank_topk(cand, e)
+    # re-rank reads the same cached projection (cast is exact, so
+    # unit vectors are bit-identical to the raw-column path)
+    return _rerank_topk(cand, ed.select("vec_id", F.col("emb").alias("embedding")))
 
 
 def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

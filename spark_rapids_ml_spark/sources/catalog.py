@@ -200,15 +200,30 @@ def load_wide(
     key = WIDEN_KEYS.get(name)
     if key is None:
         return df
-    target = spark.sparkContext.defaultParallelism
+    return widen_frame(df, key, table_path(sf_dir, name), min_bytes=min_bytes)
+
+
+def widen_frame(
+    df: DataFrame,
+    key_col: str,
+    source_path: str,
+    min_bytes: int = WIDEN_MIN_BYTES,
+) -> DataFrame:
+    """The load_wide gate for DERIVED frames (projections/unions of a
+    loaded table): hash-repartition on ``key_col`` to the session's
+    parallelism when the frame is under-parallelized AND the
+    underlying source at ``source_path`` is big enough for the
+    exchange to pay for itself. Same scale-adaptive contract as
+    load_wide — a no-op at many-file layouts and below the floor."""
+    target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_parts = df.rdd.getNumPartitions()
-        size = _source_bytes(table_path(sf_dir, name))
+        size = _source_bytes(source_path)
     except Exception:  # path/planner oddity — widening is optional
         return df
     if n_parts * 2 >= target or size < min_bytes:
         return df
-    return df.repartition(target, df[key])
+    return df.repartition(target, df[key_col])
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
